@@ -1,0 +1,114 @@
+"""Benchmark harness.
+
+Measures path-tracing throughput (Mrays/s/chip, counting traced ray
+segments — the integrator reports exact per-bounce active-lane counts) on
+the RTiOW final scene (BASELINE.md config 4) and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N/100}
+
+``vs_baseline`` is relative to the BASELINE.json north-star target of
+100 Mrays/s/chip on TPU v5e (the reference publishes no numbers of its
+own — SURVEY.md §6).
+
+Environment knobs (all optional): BENCH_SCENE, BENCH_SPP (timed samples),
+BENCH_WIDTH/BENCH_HEIGHT, BENCH_DEPTH, BENCH_BACKEND.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    platform = jax.default_backend()
+    on_tpu = platform == "tpu"
+
+    scene_name = os.environ.get("BENCH_SCENE", "final")
+    width = int(os.environ.get("BENCH_WIDTH", 1200 if on_tpu else 200))
+    height = int(os.environ.get("BENCH_HEIGHT", 800 if on_tpu else 112))
+    depth = int(os.environ.get("BENCH_DEPTH", 50))
+    spp_timed = int(os.environ.get("BENCH_SPP", 8 if on_tpu else 2))
+    backend = os.environ.get("BENCH_BACKEND", "auto")
+
+    from myraytracer_tpu.config import RenderConfig
+    from myraytracer_tpu.core import rng as crng
+    from myraytracer_tpu.render.dispatch import renderer_factory, resolve_backend
+    from myraytracer_tpu.scene.compile import compile_scene
+    from myraytracer_tpu.scene.presets import get_scene
+
+    config = RenderConfig(
+        width=width,
+        height=height,
+        samples_per_frame=spp_timed,
+        ray_depth=depth,
+        backend=backend,
+    )
+    world = get_scene(scene_name, seed=0)
+    scene = compile_scene(world)
+    resolved = resolve_backend(config)
+    factory = renderer_factory(config)
+    render = factory(
+        world.camera,
+        width,
+        height,
+        config.samples_per_frame,
+        config.ray_depth,
+        sample_batch=config.resolve_sample_batch(),
+    )
+    key = crng.key_from_seed(0)
+
+    log(
+        f"bench: platform={platform} backend={resolved} scene={scene_name} "
+        f"{width}x{height} spp={spp_timed} depth={depth} "
+        f"spheres={len(world.spheres)}"
+    )
+
+    # Warmup / compile.
+    t0 = time.perf_counter()
+    img, segs = render(scene, key, jnp.uint32(0))
+    img.block_until_ready()
+    log(f"bench: compile+first frame {time.perf_counter() - t0:.1f}s")
+
+    # Timed frames (distinct sample windows — real progressive work).
+    n_frames = 3
+    t0 = time.perf_counter()
+    total_segs = 0.0
+    for i in range(1, n_frames + 1):
+        img, segs = render(scene, key, jnp.uint32(i * spp_timed))
+        total_segs += float(segs)  # blocks on the frame
+    img.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    mrays = total_segs / dt / 1e6
+    camera_rays = n_frames * spp_timed * width * height
+    log(
+        f"bench: {dt:.2f}s for {n_frames} frames; "
+        f"{total_segs / camera_rays:.2f} avg bounces/camera-ray; "
+        f"{camera_rays / dt / 1e6:.1f} Mcam-rays/s"
+    )
+
+    result = {
+        "metric": (
+            f"Mrays/s/chip (RTiOW final scene {width}x{height}, "
+            f"depth {depth}, backend={resolved}, platform={platform})"
+        ),
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 100.0, 4),
+    }
+    print(json.dumps(result), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,125 @@
+"""Command-line renderer.
+
+TPU-native analog of the reference's native runner
+(``native-runner/src/main.rs:4-43``): same five flags with the same
+defaults and the same 0-means-derive size semantics, but headless — instead
+of a window accumulating forever, ``--frames`` bounds the progressive loop
+and the result is written to ``--out`` (PPM or PNG).
+
+Extensions beyond the reference CLI: scene selection (the reference
+hard-codes its 4-sphere world, lib.rs:687-720), seed, backend and sharding
+selection, checkpoint/resume, and a per-frame structured log line
+(frame index, accumulated spp, ms/frame, Mrays/s) — the reference logs
+nothing per frame (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+from myraytracer_tpu.config import RenderConfig
+from myraytracer_tpu.output.image import write_image
+from myraytracer_tpu.scene.presets import SCENES, get_scene
+
+log = logging.getLogger("myraytracer_tpu")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="myraytracer_tpu",
+        description="TPU-native progressive path tracer",
+    )
+    # Reference flags (native-runner/src/main.rs:20-31), same defaults.
+    p.add_argument("--width", type=int, default=0)
+    p.add_argument("--height", type=int, default=0)
+    p.add_argument("--samples-per-frame", type=int, default=1)
+    p.add_argument("--ray-depth", type=int, default=50)
+    p.add_argument("--max-framebuffer-weight", type=float, default=1.0)
+    # Extensions.
+    p.add_argument("--frames", type=int, default=1, help="progressive frames to run")
+    p.add_argument(
+        "--scene", choices=sorted(SCENES), default="reference",
+        help="built-in scene (the reference hard-codes 'reference')",
+    )
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="out.png", help=".png or .ppm output path")
+    p.add_argument("--gamma", type=float, default=2.0)
+    p.add_argument(
+        "--backend", choices=["auto", "jnp", "pallas"], default="auto",
+        help="integrator backend: pure-jnp oracle or fused Pallas kernel",
+    )
+    p.add_argument(
+        "--shard", choices=["none", "tiles", "samples", "hybrid"], default="none",
+        help="multi-chip sharding mode (image tiles or sample-parallel)",
+    )
+    p.add_argument("--sample-batch", type=int, default=0)
+    p.add_argument("--checkpoint", default=None, help="save checkpoint here")
+    p.add_argument("--resume", default=None, help="resume from checkpoint")
+    p.add_argument("--log-level", default="info")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=getattr(logging, args.log_level.upper()),
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+    )
+
+    config = RenderConfig(
+        width=args.width,
+        height=args.height,
+        samples_per_frame=args.samples_per_frame,
+        ray_depth=args.ray_depth,
+        max_framebuffer_weight=args.max_framebuffer_weight,
+        seed=args.seed,
+        gamma=args.gamma,
+        sample_batch=args.sample_batch,
+        backend=args.backend,
+        shard=args.shard,
+    )
+    world = get_scene(args.scene, seed=args.seed)
+
+    from myraytracer_tpu.render.dispatch import make_session
+
+    session = make_session(world, config)
+    if args.resume:
+        session.load_checkpoint(args.resume)
+        log.info(
+            "resumed from %s at frame %d (%d spp)",
+            args.resume, session.frame_count, session.accumulated_spp,
+        )
+
+    w, h = session.width, session.height
+    log.info(
+        "rendering scene=%s %dx%d spp/frame=%d depth=%d frames=%d backend=%s shard=%s",
+        args.scene, w, h, config.samples_per_frame, config.ray_depth,
+        args.frames, config.backend, config.shard,
+    )
+
+    for i in range(args.frames):
+        t0 = time.perf_counter()
+        segs_before = session.segments_traced
+        fb = session.step()
+        fb.block_until_ready()
+        dt = time.perf_counter() - t0
+        mrays = (session.segments_traced - segs_before) / dt / 1e6
+        log.info(
+            "frame=%d spp=%d ms=%.1f Mrays/s=%.1f",
+            session.frame_count, session.accumulated_spp, dt * 1e3, mrays,
+        )
+
+    if args.checkpoint:
+        session.save_checkpoint(args.checkpoint)
+        log.info("checkpoint saved to %s", args.checkpoint)
+
+    write_image(args.out, session.framebuffer, gamma=args.gamma)
+    log.info("wrote %s", args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

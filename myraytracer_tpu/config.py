@@ -1,0 +1,67 @@
+"""Render configuration.
+
+TPU-native analog of the reference's ``Args`` struct
+(``raytracer/src/lib.rs:19-37``; CLI defaults at
+``native-runner/src/main.rs:20-31``): same five knobs with the same
+defaults, plus TPU-side controls (sample batching, kernel backend,
+sharding mode) that have no reference counterpart.
+
+Size inference mirrors ``lib.rs:113-134``: a 0 width or height means
+"derive" — one zero makes the image square from the other dimension; both
+zero fall back to a default headless size (there is no window to follow on
+a TPU host).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+DEFAULT_WIDTH = 640
+DEFAULT_HEIGHT = 360
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    width: int = 0
+    height: int = 0
+    samples_per_frame: int = 1
+    ray_depth: int = 50
+    max_framebuffer_weight: float = 1.0
+
+    # TPU-side knobs (no reference counterpart).
+    seed: int = 0
+    t_min: float = 1e-3  # shader.wgsl:340
+    t_max: float = 1e4  # shader.wgsl:340
+    gamma: float = 2.0  # RTiOW gamma; the reference delegates to the sRGB surface
+    sample_batch: int = 0  # samples traced per vectorized pass; 0 = auto
+    backend: str = "auto"  # "jnp" | "pallas" | "auto"
+    shard: str = "none"  # "none" | "tiles" | "samples"
+
+    def resolve_size(self) -> Tuple[int, int]:
+        """Apply the reference's 0-means-derive rule (lib.rs:113-134)."""
+        w, h = self.width, self.height
+        if w == 0 and h == 0:
+            return DEFAULT_WIDTH, DEFAULT_HEIGHT
+        if w == 0:
+            return h, h
+        if h == 0:
+            return w, w
+        return w, h
+
+    def resolve_sample_batch(self) -> int:
+        """Samples traced in one vectorized pass.
+
+        Auto mode bounds live wavefront state to roughly 64M lanes' worth of
+        work split sensibly: small frames vectorize many samples at once,
+        large frames trace one sample per pass.
+        """
+        if self.sample_batch > 0:
+            return min(self.sample_batch, max(1, self.samples_per_frame))
+        w, h = self.resolve_size()
+        lanes_budget = 4 << 20  # ~4M lanes ≈ 260MB of wavefront state
+        per_pass = max(1, lanes_budget // max(1, w * h))
+        return max(1, min(per_pass, self.samples_per_frame))
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,166 @@
+"""Counter-based RNG: threefry2x32 keyed on (pixel, sample, bounce).
+
+The reference stores a xoshiro128+ state per pixel in a seed texture and
+mutates it as it draws (``raytracer/src/lib.rs:389-497``,
+``raytracer/src/shader.wgsl:36-94``). Stateful per-lane RNG is a poor fit
+for a functional, re-orderable TPU program, so this framework replaces it
+with the standard counter-based construction: every random draw is a pure
+function ``threefry2x32(key, (lane_id, draw_id))``. Frames are
+bit-reproducible for a given key regardless of batching, sharding, or
+kernel implementation — the same stream is produced by the pure-jnp oracle
+integrator and by Pallas kernels (which reuse these exact functions on
+uint32 vectors).
+
+The noise pattern therefore differs from the reference bit-for-bit; output
+parity is statistical (per-pixel within sampling noise), as recorded in
+SURVEY.md §7.2.
+
+Rejection sampling (the unbounded loops at ``shader.wgsl:84-94``) is
+replaced by analytic, branch-free sampling of the unit sphere / ball /
+disk; the distributions are identical, only the sample stream differs.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from myraytracer_tpu.core.vec import V3
+
+TAU = 6.283185307179586
+
+# Draw-slot layout inside one (pixel, sample) stream. Each threefry call
+# yields two u32 words, i.e. two uniforms. ``draw_id`` for a given sample is
+# ``sample_id * DRAWS_PER_SAMPLE + slot``; slots 0-1 are camera draws, each
+# bounce then owns DRAWS_PER_BOUNCE consecutive slots. Depth is capped so
+# the u32 counter never wraps for < 2^24 accumulated samples.
+DRAWS_PER_BOUNCE = 4
+CAMERA_DRAWS = 2
+MAX_DEPTH = 62
+DRAWS_PER_SAMPLE = CAMERA_DRAWS + DRAWS_PER_BOUNCE * (MAX_DEPTH + 1)  # 254
+
+
+def _rotl32(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    return (x << r) | (x >> (32 - r))
+
+
+_ROTATIONS = (13, 15, 26, 6, 17, 29, 16, 24)
+
+
+def threefry2x32(
+    key: Tuple[jnp.ndarray, jnp.ndarray],
+    ctr: Tuple[jnp.ndarray, jnp.ndarray],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Threefry-2x32, 20 rounds (Salmon et al., Random123).
+
+    All inputs are uint32 scalars or arrays (broadcastable); returns two
+    uint32 arrays. Matches the Random123 known-answer vectors and JAX's own
+    threefry PRNG core.
+    """
+    k0 = jnp.asarray(key[0], jnp.uint32)
+    k1 = jnp.asarray(key[1], jnp.uint32)
+    ks = (k0, k1, k0 ^ k1 ^ jnp.uint32(0x1BD11BDA))
+
+    x0 = jnp.asarray(ctr[0], jnp.uint32) + ks[0]
+    x1 = jnp.asarray(ctr[1], jnp.uint32) + ks[1]
+
+    for r in range(20):
+        x0 = x0 + x1
+        x1 = _rotl32(x1, _ROTATIONS[r % 8])
+        x1 = x1 ^ x0
+        if (r + 1) % 4 == 0:
+            j = (r + 1) // 4  # 1..5
+            x0 = x0 + ks[j % 3]
+            x1 = x1 + ks[(j + 1) % 3] + jnp.uint32(j)
+    return x0, x1
+
+
+def key_from_seed(seed: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Split a python int seed into a (u32, u32) key pair."""
+    seed = int(seed) & 0xFFFFFFFFFFFFFFFF
+    return (
+        jnp.uint32((seed >> 32) & 0xFFFFFFFF),
+        jnp.uint32(seed & 0xFFFFFFFF),
+    )
+
+
+def fold_key(key, data: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Derive a new key by hashing ``data`` under ``key`` (like fold_in)."""
+    return threefry2x32(key, (jnp.uint32(data), jnp.uint32(0x9E3779B9)))
+
+
+def _to_unit_f32(bits: jnp.ndarray) -> jnp.ndarray:
+    """uint32 → float32 uniform in [0, 1).
+
+    Uses the top 24 bits so the result is exactly representable and strictly
+    below 1.0 (the reference's ``f32(i) / 2^32`` at shader.wgsl:68 can round
+    up to 1.0; we keep the half-open interval instead).
+
+    The intermediate int32 cast is exact (24-bit value) and keeps the code
+    Mosaic-compatible (TPU Pallas has no uint32→f32 cast).
+    """
+    hi24 = (bits >> jnp.uint32(8)).astype(jnp.int32)
+    return hi24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+def uniform2(key, lane_id: jnp.ndarray, draw_id) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two independent U[0,1) floats per lane for the given draw slot."""
+    d = jnp.asarray(draw_id, jnp.uint32)
+    b0, b1 = threefry2x32(key, (jnp.asarray(lane_id, jnp.uint32), d))
+    return _to_unit_f32(b0), _to_unit_f32(b1)
+
+
+def uniform_bits2(key, lane_id: jnp.ndarray, draw_id) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    d = jnp.asarray(draw_id, jnp.uint32)
+    return threefry2x32(key, (jnp.asarray(lane_id, jnp.uint32), d))
+
+
+# -- analytic shape sampling -------------------------------------------------
+# Replaces the rejection loops at shader.wgsl:84-94: acceptance for the unit
+# ball is pi/6 ≈ 0.524 per round, so a fixed-round masked retry would need
+# ~28 rounds for 1e-9 failure; the analytic forms below are exact and
+# branch-free (SURVEY.md §7.2).
+
+
+def unit_sphere_from_uniforms(u1: jnp.ndarray, u2: jnp.ndarray) -> V3:
+    """Uniform direction on the unit sphere from two U[0,1) draws."""
+    z = 1.0 - 2.0 * u1
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    phi = jnp.float32(TAU) * u2
+    return V3(r * jnp.cos(phi), r * jnp.sin(phi), z)
+
+
+def _cbrt01(u: jnp.ndarray) -> jnp.ndarray:
+    """Cube root on [0,1] via exp2/log2 (Mosaic has no cbrt primitive).
+
+    Used by both the jnp oracle and Pallas kernels so their sample streams
+    stay bitwise identical.
+    """
+    r = jnp.exp2(jnp.log2(jnp.maximum(u, jnp.float32(1e-38))) * jnp.float32(1.0 / 3.0))
+    return jnp.where(u <= 0.0, jnp.float32(0.0), r)
+
+
+def unit_ball_from_uniforms(u1: jnp.ndarray, u2: jnp.ndarray, u3: jnp.ndarray) -> V3:
+    """Uniform point inside the unit ball from three U[0,1) draws."""
+    s = unit_sphere_from_uniforms(u1, u2)
+    return s * _cbrt01(u3)
+
+
+def unit_disk_from_uniforms(u1: jnp.ndarray, u2: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Uniform point inside the unit disk (for thin-lens defocus)."""
+    r = jnp.sqrt(u1)
+    phi = jnp.float32(TAU) * u2
+    return r * jnp.cos(phi), r * jnp.sin(phi)
+
+
+def unit_sphere(key, lane_id, draw_id) -> V3:
+    u1, u2 = uniform2(key, lane_id, draw_id)
+    return unit_sphere_from_uniforms(u1, u2)
+
+
+def unit_ball(key, lane_id, draw_id) -> V3:
+    """Uniform unit-ball sample; consumes two consecutive draw slots."""
+    u1, u2 = uniform2(key, lane_id, draw_id)
+    u3, _ = uniform2(key, lane_id, jnp.asarray(draw_id, jnp.uint32) + jnp.uint32(1))
+    return unit_ball_from_uniforms(u1, u2, u3)

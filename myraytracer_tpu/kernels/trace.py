@@ -1,0 +1,466 @@
+"""Fused Pallas trace megakernel with path regeneration (TPU).
+
+One kernel program traces a tile of rays through a whole frame's work:
+camera ray generation, the full bounce loop, closest-hit over the sphere
+set, masked material scatter, and radiance accumulation over a window of
+samples — with the wavefront state (origin, direction, throughput,
+radiance, active mask) living in VMEM/vregs for the whole loop. HBM
+traffic is only the final radiance tile (the jnp oracle round-trips the
+wavefront through HBM every bounce).
+
+**Path regeneration** is the core utilization trick: each lane owns one
+pixel and traces its samples *sequentially* — the moment a lane's path
+retires (sky miss, absorption, depth exhaustion), the same loop iteration
+regenerates it with the next sample's camera ray. A plain masked bounce
+loop pays full width as long as *any* of the tile's ~1000 lanes survives
+(survival of one ray keeps everyone spinning to depth 50); with
+regeneration, the loop runs ≈ samples × expected-path-length iterations
+at ~full lane utilization, ending exactly when every lane exhausts its
+sample window. This replaces the reference's "one fragment thread = one
+pixel, loop over samples inside" (shader.wgsl:372-386) with a design that
+keeps SIMD lanes busy.
+
+Other layout choices (TPU-first):
+
+* rays occupy a [TM, 128] (sublane × lane) tile, TM small enough that all
+  live state fits the vector register file (TM=8 ⇒ ~30 live vregs; TM=32
+  spills catastrophically — measured 100x slower);
+* the sphere SoA rides in SMEM via scalar prefetch; closest-hit is a
+  ``fori_loop`` over spheres broadcasting each sphere's scalars against
+  the ray tile with a running (t_best, i_best) — the vector analog of the
+  reference's shrinking-window scan (shader.wgsl:314-329), with no
+  cross-lane reduction and no gather;
+* the winner's record is fetched by a second masked select sweep
+  (i_best == s) — gather-free material/geometry fetch.
+
+RNG, camera mapping, and material scatter are the *same jnp functions*
+the oracle integrator uses (core/rng.py, render/camera.py,
+render/materials.py) — elementwise code runs unchanged inside Pallas — so
+the kernel consumes the identical threefry (pixel, sample, bounce) stream
+and reproduces the oracle image up to f32 sum order.
+
+Mosaic portability notes (learned on real v5e):
+
+* no uint32→f32 cast (route through int32), no cbrt (exp2/log2 form), no
+  bool (i1) vectors in while-loop carries (carry int32 masks), and no
+  selects *producing* bool vectors (use boolean algebra);
+* index math in int32 — the vector ISA has no u32 div/rem.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from myraytracer_tpu.core import rng as crng
+from myraytracer_tpu.core.vec import V3
+from myraytracer_tpu.render import camera as cam_mod
+from myraytracer_tpu.render.hit import Hit
+from myraytracer_tpu.render.materials import color_sky, scatter
+from myraytracer_tpu.scene.api import Camera
+from myraytracer_tpu.scene.compile import CompiledScene
+
+LANES = 128
+# Sphere sweeps with at most this many spheres are fully unrolled (python
+# loop) so Mosaic can software-pipeline the SMEM scalar loads.
+UNROLL_MAX = 64
+# Rays per tile = tile_rows * 128. Keep the live wavefront state inside
+# the vector register file: ~30 live [tile_rows, 128] arrays ⇒ tile_rows=8
+# is one vreg each. Larger tiles spill to VMEM (measured 10-100x slower).
+DEFAULT_TILE_ROWS = 8
+
+
+def _scene_to_prefetch(scene: CompiledScene) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pack the SoA scene into the SMEM prefetch layout.
+
+    Rows of the f32 table: cx, cy, cz, radius_sq, inv_radius (signed),
+    albedo_r, albedo_g, albedo_b, fuzz, ior.
+    """
+    inv_r = 1.0 / scene.radius  # pads have radius 1.0 → safe
+    f32 = jnp.stack(
+        [
+            scene.center.x,
+            scene.center.y,
+            scene.center.z,
+            scene.radius_sq,
+            inv_r,
+            scene.albedo.x,
+            scene.albedo.y,
+            scene.albedo.z,
+            scene.fuzz,
+            scene.ior,
+        ]
+    )
+    return f32, scene.mat_ty.astype(jnp.int32)
+
+
+def _trace_kernel(
+    # scalar-prefetch refs (SMEM):
+    sf_ref,  # [10, N] f32 scene table
+    mt_ref,  # [N] i32 material types
+    meta_ref,  # [4] u32: key0, key1, sample_start, n_valid
+    row0_ref,  # [1] u32: first image row of this block invocation
+    # outputs (VMEM):
+    r_ref,
+    g_ref,
+    b_ref,
+    segs_ref,
+    *,
+    width: int,
+    n_rows: int,
+    n_spheres: int,
+    depth: int,
+    t_min: float,
+    t_max: float,
+    tile_rows: int,
+    ray_gen,
+    material_set,
+):
+    tile = pl.program_id(0)
+
+    key = (meta_ref[0], meta_ref[1])
+    sample_start = meta_ref[2]
+    n_valid_i = meta_ref[3].astype(jnp.int32)
+    row0 = row0_ref[0]
+
+    shape = (tile_rows, LANES)
+    tile_size = tile_rows * LANES
+
+    # Lane → global pixel coordinates (int32 math; u32 only at the RNG).
+    lin = (
+        jax.lax.broadcasted_iota(jnp.int32, shape, 0) * jnp.int32(LANES)
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        + jnp.int32(tile_size) * tile
+    )
+    in_image = lin < jnp.int32(n_rows * width)
+    ix = lin % jnp.int32(width)
+    iy = lin // jnp.int32(width) + row0.astype(jnp.int32)
+    lane_id = (iy * jnp.int32(width) + ix).astype(jnp.uint32)
+
+    t_minf = jnp.float32(t_min)
+    t_maxf = jnp.float32(t_max)
+
+    def camera_ray(s_vec):
+        """Camera ray for per-lane sample index vector (oracle draw slots)."""
+        sample_id = sample_start + s_vec.astype(jnp.uint32)
+        cam_draw = sample_id * jnp.uint32(crng.DRAWS_PER_SAMPLE)
+        u1, u2 = crng.uniform2(key, lane_id, cam_draw)
+        l1, l2 = crng.uniform2(key, lane_id, cam_draw + jnp.uint32(1))
+        return ray_gen(ix, iy, u1, u2, l1, l2)
+
+    o0, d0 = camera_ray(jnp.zeros(shape, jnp.int32))
+
+    # Carried state (bool masks carried as int32 for Mosaic):
+    #   s: per-lane current sample index;  b: per-lane bounce index
+    def cond(carry):
+        alive_i = carry[7]
+        return jnp.any(alive_i > 0)
+
+    def body(carry):
+        it, o, d, atten, rad, s, b, alive_i, segs = carry
+        alive = alive_i > 0
+        segs = segs + alive_i.astype(jnp.float32)
+
+        # --- closest hit: scalar-sphere sweep with running min ------------
+        def hit_body(si, hc):
+            t_best, i_best = hc
+            cx = sf_ref[0, si]
+            cy = sf_ref[1, si]
+            cz = sf_ref[2, si]
+            rsq = sf_ref[3, si]
+            ocx = o.x - cx
+            ocy = o.y - cy
+            ocz = o.z - cz
+            b_ = ocx * d.x + ocy * d.y + ocz * d.z
+            c_ = ocx * ocx + ocy * ocy + ocz * ocz - rsq
+            disc = b_ * b_ - c_
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t1 = -b_ - sq
+            t2 = -b_ + sq
+            t1_ok = (t1 >= t_minf) & (t1 < t_maxf)
+            t_cand = jnp.where(t1_ok, t1, t2)
+            valid = (disc >= 0.0) & (t_cand >= t_minf) & (t_cand < t_maxf)
+            t_cand = jnp.where(valid, t_cand, t_maxf)
+            better = t_cand < t_best
+            t_best = jnp.where(better, t_cand, t_best)
+            i_best = jnp.where(better, si, i_best)
+            return t_best, i_best
+
+        t_best0 = jnp.full(shape, t_maxf, jnp.float32)
+        i_best0 = jnp.full(shape, -1, jnp.int32)
+        if n_spheres <= UNROLL_MAX:
+            hc = (t_best0, i_best0)
+            for si in range(n_spheres):
+                hc = hit_body(si, hc)
+            t_best, i_best = hc
+        else:
+            t_best, i_best = jax.lax.fori_loop(
+                0, n_spheres, hit_body, (t_best0, i_best0)
+            )
+        hit_mask = t_best < t_maxf
+
+        # --- fetch the winner's record by masked select sweep -------------
+        # Only rows the present material families consume are fetched.
+        zero = jnp.zeros(shape, jnp.float32)
+        need_albedo = (1 in material_set) or (2 in material_set)
+        rows = [0, 1, 2, 4]
+        inits = [zero, zero, zero, jnp.ones(shape, jnp.float32)]
+        if need_albedo:
+            rows += [5, 6, 7]
+            inits += [zero, zero, zero]
+        if 2 in material_set:
+            rows += [8]
+            inits += [zero]
+        if 3 in material_set:
+            rows += [9]
+            inits += [jnp.ones(shape, jnp.float32)]
+
+        def fetch_body(si, fc):
+            sel = i_best == si
+            selected = [
+                jnp.where(sel, sf_ref[k, si], prev)
+                for k, prev in zip(rows, fc[:-1])
+            ]
+            mat = jnp.where(sel, mt_ref[si], fc[-1])
+            return (*selected, mat)
+
+        fetched0 = (*inits, jnp.zeros(shape, jnp.int32))
+        if n_spheres <= UNROLL_MAX:
+            fc = fetched0
+            for si in range(n_spheres):
+                fc = fetch_body(si, fc)
+            fetched = fc
+        else:
+            fetched = jax.lax.fori_loop(0, n_spheres, fetch_body, fetched0)
+        vals = dict(zip(rows, fetched[:-1]))
+        mt = fetched[-1]
+        cx, cy, cz, inv_r = vals[0], vals[1], vals[2], vals[4]
+        ax = vals.get(5, zero)
+        ay = vals.get(6, zero)
+        az = vals.get(7, zero)
+        fz = vals.get(8, zero)
+        io = vals.get(9, jnp.ones(shape, jnp.float32))
+
+        point = o + d * t_best
+        normal = (point - V3(cx, cy, cz)) * inv_r
+        front = normal.dot(d) <= 0.0
+        normal = V3.where(front, normal, -normal)
+        hit = Hit(
+            t=t_best, idx=i_best, mask=hit_mask, point=point, normal=normal,
+            front_face=front, mat_ty=mt, albedo=V3(ax, ay, az), fuzz=fz, ior=io,
+        )
+
+        # --- miss → sky, retire (shader.wgsl:343-345) ---------------------
+        miss = alive & ~hit_mask
+        sky = color_sky(d.y)
+        zero3 = V3(zero, zero, zero)
+        rad = rad + V3.where(miss, atten * sky, zero3)
+        alive = alive & hit_mask
+
+        # --- scatter (same draw slots as the oracle) ----------------------
+        sample_id = sample_start + s.astype(jnp.uint32)
+        draw = (
+            sample_id * jnp.uint32(crng.DRAWS_PER_SAMPLE)
+            + jnp.uint32(crng.CAMERA_DRAWS)
+            + b.astype(jnp.uint32) * jnp.uint32(crng.DRAWS_PER_BOUNCE)
+        )
+        # Draw slots are absolute, so skipping a family's draws never
+        # shifts the rest of the stream (parity with the oracle holds).
+        need_ball = 2 in material_set
+        need_ud = 3 in material_set
+        if 1 in material_set:
+            us1, us2 = crng.uniform2(key, lane_id, draw)
+            sphere_sample = crng.unit_sphere_from_uniforms(us1, us2)
+        else:
+            sphere_sample = zero3
+        if need_ball:
+            ub1, ub2 = crng.uniform2(key, lane_id, draw + jnp.uint32(1))
+        if need_ball or need_ud:
+            ub3, ud = crng.uniform2(key, lane_id, draw + jnp.uint32(2))
+        else:
+            ud = zero
+        ball_sample = (
+            crng.unit_ball_from_uniforms(ub1, ub2, ub3) if need_ball else zero3
+        )
+
+        sc = scatter(d, hit, sphere_sample, ball_sample, ud, material_set)
+        alive = alive & sc.ok  # absorbed → retire black (shader.wgsl:349-350)
+
+        atten = V3.where(alive, atten * sc.attenuation, atten)
+        o = V3.where(alive, hit.point, o)
+        unit_z = V3(zero, zero, zero + 1.0)
+        nd = V3.where(alive, sc.direction, unit_z).normalize()
+        d = V3.where(alive, nd, d)
+
+        # Depth exhaustion → black contribution (shader.wgsl:357).
+        b = jnp.where(alive, b + 1, b)
+        alive = alive & (b < depth)
+
+        # --- path regeneration: dead lanes start their next sample --------
+        regen = (~alive) & (s + 1 < n_valid_i) & in_image
+        s = jnp.where(regen, s + 1, s)
+        no, nd2 = camera_ray(s)
+        o = V3.where(regen, no, o)
+        d = V3.where(regen, nd2, d)
+        one = zero + 1.0
+        atten = V3.where(regen, V3(one, one, one), atten)
+        b = jnp.where(regen, 0, b)
+        alive_i = (alive | regen).astype(jnp.int32)
+        return (it + 1, o, d, atten, rad, s, b, alive_i, segs)
+
+    zero = jnp.zeros(shape, jnp.float32)
+    active0 = in_image & (n_valid_i > 0)
+    init = (
+        jnp.int32(0),
+        o0,
+        d0,
+        V3.ones(shape),
+        V3.zeros(shape),
+        jnp.zeros(shape, jnp.int32),  # s
+        jnp.zeros(shape, jnp.int32),  # b
+        active0.astype(jnp.int32),
+        zero,  # segs
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    rad, segs = out[4], out[8]
+
+    w = in_image.astype(jnp.float32)
+    r_ref[...] = rad.x * w
+    g_ref[...] = rad.y * w
+    b_ref[...] = rad.z * w
+    segs_ref[...] = segs * w
+
+
+def make_block_renderer(
+    cam: Camera,
+    width: int,
+    height: int,
+    n_rows: int,
+    max_samples: int,
+    ray_depth: int,
+    t_min: float = 1e-3,
+    t_max: float = 1e4,
+    sample_batch: int = 0,  # unused: lanes regenerate through samples
+    tile_rows: int = DEFAULT_TILE_ROWS,
+    interpret: bool = False,
+    material_set=None,
+):
+    """Pallas implementation of the block-renderer protocol.
+
+    Same contract as ``render.integrator.make_block_renderer``:
+    ``block(scene, key, row0, sample_start, n_valid) -> (radiance_sum
+    [n_rows, width, 3], segments f32)``.
+    """
+    del sample_batch, max_samples
+    if material_set is None:
+        material_set = (1, 2, 3)
+    material_set = tuple(sorted(set(material_set)))
+    if ray_depth > crng.MAX_DEPTH:
+        raise ValueError(f"ray_depth {ray_depth} exceeds MAX_DEPTH {crng.MAX_DEPTH}")
+    ray_gen = cam_mod.make_ray_generator(cam, width, height)
+
+    n_pixels = n_rows * width
+    tile_size = tile_rows * LANES
+    n_tiles = -(-n_pixels // tile_size)
+    out_rows = n_tiles * tile_rows
+
+    kernel = functools.partial(
+        _trace_kernel,
+        material_set=material_set,
+        width=width,
+        n_rows=n_rows,
+        depth=int(ray_depth),
+        t_min=float(t_min),
+        t_max=float(t_max),
+        tile_rows=tile_rows,
+        ray_gen=ray_gen,
+    )
+
+    def block(scene: CompiledScene, key, row0, sample_start, n_valid):
+        if scene.has_triangles:
+            raise NotImplementedError(
+                "the Pallas megakernel is sphere-only; use backend='jnp' "
+                "for triangle-mesh scenes"
+            )
+        sf, mt = _scene_to_prefetch(scene)
+        n_spheres = int(sf.shape[1])
+        kern = functools.partial(kernel, n_spheres=n_spheres)
+
+        meta = jnp.stack(
+            [
+                jnp.asarray(key[0], jnp.uint32),
+                jnp.asarray(key[1], jnp.uint32),
+                jnp.asarray(sample_start, jnp.uint32),
+                jnp.asarray(n_valid, jnp.uint32),
+            ]
+        )
+        row0_arr = jnp.asarray(row0, jnp.uint32).reshape(1)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(n_tiles,),
+            in_specs=[],
+            out_specs=[
+                pl.BlockSpec(
+                    (tile_rows, LANES),
+                    lambda t, *_: (t, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ]
+            * 4,
+        )
+
+        r, g, b, segs = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((out_rows, LANES), jnp.float32)] * 4,
+            interpret=interpret,
+        )(sf, mt, meta, row0_arr)
+
+        flat = lambda a: a.reshape(-1)[:n_pixels]
+        img_sum = jnp.stack([flat(r), flat(g), flat(b)], axis=-1).reshape(
+            n_rows, width, 3
+        )
+        return img_sum, jnp.sum(segs)
+
+    return block
+
+
+def make_renderer(
+    cam: Camera,
+    width: int,
+    height: int,
+    samples_per_frame: int,
+    ray_depth: int,
+    t_min: float = 1e-3,
+    t_max: float = 1e4,
+    sample_batch: int = 0,
+    tile_rows: int = DEFAULT_TILE_ROWS,
+    interpret: bool = False,
+    material_set=None,
+):
+    """Jitted single-device frame renderer on the Pallas megakernel.
+
+    Contract matches ``render.integrator.make_renderer``.
+    """
+    spp = int(samples_per_frame)
+    block = make_block_renderer(
+        cam, width, height, height, spp, ray_depth,
+        t_min=t_min, t_max=t_max, tile_rows=tile_rows, interpret=interpret,
+        material_set=material_set,
+    )
+
+    @jax.jit
+    def render(scene: CompiledScene, key, sample_base):
+        img_sum, segs = block(
+            scene, key, jnp.uint32(0), jnp.asarray(sample_base, jnp.uint32),
+            jnp.uint32(spp),
+        )
+        return img_sum * jnp.float32(1.0 / spp), segs
+
+    return render

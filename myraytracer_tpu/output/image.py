@@ -1,0 +1,127 @@
+"""Image encode + file output.
+
+The reference never touches image files: its second render pass blits the
+HDR accumulation texture to an sRGB swapchain surface and the sRGB encode is
+the surface format's job (``sample_framebuffer.wgsl:38-41``; there is no
+gamma in shader code — SURVEY.md item 12). Headless on TPU, the present
+pass becomes: gamma-encode (γ=2.0, RTiOW's convention, per the BASELINE
+parity goal), quantize to u8, and write PPM (P6) or PNG.
+
+PNG encoding uses only the Python stdlib (zlib + struct) — no external
+image dependency.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import struct
+import zlib
+
+import numpy as np
+
+
+def gamma_encode(img: np.ndarray, gamma: float = 2.0) -> np.ndarray:
+    """Clamp to [0,1] and apply 1/gamma encode (gamma 2 ⇒ sqrt, RTiOW)."""
+    img = np.clip(np.asarray(img, np.float32), 0.0, 1.0)
+    if gamma == 2.0:
+        return np.sqrt(img)
+    if gamma == 1.0:
+        return img
+    return img ** np.float32(1.0 / gamma)
+
+
+def to_u8(img: np.ndarray, gamma: float = 2.0) -> np.ndarray:
+    """[H,W,3] float radiance → [H,W,3] u8 with gamma encode."""
+    enc = gamma_encode(img, gamma)
+    return (enc * 255.0 + 0.5).astype(np.uint8)
+
+
+def write_ppm(path, u8: np.ndarray) -> None:
+    """Binary PPM (P6)."""
+    h, w, c = u8.shape
+    assert c == 3 and u8.dtype == np.uint8
+    with open(path, "wb") as f:
+        f.write(f"P6\n{w} {h}\n255\n".encode())
+        f.write(u8.tobytes())
+
+
+def read_ppm(path) -> np.ndarray:
+    """Read binary PPM (P6) — used by tests to round-trip output."""
+    data = pathlib.Path(path).read_bytes()
+    fields = []
+    pos = 0
+    while len(fields) < 4:
+        # tokens separated by whitespace; '#' comments run to end of line
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(data[start:pos])
+    pos += 1  # single whitespace after maxval
+    magic, w, h, maxval = fields[0], int(fields[1]), int(fields[2]), int(fields[3])
+    assert magic == b"P6" and maxval == 255
+    return np.frombuffer(data[pos : pos + w * h * 3], np.uint8).reshape(h, w, 3)
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def write_png(path, u8: np.ndarray) -> None:
+    """Minimal RGB8 PNG writer (stdlib zlib; filter type 0 per scanline)."""
+    h, w, c = u8.shape
+    assert c == 3 and u8.dtype == np.uint8
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), u8.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    idat = zlib.compress(raw, level=6)
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(_png_chunk(b"IHDR", ihdr))
+        f.write(_png_chunk(b"IDAT", idat))
+        f.write(_png_chunk(b"IEND", b""))
+
+
+def read_png(path) -> np.ndarray:
+    """Minimal PNG reader for our own writer's output (tests only)."""
+    data = pathlib.Path(path).read_bytes()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, bits, color = struct.unpack(">IIBB", payload[:10])
+            assert bits == 8 and color == 2
+        elif tag == b"IDAT":
+            idat += payload
+        pos += 12 + length
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, w * 3 + 1)
+    assert (raw[:, 0] == 0).all(), "only filter 0 supported"
+    return raw[:, 1:].reshape(h, w, 3)
+
+
+def write_image(path, img: np.ndarray, gamma: float = 2.0) -> None:
+    """Write float radiance to .ppm or .png based on the extension."""
+    path = pathlib.Path(path)
+    u8 = to_u8(np.asarray(img), gamma)
+    if path.suffix.lower() == ".ppm":
+        write_ppm(path, u8)
+    elif path.suffix.lower() == ".png":
+        write_png(path, u8)
+    else:
+        raise ValueError(f"unsupported image extension: {path.suffix!r}")

@@ -1,0 +1,250 @@
+"""Multi-chip rendering over a device mesh.
+
+The reference is a single-process, single-GPU program; its only
+"parallelism" is the rasterizer running the fragment shader per pixel
+(SURVEY.md §2, parallelism inventory). The TPU build makes distribution
+first-class with two (composable) SPMD strategies over a
+``jax.sharding.Mesh``:
+
+* **tile sharding** — the framebuffer's row axis is sharded; each chip
+  traces its rows entirely locally (embarrassingly parallel, zero
+  per-bounce communication; the scene is small and replicated). The only
+  cross-chip data movement is the final gather of the image to host.
+* **sample sharding** — every chip renders the full image for a disjoint
+  window of sample indices; partial radiance sums reduce with
+  ``jax.lax.psum`` over ICI.
+
+Because the integrator's RNG is counter-based and keyed on the *global*
+(pixel, sample) pair, both modes produce bitwise the same radiance sums as
+the single-chip path (up to f32 reduction order in the psum).
+
+Tested on a virtual CPU mesh (``--xla_force_host_platform_device_count``);
+the same code drives real ICI-connected TPU meshes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map as _shard_map_impl
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map_impl
+
+
+def shard_map(f, *, mesh, in_specs, out_specs):
+    """Version-compat shard_map (check_vma in jax >= 0.8, check_rep before)."""
+    try:
+        return _shard_map_impl(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+        )
+    except TypeError:  # pragma: no cover - older jax
+        return _shard_map_impl(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False
+        )
+
+from myraytracer_tpu.render.integrator import make_block_renderer
+from myraytracer_tpu.scene.api import Camera
+
+
+def default_mesh(devices: Optional[Sequence] = None, axis: str = "tiles") -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def make_tile_sharded_renderer(
+    cam: Camera,
+    width: int,
+    height: int,
+    samples_per_frame: int,
+    ray_depth: int,
+    t_min: float = 1e-3,
+    t_max: float = 1e4,
+    sample_batch: int = 1,
+    mesh: Optional[Mesh] = None,
+    material_set=None,
+):
+    """Shard image rows across the mesh; each chip renders its rows locally."""
+    mesh = mesh or default_mesh()
+    axis = mesh.axis_names[0]
+    nd = mesh.shape[axis]
+    spp = int(samples_per_frame)
+
+    rows_per = _ceil_div(height, nd)
+    h_pad = rows_per * nd
+
+    block = make_block_renderer(
+        cam, width, height, rows_per, spp, ray_depth,
+        t_min=t_min, t_max=t_max, sample_batch=sample_batch,
+        material_set=material_set,
+    )
+
+    def local(scene, key, sample_base):
+        tile = jax.lax.axis_index(axis).astype(jnp.uint32)
+        row0 = tile * jnp.uint32(rows_per)
+        img_sum, segs = block(scene, key, row0, sample_base, jnp.uint32(spp))
+        # Rows beyond the true image height are traced (static shapes) but
+        # cropped after the gather; their radiance is finite garbage.
+        return img_sum * jnp.float32(1.0 / spp), segs[None]
+
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(axis, None, None), P(axis)),
+    )
+
+    @jax.jit
+    def render(scene, key, sample_base):
+        img, segs = sharded(scene, key, jnp.asarray(sample_base, jnp.uint32))
+        return img[:height], jnp.sum(segs)
+
+    return render
+
+
+def make_sample_sharded_renderer(
+    cam: Camera,
+    width: int,
+    height: int,
+    samples_per_frame: int,
+    ray_depth: int,
+    t_min: float = 1e-3,
+    t_max: float = 1e4,
+    sample_batch: int = 1,
+    mesh: Optional[Mesh] = None,
+    material_set=None,
+):
+    """Each chip renders the full frame for a disjoint sample window; the
+    partial sums reduce over ICI with psum."""
+    mesh = mesh or default_mesh(axis="samples")
+    axis = mesh.axis_names[0]
+    nd = mesh.shape[axis]
+    spp = int(samples_per_frame)
+    per_dev = _ceil_div(spp, nd)
+
+    block = make_block_renderer(
+        cam, width, height, height, per_dev, ray_depth,
+        t_min=t_min, t_max=t_max, sample_batch=sample_batch,
+        material_set=material_set,
+    )
+
+    def local(scene, key, sample_base):
+        idx = jax.lax.axis_index(axis).astype(jnp.uint32)
+        start_off = idx * jnp.uint32(per_dev)
+        n_valid = jnp.clip(
+            jnp.int32(spp) - start_off.astype(jnp.int32), 0, per_dev
+        ).astype(jnp.uint32)
+        img_sum, segs = block(scene, key, jnp.uint32(0), sample_base + start_off, n_valid)
+        img_sum = jax.lax.psum(img_sum, axis)
+        segs = jax.lax.psum(segs, axis)
+        return img_sum * jnp.float32(1.0 / spp), segs
+
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(), P()),
+    )
+
+    @jax.jit
+    def render(scene, key, sample_base):
+        return sharded(scene, key, jnp.asarray(sample_base, jnp.uint32))
+
+    return render
+
+
+def make_hybrid_sharded_renderer(
+    cam: Camera,
+    width: int,
+    height: int,
+    samples_per_frame: int,
+    ray_depth: int,
+    t_min: float = 1e-3,
+    t_max: float = 1e4,
+    sample_batch: int = 1,
+    mesh: Optional[Mesh] = None,
+    material_set=None,
+):
+    """2-D mesh: image rows sharded over "tiles", samples over "samples".
+
+    Each device traces (its rows) × (its sample window); partial radiance
+    sums reduce with psum over the "samples" axis only (the tile axis needs
+    no communication), then the row shards assemble into the frame. This is
+    the general form; the 1-D tile / sample renderers are its degenerate
+    cases, kept separate for clarity.
+    """
+    if mesh is None:
+        devs = np.asarray(jax.devices())
+        ns = 2 if devs.size % 2 == 0 and devs.size > 1 else 1
+        mesh = Mesh(devs.reshape(devs.size // ns, ns), ("tiles", "samples"))
+    nd_t = mesh.shape["tiles"]
+    nd_s = mesh.shape["samples"]
+    spp = int(samples_per_frame)
+    rows_per = _ceil_div(height, nd_t)
+    per_dev = _ceil_div(spp, nd_s)
+
+    block = make_block_renderer(
+        cam, width, height, rows_per, per_dev, ray_depth,
+        t_min=t_min, t_max=t_max, sample_batch=sample_batch,
+        material_set=material_set,
+    )
+
+    def local(scene, key, sample_base):
+        tile = jax.lax.axis_index("tiles").astype(jnp.uint32)
+        sidx = jax.lax.axis_index("samples").astype(jnp.uint32)
+        row0 = tile * jnp.uint32(rows_per)
+        start_off = sidx * jnp.uint32(per_dev)
+        n_valid = jnp.clip(
+            jnp.int32(spp) - start_off.astype(jnp.int32), 0, per_dev
+        ).astype(jnp.uint32)
+        img_sum, segs = block(scene, key, row0, sample_base + start_off, n_valid)
+        img_sum = jax.lax.psum(img_sum, "samples")
+        segs = jax.lax.psum(segs, "samples")
+        return img_sum * jnp.float32(1.0 / spp), segs[None]
+
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P("tiles", None, None), P("tiles")),
+    )
+
+    @jax.jit
+    def render(scene, key, sample_base):
+        img, segs = sharded(scene, key, jnp.asarray(sample_base, jnp.uint32))
+        return img[:height], jnp.sum(segs)
+
+    return render
+
+
+def shard_renderer_factory(base_factory, mode: str, mesh: Optional[Mesh] = None):
+    """Adapt a sharding mode to the RenderSession renderer-factory protocol.
+
+    ``base_factory`` is accepted for interface compatibility (the sharded
+    renderers build on make_block_renderer directly).
+    """
+    del base_factory
+    if mode == "tiles":
+        maker = make_tile_sharded_renderer
+    elif mode == "samples":
+        maker = make_sample_sharded_renderer
+    elif mode == "hybrid":
+        maker = make_hybrid_sharded_renderer
+    else:
+        raise ValueError(f"unknown shard mode {mode!r}")
+
+    def factory(cam, width, height, samples_per_frame, ray_depth, **kw):
+        return maker(
+            cam, width, height, samples_per_frame, ray_depth, mesh=mesh, **kw
+        )
+
+    return factory

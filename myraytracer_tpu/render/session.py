@@ -1,0 +1,154 @@
+"""Progressive render session.
+
+Host-side analog of the reference's application/render-state machinery
+(``App``/``State``, ``raytracer/src/lib.rs:72-307``): owns the accumulation
+framebuffer and drives frame steps. There is no window or event loop on a
+TPU host, so the winit state machine and the async-init waker
+(``waker.rs``) collapse into a plain object — JAX dispatch is already
+asynchronous, and ``block_until_ready`` marks frame boundaries.
+
+Accumulation reproduces ``State::redraw``'s blend exactly
+(``lib.rs:299-306``, ``shader.wgsl:385``):
+
+    fb' = mix(frame_mean, fb, w)   with   w = min(max_weight, n / (n + 1))
+
+where ``n`` counts completed frames; the initial weight is 0
+(``lib.rs:424``), so with ``max_weight = 1`` the framebuffer is the exact
+running mean over frames, and a smaller cap gives a responsive EMA.
+
+Unlike the reference — where accumulation lives only in a GPU texture and
+dies with the window — sessions checkpoint: ``(framebuffer, frame_count,
+sample_cursor, seed)`` round-trips through an npz, and a resumed session
+continues the *identical* sample stream (counter-based RNG, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from myraytracer_tpu.config import RenderConfig
+from myraytracer_tpu.core import rng as crng
+from myraytracer_tpu.render.integrator import make_renderer
+from myraytracer_tpu.scene import api
+from myraytracer_tpu.scene.compile import compile_scene
+
+CHECKPOINT_VERSION = 1
+
+
+class RenderSession:
+    """Progressive accumulation over frames of ``samples_per_frame`` samples."""
+
+    def __init__(
+        self,
+        world: api.World,
+        config: RenderConfig = RenderConfig(),
+        renderer_factory=None,
+    ):
+        self.world = world
+        self.config = config
+        self.width, self.height = config.resolve_size()
+        self.scene = compile_scene(world)
+        self.key = crng.key_from_seed(config.seed)
+
+        factory = renderer_factory or make_renderer
+        materials = {s.material.type_id for s in world.spheres}
+        materials |= {m.material.type_id for m in world.meshes}
+        self._render = factory(
+            world.camera,
+            self.width,
+            self.height,
+            config.samples_per_frame,
+            config.ray_depth,
+            t_min=config.t_min,
+            t_max=config.t_max,
+            sample_batch=config.resolve_sample_batch(),
+            material_set=tuple(sorted(materials)) or None,
+        )
+
+        self.framebuffer = jnp.zeros((self.height, self.width, 3), jnp.float32)
+        self.frame_count = 0  # lib.rs:232 sample_count
+        self.sample_cursor = 0  # global sample index (per pixel)
+        self.segments_traced = 0.0
+
+    @property
+    def accumulated_spp(self) -> int:
+        return self.frame_count * self.config.samples_per_frame
+
+    def step(self) -> jnp.ndarray:
+        """Render one frame and blend it in; returns the new framebuffer."""
+        img, segs = self._render(
+            self.scene, self.key, jnp.uint32(self.sample_cursor)
+        )
+        # Weight for blending THIS frame is derived from the count of
+        # previously completed frames (0 for the first frame, lib.rs:424).
+        n = self.frame_count
+        w = min(self.config.max_framebuffer_weight, n / (n + 1)) if n else 0.0
+        w = jnp.float32(w)
+        self.framebuffer = img * (1.0 - w) + self.framebuffer * w
+        self.frame_count += 1
+        self.sample_cursor += self.config.samples_per_frame
+        self.segments_traced += float(segs)
+        return self.framebuffer
+
+    def run(self, frames: int) -> jnp.ndarray:
+        for _ in range(frames):
+            fb = self.step()
+        fb.block_until_ready()
+        return self.framebuffer
+
+    # -- checkpoint / resume --------------------------------------------------
+
+    def save_checkpoint(self, path) -> None:
+        path = pathlib.Path(path)
+        meta = {
+            "version": CHECKPOINT_VERSION,
+            "width": self.width,
+            "height": self.height,
+            "samples_per_frame": self.config.samples_per_frame,
+            "ray_depth": self.config.ray_depth,
+            "max_framebuffer_weight": self.config.max_framebuffer_weight,
+            "seed": self.config.seed,
+        }
+        np.savez(
+            path,
+            framebuffer=np.asarray(self.framebuffer),
+            frame_count=np.int64(self.frame_count),
+            sample_cursor=np.int64(self.sample_cursor),
+            segments_traced=np.float64(self.segments_traced),
+            meta=json.dumps(meta),
+        )
+
+    def load_checkpoint(self, path) -> None:
+        data = np.load(pathlib.Path(path), allow_pickle=False)
+        meta = json.loads(str(data["meta"]))
+        if meta["version"] != CHECKPOINT_VERSION:
+            raise ValueError(f"checkpoint version {meta['version']} unsupported")
+        for field in ("width", "height", "samples_per_frame", "ray_depth", "seed"):
+            have = getattr(self, field, None)
+            if have is None:
+                have = getattr(self.config, field)
+            if meta[field] != have:
+                raise ValueError(
+                    f"checkpoint {field}={meta[field]} != session {have}"
+                )
+        self.framebuffer = jnp.asarray(data["framebuffer"])
+        self.frame_count = int(data["frame_count"])
+        self.sample_cursor = int(data["sample_cursor"])
+        self.segments_traced = float(data["segments_traced"])
+
+
+def render(
+    world: api.World,
+    config: RenderConfig = RenderConfig(),
+    frames: int = 1,
+    renderer_factory=None,
+) -> np.ndarray:
+    """One-shot convenience: run a session for ``frames`` frames."""
+    session = RenderSession(world, config, renderer_factory=renderer_factory)
+    return np.asarray(session.run(frames))

@@ -1,0 +1,152 @@
+"""Public scene-description API.
+
+Python mirror of the reference's user-facing ``api`` module
+(``raytracer/src/lib.rs:611-639``): ``Lambertian { albedo }``,
+``Metal { albedo, fuzz }``, ``Sphere { center, radius, material }`` and
+``World { spheres }``. Extended — per the framework's scope
+(SURVEY.md §7.0 / BASELINE.md configs) — with ``Dielectric`` (glass) and a
+positionable thin-lens ``Camera`` with defocus blur, neither of which
+exists in the reference (its camera is fixed at the origin,
+``shader.wgsl:360-361``).
+
+Material type ids match the reference (``lib.rs:644-648``,
+``shader.wgsl:126-127``): 1 = Lambertian, 2 = Metal; 3 = Dielectric is the
+extension; 0 is reserved for padding / "no material" (scatters to black,
+like the reference's fall-through at ``shader.wgsl:249-251``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional, Tuple, Union
+
+Vec3 = Tuple[float, float, float]
+
+MATERIAL_NONE = 0
+MATERIAL_LAMBERTIAN = 1  # lib.rs:644
+MATERIAL_METAL = 2  # lib.rs:646
+MATERIAL_DIELECTRIC = 3  # extension
+
+
+@dataclasses.dataclass(frozen=True)
+class Lambertian:
+    """Diffuse material (reference api::Lambertian, lib.rs:613-615)."""
+
+    albedo: Vec3
+
+    type_id = MATERIAL_LAMBERTIAN
+
+
+@dataclasses.dataclass(frozen=True)
+class Metal:
+    """Fuzzy mirror (reference api::Metal, lib.rs:618-621)."""
+
+    albedo: Vec3
+    fuzz: float = 0.0
+
+    type_id = MATERIAL_METAL
+
+
+@dataclasses.dataclass(frozen=True)
+class Dielectric:
+    """Glass with refractive index ``ior`` (extension beyond the reference)."""
+
+    ior: float = 1.5
+
+    type_id = MATERIAL_DIELECTRIC
+
+
+Material = Union[Lambertian, Metal, Dielectric]
+
+
+@dataclasses.dataclass(frozen=True)
+class Sphere:
+    """Reference api::Sphere (lib.rs:629-633).
+
+    A negative radius yields inward-facing normals (the hollow-glass trick:
+    normals are computed as ``(hit - center) / radius``, shader.wgsl:299).
+    """
+
+    center: Vec3
+    radius: float
+    material: Material
+
+
+@dataclasses.dataclass(frozen=True)
+class Mesh:
+    """Indexed triangle mesh (extension; the reference supports only spheres).
+
+    ``vertices`` is a sequence of 3-tuples; ``triangles`` a sequence of
+    vertex-index 3-tuples (counter-clockwise winding gives the outward
+    geometric normal via the right-hand rule).
+    """
+
+    vertices: Tuple[Vec3, ...]
+    triangles: Tuple[Tuple[int, int, int], ...]
+    material: Material
+
+    def __init__(self, vertices, triangles, material):
+        object.__setattr__(self, "vertices", tuple(tuple(map(float, v)) for v in vertices))
+        object.__setattr__(self, "triangles", tuple(tuple(map(int, t)) for t in triangles))
+        object.__setattr__(self, "material", material)
+
+    def __len__(self) -> int:
+        return len(self.triangles)
+
+
+@dataclasses.dataclass(frozen=True)
+class Camera:
+    """Positionable thin-lens camera (extension; RTiOW ch. 12-13 semantics).
+
+    The reference hard-codes a pinhole at the origin looking down -Z with a
+    viewport of height 2 at focal length 1 (shader.wgsl:360-361,373-374) —
+    that fixed camera is ``Camera.reference()``, reproduced exactly
+    including its image-space conventions (see render/camera.py).
+    """
+
+    lookfrom: Vec3 = (0.0, 0.0, 0.0)
+    lookat: Vec3 = (0.0, 0.0, -1.0)
+    vup: Vec3 = (0.0, 1.0, 0.0)
+    vfov_degrees: float = 90.0
+    aperture: float = 0.0
+    focus_dist: Optional[float] = None  # None: distance lookfrom→lookat
+    # When True, use the reference's exact ray mapping (origin pinhole,
+    # viewport height 2, focal length 1, its y orientation and its
+    # half-pixel-shifted jitter window — shader.wgsl:373-381).
+    reference_mode: bool = False
+
+    @staticmethod
+    def reference() -> "Camera":
+        return Camera(reference_mode=True)
+
+    def resolved_focus_dist(self) -> float:
+        if self.focus_dist is not None:
+            return float(self.focus_dist)
+        dx = self.lookfrom[0] - self.lookat[0]
+        dy = self.lookfrom[1] - self.lookat[1]
+        dz = self.lookfrom[2] - self.lookat[2]
+        return math.sqrt(dx * dx + dy * dy + dz * dz)
+
+
+@dataclasses.dataclass(frozen=True)
+class World:
+    """Reference api::World (lib.rs:635-637) plus camera and meshes."""
+
+    spheres: Tuple[Sphere, ...]
+    camera: Camera = dataclasses.field(default_factory=Camera.reference)
+    meshes: Tuple[Mesh, ...] = ()
+
+    def __init__(self, spheres, camera: Optional[Camera] = None, meshes=()):
+        object.__setattr__(self, "spheres", tuple(spheres))
+        object.__setattr__(
+            self, "camera", camera if camera is not None else Camera.reference()
+        )
+        object.__setattr__(self, "meshes", tuple(meshes))
+
+    def __len__(self) -> int:
+        return len(self.spheres)
+
+    @property
+    def triangle_count(self) -> int:
+        return sum(len(m) for m in self.meshes)

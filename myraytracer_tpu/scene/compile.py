@@ -1,0 +1,253 @@
+"""Scene compiler: API World → SoA device arrays.
+
+The reference flattens its AoS scene into SoA pools packed in 1-D textures
+with base-index range tables (``raytracer/src/lib.rs:722-863``) because its
+WebGL2 floor forbids storage buffers. On TPU the constraint is different:
+the hit loop wants each per-sphere quantity as a contiguous f32/i32 vector
+in HBM/VMEM, and the per-hit material fetch wants *one* gather, not an
+indirection through per-type pools. So the compiler **denormalizes**:
+every sphere row carries its own material parameters (albedo, fuzz, ior)
+alongside its geometry, and the per-type pool layout of the reference
+survives only as ``compile_reference_layout`` (kept for parity testing of
+the flattening semantics).
+
+Padding: sphere arrays are padded to a lane multiple with ``radius_sq = -1``
+slots. For a normalized ray direction, Cauchy-Schwarz gives
+``b^2 = (oc·d)^2 <= |oc|^2``, so the discriminant ``b^2 - (|oc|^2 - r^2)``
+of a pad slot is ``<= -1``: pad slots can *never* hit, with zero masking
+cost in the hot loop.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from myraytracer_tpu.core.vec import V3
+from myraytracer_tpu.scene import api
+
+# Lane-friendly padding; Pallas kernels assume sphere vectors are a
+# multiple of this.
+SPHERE_PAD = 8
+
+
+class CompiledTriangles(NamedTuple):
+    """SoA triangle arrays; padding slots have zero edges (degenerate →
+    Möller-Trumbore determinant 0 → can never hit)."""
+
+    v0: V3  # [T] each
+    e1: V3  # v1 - v0
+    e2: V3  # v2 - v0
+    albedo: V3
+    fuzz: jnp.ndarray
+    ior: jnp.ndarray
+    mat_ty: jnp.ndarray  # i32
+
+    @property
+    def padded_size(self) -> int:
+        return self.fuzz.shape[0]
+
+
+class CompiledScene(NamedTuple):
+    """SoA scene arrays; a pytree of same-length-N device arrays.
+
+    ``radius`` is signed (negative radius = inward normals, matching the
+    reference's ``(at - center) / radius`` at shader.wgsl:299);
+    ``radius_sq`` is what the quadratic uses, and is -1 on padding slots.
+    """
+
+    center: V3  # [N] each
+    radius: jnp.ndarray  # [N] f32, signed
+    radius_sq: jnp.ndarray  # [N] f32, -1 marks padding
+    albedo: V3  # [N] each (Lambertian/Metal albedo; 0 otherwise)
+    fuzz: jnp.ndarray  # [N] f32 (Metal fuzz; 0 otherwise)
+    ior: jnp.ndarray  # [N] f32 (Dielectric index; 1 otherwise)
+    mat_ty: jnp.ndarray  # [N] i32 (0 pad, 1 lambertian, 2 metal, 3 dielectric)
+    tris: Optional[CompiledTriangles] = None
+
+    @property
+    def padded_size(self) -> int:
+        return self.radius.shape[0]
+
+    @property
+    def has_triangles(self) -> bool:
+        return self.tris is not None
+
+
+def _pad(a: np.ndarray, n: int, fill) -> np.ndarray:
+    out = np.full((n,) + a.shape[1:], fill, a.dtype)
+    out[: a.shape[0]] = a
+    return out
+
+
+def _material_row(m: api.Material):
+    """Denormalized (albedo, fuzz, ior, type) for one material."""
+    if isinstance(m, api.Lambertian):
+        return m.albedo, 0.0, 1.0, m.type_id
+    if isinstance(m, api.Metal):
+        return m.albedo, m.fuzz, 1.0, m.type_id
+    if isinstance(m, api.Dielectric):
+        return (0.0, 0.0, 0.0), 0.0, m.ior, m.type_id
+    raise TypeError(f"unknown material: {m!r}")
+
+
+def _compile_triangles(meshes, pad_to: int) -> CompiledTriangles:
+    t = sum(len(m) for m in meshes)
+    tpad = max(pad_to, -(-max(t, 1) // pad_to) * pad_to)
+    v0 = np.zeros((t, 3), np.float32)
+    e1 = np.zeros((t, 3), np.float32)
+    e2 = np.zeros((t, 3), np.float32)
+    albedo = np.zeros((t, 3), np.float32)
+    fuzz = np.zeros((t,), np.float32)
+    ior = np.ones((t,), np.float32)
+    mat_ty = np.zeros((t,), np.int32)
+
+    k = 0
+    for mesh in meshes:
+        verts = np.asarray(mesh.vertices, np.float32)
+        alb, fz, io, ty = _material_row(mesh.material)
+        for (a, b, c) in mesh.triangles:
+            v0[k] = verts[a]
+            e1[k] = verts[b] - verts[a]
+            e2[k] = verts[c] - verts[a]
+            albedo[k] = alb
+            fuzz[k] = fz
+            ior[k] = io
+            mat_ty[k] = ty
+            k += 1
+
+    mkv3 = lambda a: V3(
+        jnp.asarray(_pad(a[:, 0], tpad, 0.0)),
+        jnp.asarray(_pad(a[:, 1], tpad, 0.0)),
+        jnp.asarray(_pad(a[:, 2], tpad, 0.0)),
+    )
+    return CompiledTriangles(
+        v0=mkv3(v0),
+        e1=mkv3(e1),  # zero-edge padding is degenerate → never hits
+        e2=mkv3(e2),
+        albedo=mkv3(albedo),
+        fuzz=jnp.asarray(_pad(fuzz, tpad, 0.0)),
+        ior=jnp.asarray(_pad(ior, tpad, 1.0)),
+        mat_ty=jnp.asarray(_pad(mat_ty, tpad, api.MATERIAL_NONE)),
+    )
+
+
+def compile_scene(world: api.World, pad_to: int = SPHERE_PAD) -> CompiledScene:
+    """Flatten an api.World into padded SoA jnp arrays."""
+    n = len(world.spheres)
+    npad = max(pad_to, -(-max(n, 1) // pad_to) * pad_to)
+
+    center = np.zeros((n, 3), np.float32)
+    radius = np.zeros((n,), np.float32)
+    albedo = np.zeros((n, 3), np.float32)
+    fuzz = np.zeros((n,), np.float32)
+    ior = np.ones((n,), np.float32)
+    mat_ty = np.zeros((n,), np.int32)
+
+    for i, s in enumerate(world.spheres):
+        center[i] = s.center
+        radius[i] = s.radius
+        albedo[i], fuzz[i], ior[i], mat_ty[i] = _material_row(s.material)
+
+    radius_sq = radius * radius
+    # Pad slots: radius_sq = -1 makes them unhittable (see module docstring).
+    center_p = _pad(center, npad, 0.0)
+    return CompiledScene(
+        center=V3(
+            jnp.asarray(center_p[:, 0]),
+            jnp.asarray(center_p[:, 1]),
+            jnp.asarray(center_p[:, 2]),
+        ),
+        radius=jnp.asarray(_pad(radius, npad, 1.0)),
+        radius_sq=jnp.asarray(_pad(radius_sq, npad, -1.0)),
+        albedo=V3(
+            jnp.asarray(_pad(albedo, npad, 0.0)[:, 0]),
+            jnp.asarray(_pad(albedo, npad, 0.0)[:, 1]),
+            jnp.asarray(_pad(albedo, npad, 0.0)[:, 2]),
+        ),
+        fuzz=jnp.asarray(_pad(fuzz, npad, 0.0)),
+        ior=jnp.asarray(_pad(ior, npad, 1.0)),
+        mat_ty=jnp.asarray(_pad(mat_ty, npad, api.MATERIAL_NONE)),
+        tris=_compile_triangles(world.meshes, pad_to) if world.meshes else None,
+    )
+
+
+def compile_reference_layout(world: api.World) -> Dict[str, object]:
+    """Reproduce the reference's pool/range flattening semantics.
+
+    Mirrors the behavior of ``Object::new``'s SoA packing
+    (``raytracer/src/lib.rs:722-799``): spheres keep insertion order; each
+    material is appended to its per-type pool in sphere order and the sphere
+    records (type, index-within-pool); the three typed streams are built by
+    appending ranges (sphere centers then lambertian albedos then metal
+    albedos into the vec4 stream; radii then fuzzes into the f32 stream;
+    material types then material indices into the i32 stream).
+
+    Exists for parity tests and as documentation of the reference contract;
+    the renderer itself consumes :func:`compile_scene`.
+    """
+    sphere_centers = []
+    sphere_radii = []
+    sphere_mat_tys = []
+    sphere_mat_idxs = []
+    lamb_albedos = []
+    metal_albedos = []
+    metal_fuzzes = []
+    dielectric_iors = []
+
+    for s in world.spheres:
+        sphere_centers.append([*s.center, 1.0])  # vec4 w=1.0 like lib.rs:769
+        sphere_radii.append(s.radius)
+        m = s.material
+        sphere_mat_tys.append(m.type_id)
+        if isinstance(m, api.Lambertian):
+            sphere_mat_idxs.append(len(lamb_albedos))
+            lamb_albedos.append([*m.albedo, 1.0])
+        elif isinstance(m, api.Metal):
+            sphere_mat_idxs.append(len(metal_albedos))
+            metal_albedos.append([*m.albedo, 1.0])
+            metal_fuzzes.append(m.fuzz)
+        elif isinstance(m, api.Dielectric):
+            sphere_mat_idxs.append(len(dielectric_iors))
+            dielectric_iors.append(m.ior)
+
+    vec4_f32_data = []
+    f32_data = []
+    i32_data = []
+
+    def push(stream, items):
+        base = len(stream)
+        stream.extend(items)
+        return base
+
+    ranges = {
+        "spheres": {
+            "center_base_idx": push(vec4_f32_data, sphere_centers),
+            "radius_base_idx": push(f32_data, sphere_radii),
+            "material_ty_base_idx": push(i32_data, sphere_mat_tys),
+            "material_idx_base_idx": push(i32_data, sphere_mat_idxs),
+            "length": len(world.spheres),
+        },
+        "lambertians": {
+            "albedo_base_idx": push(vec4_f32_data, lamb_albedos),
+            "length": len(lamb_albedos),
+        },
+        "metals": {
+            "albedo_base_idx": push(vec4_f32_data, metal_albedos),
+            "fuzz_base_idx": push(f32_data, metal_fuzzes),
+            "length": len(metal_albedos),
+        },
+        # Extension beyond the reference layout:
+        "dielectrics": {
+            "ior_base_idx": push(f32_data, dielectric_iors),
+            "length": len(dielectric_iors),
+        },
+    }
+    return {
+        "world": ranges,
+        "vec4_f32_data": np.asarray(vec4_f32_data, np.float32).reshape(-1, 4),
+        "f32_data": np.asarray(f32_data, np.float32),
+        "i32_data": np.asarray(i32_data, np.int32),
+    }

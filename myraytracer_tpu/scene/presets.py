@@ -1,0 +1,182 @@
+"""Built-in scenes.
+
+``reference_scene`` reproduces the reference's hard-coded 4-sphere world
+(``raytracer/src/lib.rs:687-720``) with its fixed origin camera. The other
+presets are the BASELINE.md benchmark configs, which exceed the reference's
+feature set (it has no dielectric, positionable camera, defocus, or scene
+generator — SURVEY.md §7.0); their "reference behavior" is RTiOW semantics
+anchored to the reference's conventions.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from myraytracer_tpu.scene.api import (
+    Camera,
+    Dielectric,
+    Lambertian,
+    Metal,
+    Sphere,
+    World,
+)
+
+
+def reference_scene() -> World:
+    """The reference's built-in world (lib.rs:687-720), fixed camera."""
+    return World(
+        spheres=[
+            Sphere((0.0, -100.5, -1.0), 100.0, Lambertian((0.8, 0.8, 0.0))),
+            Sphere((0.0, 0.0, -1.0), 0.5, Lambertian((0.7, 0.3, 0.3))),
+            Sphere((-1.0, 0.0, -1.0), 0.5, Metal((0.8, 0.8, 0.8), fuzz=0.3)),
+            Sphere((1.0, 0.0, -1.0), 0.5, Metal((0.8, 0.6, 0.2), fuzz=1.0)),
+        ],
+        camera=Camera.reference(),
+    )
+
+
+def lambertian_sphere_scene() -> World:
+    """BASELINE config 1: single Lambertian sphere + ground plane."""
+    return World(
+        spheres=[
+            Sphere((0.0, 0.0, -1.0), 0.5, Lambertian((0.5, 0.5, 0.5))),
+            Sphere((0.0, -100.5, -1.0), 100.0, Lambertian((0.5, 0.5, 0.5))),
+        ],
+        camera=Camera.reference(),
+    )
+
+
+def three_sphere_scene(camera: Camera | None = None) -> World:
+    """BASELINE config 2: Lambertian + metal(fuzz) + hollow-glass dielectric.
+
+    RTiOW ch. 11 scene: the hollow glass ball is an outer dielectric sphere
+    with a negative-radius inner shell (inward normals).
+    """
+    if camera is None:
+        camera = Camera.reference()
+    return World(
+        spheres=[
+            Sphere((0.0, -100.5, -1.0), 100.0, Lambertian((0.8, 0.8, 0.0))),
+            Sphere((0.0, 0.0, -1.0), 0.5, Lambertian((0.1, 0.2, 0.5))),
+            Sphere((-1.0, 0.0, -1.0), 0.5, Dielectric(1.5)),
+            Sphere((-1.0, 0.0, -1.0), -0.45, Dielectric(1.5)),
+            Sphere((1.0, 0.0, -1.0), 0.5, Metal((0.8, 0.6, 0.2), fuzz=0.3)),
+        ],
+        camera=camera,
+    )
+
+
+def defocus_scene() -> World:
+    """BASELINE config 3: positionable camera with defocus blur (RTiOW ch. 13)."""
+    lookfrom = (3.0, 3.0, 2.0)
+    lookat = (0.0, 0.0, -1.0)
+    return three_sphere_scene(
+        camera=Camera(
+            lookfrom=lookfrom,
+            lookat=lookat,
+            vup=(0.0, 1.0, 0.0),
+            vfov_degrees=20.0,
+            aperture=2.0,
+            focus_dist=math.dist(lookfrom, lookat),
+        )
+    )
+
+
+def final_scene(seed: int = 0) -> World:
+    """BASELINE config 4: the RTiOW final scene (~480 random spheres).
+
+    Deterministic for a given seed (host-side numpy RNG; the reference has
+    no scene generator at all).
+    """
+    rng = np.random.RandomState(seed)
+    spheres = [Sphere((0.0, -1000.0, 0.0), 1000.0, Lambertian((0.5, 0.5, 0.5)))]
+
+    for a in range(-11, 11):
+        for b in range(-11, 11):
+            choose = rng.random_sample()
+            center = (
+                a + 0.9 * rng.random_sample(),
+                0.2,
+                b + 0.9 * rng.random_sample(),
+            )
+            if math.dist(center, (4.0, 0.2, 0.0)) <= 0.9:
+                continue
+            if choose < 0.8:
+                albedo = tuple(rng.random_sample(3) * rng.random_sample(3))
+                mat = Lambertian(albedo)
+            elif choose < 0.95:
+                albedo = tuple(0.5 + 0.5 * rng.random_sample(3))
+                mat = Metal(albedo, fuzz=0.5 * rng.random_sample())
+            else:
+                mat = Dielectric(1.5)
+            spheres.append(Sphere(center, 0.2, mat))
+
+    spheres.append(Sphere((0.0, 1.0, 0.0), 1.0, Dielectric(1.5)))
+    spheres.append(Sphere((-4.0, 1.0, 0.0), 1.0, Lambertian((0.4, 0.2, 0.1))))
+    spheres.append(Sphere((4.0, 1.0, 0.0), 1.0, Metal((0.7, 0.6, 0.5), fuzz=0.0)))
+
+    return World(
+        spheres=spheres,
+        camera=Camera(
+            lookfrom=(13.0, 2.0, 3.0),
+            lookat=(0.0, 0.0, 0.0),
+            vup=(0.0, 1.0, 0.0),
+            vfov_degrees=20.0,
+            aperture=0.1,
+            focus_dist=10.0,
+        ),
+    )
+
+
+def mesh_scene(subdivisions: int = 2) -> World:
+    """BASELINE config 5: triangle meshes (box + icosphere + ground quad).
+
+    ~360 triangles at the default subdivision; scale with ``subdivisions``
+    (icosphere triangles = 20 * 4^n).
+    """
+    from myraytracer_tpu.scene import meshgen
+    from myraytracer_tpu.scene.api import Mesh
+
+    gv, gf = meshgen.quad(
+        (-6.0, -0.5, 4.0), (6.0, -0.5, 4.0), (6.0, -0.5, -8.0), (-6.0, -0.5, -8.0)
+    )
+    bv, bf = meshgen.box((1.1, 0.0, -1.2), (0.5, 0.5, 0.5))
+    sv, sf = meshgen.icosphere((-1.1, 0.0, -1.0), 0.5, subdivisions)
+    pv, pf = meshgen.icosphere((0.0, 0.05, -0.6), 0.35, max(1, subdivisions - 1))
+
+    return World(
+        spheres=[],
+        meshes=[
+            Mesh(gv, gf, Lambertian((0.8, 0.8, 0.0))),
+            Mesh(bv, bf, Metal((0.8, 0.6, 0.2), fuzz=0.1)),
+            Mesh(sv, sf, Lambertian((0.1, 0.2, 0.5))),
+            Mesh(pv, pf, Dielectric(1.5)),
+        ],
+        camera=Camera(
+            lookfrom=(0.0, 1.2, 2.5),
+            lookat=(0.0, 0.0, -1.0),
+            vup=(0.0, 1.0, 0.0),
+            vfov_degrees=45.0,
+            aperture=0.0,
+        ),
+    )
+
+
+SCENES = {
+    "reference": reference_scene,
+    "lambertian": lambertian_sphere_scene,
+    "three-sphere": three_sphere_scene,
+    "defocus": defocus_scene,
+    "final": final_scene,
+    "mesh": mesh_scene,
+}
+
+
+def get_scene(name: str, seed: int = 0) -> World:
+    if name not in SCENES:
+        raise KeyError(f"unknown scene {name!r}; choices: {sorted(SCENES)}")
+    if name == "final":
+        return final_scene(seed)
+    return SCENES[name]()

@@ -1,0 +1,88 @@
+"""Integrator behavior tests (semantics of shader.wgsl:336-386)."""
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myraytracer_tpu.config import RenderConfig
+from myraytracer_tpu.core import rng as crng
+from myraytracer_tpu.render.integrator import make_renderer
+from myraytracer_tpu.scene import api, presets
+from myraytracer_tpu.scene.compile import compile_scene
+
+W, H = 24, 12
+KEY = crng.key_from_seed(0)
+
+
+@functools.lru_cache(maxsize=None)
+def small_renderer(spp=4, depth=8):
+    cam = api.Camera.reference()
+    return make_renderer(cam, W, H, spp, depth, sample_batch=2)
+
+
+def test_empty_scene_is_sky():
+    scene = compile_scene(api.World([]))
+    render = small_renderer()
+    img, segs = render(scene, KEY, 0)
+    img = np.asarray(img)
+    assert img.shape == (H, W, 3)
+    # Sky gradient bounds: r,g in [0.5, 1], b == 1 everywhere.
+    assert (img[..., 2] > 0.999).all()
+    assert (img[..., 0] >= 0.5 - 1e-6).all() and (img[..., 0] <= 1.0 + 1e-6).all()
+    # Reference orientation: top row has viewport y ≈ -1 → whiter (redder)
+    # than the bottom row (camera.py docstring; shader.wgsl:26,374).
+    assert img[0, :, 0].mean() > img[-1, :, 0].mean()
+    # Every camera ray missed on the first segment: segments == lanes * spp.
+    assert float(segs) == W * H * 4
+
+
+def test_deterministic_across_calls():
+    scene = compile_scene(presets.reference_scene())
+    render = small_renderer()
+    a, _ = render(scene, KEY, 0)
+    b, _ = render(scene, KEY, 0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c, _ = render(scene, KEY, 100)  # different sample window → different noise
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_radiance_finite_and_bounded():
+    scene = compile_scene(presets.reference_scene())
+    render = small_renderer()
+    img, segs = render(scene, KEY, 0)
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    assert (img >= 0).all()
+    # No emitter exceeds the sky; throughput only attenuates.
+    assert img.max() <= 1.0 + 1e-5
+    # Some rays bounce: more segments than camera rays, bounded by depth.
+    assert W * H * 4 < float(segs) <= W * H * 4 * 8
+
+
+def test_error_shrinks_with_more_frames():
+    """Mean pixel error vs a many-frame reference shrinks ~ 1/sqrt(n)."""
+    scene = compile_scene(presets.reference_scene())
+    render = small_renderer()
+
+    frames = [np.asarray(render(scene, KEY, 4 * i)[0]) for i in range(40)]
+    ref = np.mean(frames[8:], axis=0)  # 32-frame "converged" reference
+    err1 = np.abs(frames[0] - ref).mean()
+    err8 = np.abs(np.mean(frames[:8], axis=0) - ref).mean()
+    # 8x the samples → ~2.8x error reduction; allow generous slack.
+    assert err8 < err1 / 1.7
+
+
+def test_dielectric_scene_traces():
+    scene = compile_scene(presets.three_sphere_scene())
+    render = small_renderer()
+    img, _ = render(scene, KEY, 0)
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.1  # something visible
+
+
+def test_depth_cap_enforced():
+    with pytest.raises(ValueError):
+        make_renderer(api.Camera.reference(), 8, 8, 1, crng.MAX_DEPTH + 1)

@@ -1,0 +1,122 @@
+"""Triangle meshes: Möller-Trumbore hit, compile, end-to-end render."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from myraytracer_tpu.core.vec import V3
+from myraytracer_tpu.render.hit import closest_hit
+from myraytracer_tpu.scene import api, meshgen, presets
+from myraytracer_tpu.scene.api import Lambertian, Mesh, Sphere
+from myraytracer_tpu.scene.compile import compile_scene
+
+
+def rays(origins, dirs):
+    o = np.asarray(origins, np.float32)
+    d = np.asarray(dirs, np.float32)
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    mk = lambda a: V3(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]), jnp.asarray(a[:, 2]))
+    return mk(o), mk(d)
+
+
+LAMB = Lambertian((0.5, 0.5, 0.5))
+
+
+def tri_world(*meshes, spheres=()):
+    return api.World(spheres, camera=api.Camera.reference(), meshes=meshes)
+
+
+def test_single_triangle_hit():
+    m = Mesh([(0, 0, -2), (1, 0, -2), (0, 1, -2)], [(0, 1, 2)], LAMB)
+    s = compile_scene(tri_world(m))
+    o, d = rays([[0.2, 0.2, 0], [5, 5, 0]], [[0, 0, -1], [0, 0, -1]])
+    h = closest_hit(o, d, s, 1e-3, 1e4)
+    assert bool(h.mask[0]) and not bool(h.mask[1])
+    np.testing.assert_allclose(float(h.t[0]), 2.0, rtol=1e-6)
+    # CCW winding (0,1,2) has geometric normal +z; ray travels -z → front.
+    assert bool(h.front_face[0])
+    np.testing.assert_allclose(float(h.normal.z[0]), 1.0, atol=1e-6)
+
+
+def test_triangle_two_sided():
+    m = Mesh([(0, 0, -2), (1, 0, -2), (0, 1, -2)], [(0, 1, 2)], LAMB)
+    s = compile_scene(tri_world(m))
+    o, d = rays([[0.2, 0.2, -4]], [[0, 0, 1]])  # hit from behind
+    h = closest_hit(o, d, s, 1e-3, 1e4)
+    assert bool(h.mask[0])
+    # Backface: front_face False (sphere convention, shader.wgsl:303-307),
+    # shading normal flipped to oppose the ray.
+    assert not bool(h.front_face[0])
+    np.testing.assert_allclose(float(h.normal.z[0]), -1.0, atol=1e-6)
+
+
+def test_triangle_edge_window():
+    m = Mesh([(0, 0, -2), (1, 0, -2), (0, 1, -2)], [(0, 1, 2)], LAMB)
+    s = compile_scene(tri_world(m))
+    # barycentric outside (u+v > 1) misses.
+    o, d = rays([[0.9, 0.9, 0]], [[0, 0, -1]])
+    h = closest_hit(o, d, s, 1e-3, 1e4)
+    assert not bool(h.mask[0])
+    # t-window excludes.
+    o, d = rays([[0.2, 0.2, 0]], [[0, 0, -1]])
+    h = closest_hit(o, d, s, 1e-3, 1.5)
+    assert not bool(h.mask[0])
+
+
+def test_sphere_triangle_mix_closest_wins():
+    m = Mesh([(-1, -1, -3), (1, -1, -3), (0, 1, -3)], [(0, 1, 2)], LAMB)
+    sph = Sphere((0, 0, -2), 0.5, api.Metal((0.8, 0.8, 0.8)))
+    s = compile_scene(tri_world(m, spheres=(sph,)))
+    o, d = rays([[0, 0, 0]], [[0, 0, -1]])
+    h = closest_hit(o, d, s, 1e-3, 1e4)
+    assert bool(h.mask[0])
+    np.testing.assert_allclose(float(h.t[0]), 1.5, rtol=1e-6)  # sphere first
+    assert int(h.mat_ty[0]) == api.MATERIAL_METAL
+    # Behind the sphere, the triangle wins.
+    o, d = rays([[0.9, -0.9, 0]], [[0, 0, -1]])
+    h = closest_hit(o, d, s, 1e-3, 1e4)
+    assert bool(h.mask[0])
+    np.testing.assert_allclose(float(h.t[0]), 3.0, rtol=1e-6)
+    assert int(h.mat_ty[0]) == api.MATERIAL_LAMBERTIAN
+
+
+def test_meshgen_icosphere_on_sphere():
+    v, f = meshgen.icosphere((1.0, 2.0, 3.0), 0.5, 1)
+    assert f.shape == (80, 3)
+    r = np.linalg.norm(v - np.array([1.0, 2.0, 3.0]), axis=1)
+    np.testing.assert_allclose(r, 0.5, rtol=1e-6)
+
+
+def test_mesh_scene_renders():
+    from myraytracer_tpu.render.integrator import make_renderer
+
+    world = presets.mesh_scene(subdivisions=1)
+    assert world.triangle_count > 100
+    scene = compile_scene(world)
+    render = make_renderer(world.camera, 16, 8, 2, 4, sample_batch=2)
+    from myraytracer_tpu.core import rng as crng
+
+    img, segs = render(scene, crng.key_from_seed(0), 0)
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.05
+    assert float(segs) > 16 * 8 * 2  # some rays bounced
+
+
+def test_mesh_sphere_equivalence():
+    """A fine icosphere mesh converges to the analytic sphere silhouette."""
+    from myraytracer_tpu.render.hit import closest_hit as ch
+
+    v, f = meshgen.icosphere((0, 0, -2), 0.5, 3)
+    mesh_scene = compile_scene(tri_world(Mesh(v, f, LAMB)))
+    sph_scene = compile_scene(
+        api.World([Sphere((0, 0, -2), 0.5, LAMB)])
+    )
+    n = 32
+    xs = np.linspace(-0.4, 0.4, n)
+    o, d = rays([[x, 0, 0] for x in xs], [[0, 0, -1]] * n)
+    hm = ch(o, d, mesh_scene, 1e-3, 1e4)
+    hs = ch(o, d, sph_scene, 1e-3, 1e4)
+    assert (np.asarray(hm.mask) == np.asarray(hs.mask)).all()
+    np.testing.assert_allclose(
+        np.asarray(hm.t), np.asarray(hs.t), rtol=0, atol=0.01
+    )

@@ -1,0 +1,77 @@
+"""Native C++ components (BVH builder, OBJ loader) and Python fallbacks."""
+
+import numpy as np
+import pytest
+
+from myraytracer_tpu.native import FlatBVH, build_bvh, load_obj, native_available
+
+
+def random_aabbs(n=200, seed=0):
+    rng = np.random.RandomState(seed)
+    c = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    r = rng.uniform(0.1, 0.5, (n, 1)).astype(np.float32)
+    return c - r, c + r
+
+
+def validate_bvh(bvh: FlatBVH, prim_min, prim_max):
+    n = prim_min.shape[0]
+    m = bvh.count.shape[0]
+    assert sorted(bvh.order.tolist()) == list(range(n))
+    # Leaves cover every primitive exactly once, in permutation order.
+    covered = np.zeros(n, bool)
+    for i in range(m):
+        if bvh.count[i] > 0:
+            ids = bvh.order[bvh.first[i] : bvh.first[i] + bvh.count[i]]
+            assert not covered[ids].any()
+            covered[ids] = True
+            # Node bbox contains its primitives.
+            assert (prim_min[ids] >= bvh.nodes_min[i] - 1e-4).all()
+            assert (prim_max[ids] <= bvh.nodes_max[i] + 1e-4).all()
+    assert covered.all()
+    # Skip links: strictly increasing past the node, ending at m.
+    assert (bvh.skip > np.arange(m)).all()
+    assert (bvh.skip <= m).all()
+    assert bvh.skip[0] == m
+
+
+@pytest.mark.parametrize("force_python", [False, True])
+def test_bvh_structure(force_python):
+    mn, mx = random_aabbs()
+    bvh = build_bvh(mn, mx, max_leaf=4, force_python=force_python)
+    validate_bvh(bvh, mn, mx)
+    # Leaf size respected.
+    assert bvh.count.max() <= 4
+
+
+def test_bvh_single_prim():
+    mn, mx = random_aabbs(1)
+    bvh = build_bvh(mn, mx, max_leaf=4)
+    assert bvh.count.shape[0] == 1
+    assert bvh.count[0] == 1
+
+
+def test_native_lib_builds():
+    # The toolchain is part of the environment; the native path must load.
+    assert native_available()
+
+
+def test_obj_loader_matches_python(tmp_path):
+    p = tmp_path / "mesh.obj"
+    p.write_text(
+        "# comment\n"
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 0 0 1\n"
+        "f 1 2 3\n"
+        "f 1/2/3 2//1 4 3\n"  # quad with index forms → 2 triangles
+        "f -1 -2 -3\n"  # negative (relative) indices
+    )
+    v_n, t_n = load_obj(p)
+    v_p, t_p = load_obj(p, force_python=True)
+    np.testing.assert_array_equal(v_n, v_p)
+    np.testing.assert_array_equal(t_n, t_p)
+    assert v_n.shape == (4, 3)
+    assert t_n.shape == (4, 3)  # 1 + 2 (fan) + 1
+
+
+def test_obj_missing_file():
+    with pytest.raises(FileNotFoundError):
+        load_obj("/nonexistent/file.obj")

@@ -1,0 +1,56 @@
+"""Image encode + PPM/PNG round-trips."""
+
+import numpy as np
+
+from myraytracer_tpu.output import image as im
+
+
+def test_gamma_encode():
+    img = np.array([[[0.0, 0.25, 1.0]]], np.float32)
+    enc = im.gamma_encode(img, 2.0)
+    np.testing.assert_allclose(enc, [[[0.0, 0.5, 1.0]]], rtol=1e-6)
+    # Out-of-range values clamp before encode.
+    np.testing.assert_allclose(
+        im.gamma_encode(np.array([[[-1.0, 2.0, 0.5]]]), 1.0),
+        [[[0.0, 1.0, 0.5]]],
+    )
+
+
+def test_to_u8_rounding():
+    img = np.array([[[1.0, 0.0, 0.25]]], np.float32)
+    u8 = im.to_u8(img, gamma=2.0)
+    assert u8.dtype == np.uint8
+    assert u8[0, 0, 0] == 255 and u8[0, 0, 1] == 0 and u8[0, 0, 2] == 128
+
+
+def test_ppm_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    u8 = rng.randint(0, 256, (7, 5, 3), np.uint8)
+    p = tmp_path / "x.ppm"
+    im.write_ppm(p, u8)
+    back = im.read_ppm(p)
+    np.testing.assert_array_equal(back, u8)
+
+
+def test_png_roundtrip(tmp_path):
+    rng = np.random.RandomState(1)
+    u8 = rng.randint(0, 256, (9, 13, 3), np.uint8)
+    p = tmp_path / "x.png"
+    im.write_png(p, u8)
+    back = im.read_png(p)
+    np.testing.assert_array_equal(back, u8)
+
+
+def test_write_image_dispatch(tmp_path):
+    img = np.full((4, 4, 3), 0.25, np.float32)
+    im.write_image(tmp_path / "a.ppm", img)
+    im.write_image(tmp_path / "a.png", img)
+    a = im.read_ppm(tmp_path / "a.ppm")
+    b = im.read_png(tmp_path / "a.png")
+    np.testing.assert_array_equal(a, b)
+    assert a[0, 0, 0] == 128  # sqrt(0.25)*255+0.5
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        im.write_image(tmp_path / "a.jpg", img)

@@ -1,0 +1,90 @@
+"""Scene API + compiler tests (semantics of lib.rs:611-799)."""
+
+import numpy as np
+
+from myraytracer_tpu.scene import api, presets
+from myraytracer_tpu.scene.compile import compile_reference_layout, compile_scene
+
+
+def test_compile_reference_scene_soa():
+    world = presets.reference_scene()
+    s = compile_scene(world)
+    assert s.padded_size % 8 == 0 and s.padded_size >= 4
+    # First sphere: ground (lib.rs:689-695).
+    assert float(s.center.y[0]) == -100.5
+    assert float(s.radius[0]) == 100.0
+    assert int(s.mat_ty[0]) == api.MATERIAL_LAMBERTIAN
+    np.testing.assert_allclose(
+        [float(s.albedo.x[0]), float(s.albedo.y[0]), float(s.albedo.z[0])],
+        [0.8, 0.8, 0.0],
+    )
+    # Third sphere: left metal, fuzz 0.3 (lib.rs:704-710).
+    assert int(s.mat_ty[2]) == api.MATERIAL_METAL
+    assert abs(float(s.fuzz[2]) - 0.3) < 1e-7
+    # Padding slots can never hit: radius_sq == -1.
+    assert (np.asarray(s.radius_sq[4:]) == -1.0).all()
+    # Padding radius is 1 (no div-by-zero in normal computation).
+    assert (np.asarray(s.radius[4:]) == 1.0).all()
+
+
+def test_compile_negative_radius_hollow_glass():
+    world = presets.three_sphere_scene()
+    s = compile_scene(world)
+    radii = np.asarray(s.radius[: len(world.spheres)])
+    assert (radii < 0).any()  # the hollow inner shell
+    rsq = np.asarray(s.radius_sq[: len(world.spheres)])
+    np.testing.assert_allclose(rsq, radii * radii, rtol=1e-6)
+
+
+def test_reference_layout_parity():
+    """The pool/range flattening mirrors Object::new (lib.rs:722-799)."""
+    world = presets.reference_scene()
+    raw = compile_reference_layout(world)
+    w = raw["world"]
+
+    # 4 spheres: 2 lambertian then 2 metal, insertion order.
+    assert w["spheres"]["length"] == 4
+    assert w["lambertians"]["length"] == 2
+    assert w["metals"]["length"] == 2
+
+    i32 = raw["i32_data"]
+    ty_base = w["spheres"]["material_ty_base_idx"]
+    idx_base = w["spheres"]["material_idx_base_idx"]
+    # Types in sphere order: L, L, M, M (ids 1, 1, 2, 2 — lib.rs:644-648).
+    assert list(i32[ty_base : ty_base + 4]) == [1, 1, 2, 2]
+    # Per-pool indices restart per material type (lib.rs:735-748).
+    assert list(i32[idx_base : idx_base + 4]) == [0, 1, 0, 1]
+
+    # vec4 stream: sphere centers first, then lambertian albedos, then
+    # metal albedos, all with w=1.0 (lib.rs:766-795).
+    v4 = raw["vec4_f32_data"]
+    assert w["spheres"]["center_base_idx"] == 0
+    assert w["lambertians"]["albedo_base_idx"] == 4
+    assert w["metals"]["albedo_base_idx"] == 6
+    assert (v4[:, 3] == 1.0).all()
+    np.testing.assert_allclose(v4[4], [0.8, 0.8, 0.0, 1.0])  # ground albedo
+    # f32 stream: radii then fuzzes.
+    f32 = raw["f32_data"]
+    assert w["spheres"]["radius_base_idx"] == 0
+    assert w["metals"]["fuzz_base_idx"] == 4
+    np.testing.assert_allclose(f32[4:6], [0.3, 1.0])
+
+
+def test_final_scene_generator_deterministic():
+    w1 = presets.final_scene(seed=7)
+    w2 = presets.final_scene(seed=7)
+    assert len(w1) == len(w2)
+    assert w1.spheres == w2.spheres
+    # ~480 spheres: 1 ground + up to 484 grid + 3 big.
+    assert 400 <= len(w1) <= 488
+    assert w1.camera.vfov_degrees == 20.0
+    assert w1.camera.aperture == 0.1
+    # Different seeds differ.
+    assert presets.final_scene(seed=8).spheres != w1.spheres
+
+
+def test_camera_focus_dist():
+    cam = api.Camera(lookfrom=(3.0, 0.0, 4.0), lookat=(0.0, 0.0, 0.0))
+    assert abs(cam.resolved_focus_dist() - 5.0) < 1e-9
+    cam2 = api.Camera(focus_dist=2.5)
+    assert cam2.resolved_focus_dist() == 2.5

@@ -1,0 +1,83 @@
+"""Progressive accumulation + checkpoint/resume (lib.rs:299-306 semantics)."""
+
+import numpy as np
+
+from myraytracer_tpu.config import RenderConfig
+from myraytracer_tpu.render.session import RenderSession
+from myraytracer_tpu.scene import presets
+
+CFG = RenderConfig(width=16, height=8, samples_per_frame=2, ray_depth=4)
+
+
+def mk_session(**kw):
+    cfg = CFG.replace(**kw) if kw else CFG
+    return RenderSession(presets.reference_scene(), cfg)
+
+
+def test_running_mean_with_cap_1():
+    """max_weight=1 ⇒ the framebuffer is the exact running mean of frames."""
+    s = mk_session()
+    frames = []
+    for i in range(3):
+        img, _ = s._render(s.scene, s.key, np.uint32(i * CFG.samples_per_frame))
+        frames.append(np.asarray(img))
+    fb = None
+    for k in range(3):
+        fb = s.step()
+    want = np.mean(frames, axis=0)
+    np.testing.assert_allclose(np.asarray(fb), want, rtol=2e-6, atol=2e-7)
+
+
+def test_ema_cap_semantics():
+    """weight = min(cap, n/(n+1)) (lib.rs:301-304): cap 0.5 after frame 1."""
+    s = mk_session(max_framebuffer_weight=0.5)
+    f0 = np.asarray(s.step())
+    img1, _ = s._render(s.scene, s.key, np.uint32(CFG.samples_per_frame))
+    f1 = np.asarray(s.step())
+    want = np.asarray(img1) * 0.5 + f0 * 0.5
+    np.testing.assert_allclose(f1, want, rtol=2e-6, atol=2e-7)
+    # Third frame: weight stays capped at 0.5.
+    img2, _ = s._render(s.scene, s.key, np.uint32(2 * CFG.samples_per_frame))
+    f2 = np.asarray(s.step())
+    want2 = np.asarray(img2) * 0.5 + f1 * 0.5
+    np.testing.assert_allclose(f2, want2, rtol=2e-6, atol=2e-7)
+
+
+def test_first_frame_weight_zero():
+    """Initial framebuffer weight is 0 (lib.rs:424): frame 1 replaces."""
+    s = mk_session()
+    img0, _ = s._render(s.scene, s.key, np.uint32(0))
+    fb = s.step()
+    np.testing.assert_array_equal(np.asarray(fb), np.asarray(img0))
+
+
+def test_checkpoint_resume_continues_stream(tmp_path):
+    path = tmp_path / "ckpt.npz"
+    a = mk_session()
+    for _ in range(2):
+        a.step()
+    a.save_checkpoint(path)
+    for _ in range(2):
+        a.step()
+
+    b = mk_session()
+    b.load_checkpoint(path)
+    assert b.frame_count == 2 and b.sample_cursor == 4
+    for _ in range(2):
+        b.step()
+    np.testing.assert_array_equal(np.asarray(a.framebuffer), np.asarray(b.framebuffer))
+
+
+def test_checkpoint_rejects_mismatched_config(tmp_path):
+    path = tmp_path / "ckpt.npz"
+    a = mk_session()
+    a.step()
+    a.save_checkpoint(path)
+    b = RenderSession(
+        presets.reference_scene(),
+        CFG.replace(samples_per_frame=3),
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        b.load_checkpoint(path)
