@@ -57,6 +57,8 @@ def main() -> int:
     scene = compile_scene(world)
     resolved = resolve_backend(config)
     factory = renderer_factory(config)
+    materials = {s.material.type_id for s in world.spheres}
+    materials |= {m.material.type_id for m in world.meshes}
     render = factory(
         world.camera,
         width,
@@ -64,6 +66,7 @@ def main() -> int:
         config.samples_per_frame,
         config.ray_depth,
         sample_batch=config.resolve_sample_batch(),
+        material_set=tuple(sorted(materials)) or None,
     )
     key = crng.key_from_seed(0)
 
@@ -73,10 +76,13 @@ def main() -> int:
         f"spheres={len(world.spheres)}"
     )
 
-    # Warmup / compile.
+    # Warmup / compile. NOTE: under the axon tunnel block_until_ready does
+    # not actually block; a host read does.
+    import numpy as np
+
     t0 = time.perf_counter()
     img, segs = render(scene, key, jnp.uint32(0))
-    img.block_until_ready()
+    np.asarray(img)
     log(f"bench: compile+first frame {time.perf_counter() - t0:.1f}s")
 
     # Timed frames (distinct sample windows — real progressive work).
@@ -85,8 +91,8 @@ def main() -> int:
     total_segs = 0.0
     for i in range(1, n_frames + 1):
         img, segs = render(scene, key, jnp.uint32(i * spp_timed))
-        total_segs += float(segs)  # blocks on the frame
-    img.block_until_ready()
+        np.asarray(img)  # force real execution (see warmup note)
+        total_segs += float(segs)
     dt = time.perf_counter() - t0
 
     mrays = total_segs / dt / 1e6
