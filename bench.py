@@ -54,7 +54,7 @@ def main() -> int:
         backend=backend,
     )
     world = get_scene(scene_name, seed=0)
-    scene = compile_scene(world)
+    scene = compile_scene(world, spatial_sort=len(world.spheres) > 64)
     resolved = resolve_backend(config)
     factory = renderer_factory(config)
     materials = {s.material.type_id for s in world.spheres}

@@ -69,6 +69,10 @@ LANES = 128
 # Sphere sweeps with at most this many spheres are fully unrolled (python
 # loop) so Mosaic can software-pipeline the SMEM scalar loads.
 UNROLL_MAX = 64
+# Above this sphere count the hit/fetch sweeps run chunked with per-chunk
+# AABB culling (requires a Morton-sorted scene for locality).
+CULL_MIN = 64
+CULL_CHUNK = 16
 # Rays per tile = tile_rows * 128. Keep the live wavefront state near the
 # vector register file: measured on v5e, 16 rows (2 vregs per array — two
 # independent dependency chains to hide VPU latency) beats 8 by ~20%, and
@@ -76,11 +80,15 @@ UNROLL_MAX = 64
 DEFAULT_TILE_ROWS = 16
 
 
-def _scene_to_prefetch(scene: CompiledScene) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _scene_to_prefetch(scene: CompiledScene):
     """Pack the SoA scene into the SMEM prefetch layout.
 
     Rows of the f32 table: cx, cy, cz, radius_sq, inv_radius (signed),
-    albedo_r, albedo_g, albedo_b, fuzz, ior.
+    albedo_r, albedo_g, albedo_b, fuzz, ior. Arrays are padded to a
+    CULL_CHUNK multiple; the third return is the per-chunk AABB table
+    [6, n_chunks] (lox loy loz hix hiy hiz), with unhittable pad slots
+    excluded (an all-pad chunk gets an empty inverted box and is always
+    culled).
     """
     inv_r = 1.0 / scene.radius  # pads have radius 1.0 → safe
     f32 = jnp.stack(
@@ -97,13 +105,36 @@ def _scene_to_prefetch(scene: CompiledScene) -> Tuple[jnp.ndarray, jnp.ndarray]:
             scene.ior,
         ]
     )
-    return f32, scene.mat_ty.astype(jnp.int32)
+    mt = scene.mat_ty.astype(jnp.int32)
+    pad = (-f32.shape[1]) % CULL_CHUNK
+    if pad:
+        f32 = jnp.pad(f32, ((0, 0), (0, pad)))
+        # keep pads unhittable / safe: radius_sq=-1, inv_radius=1
+        f32 = f32.at[3, -pad:].set(-1.0)
+        f32 = f32.at[4, -pad:].set(1.0)
+        mt = jnp.pad(mt, (0, pad))
+
+    n_chunks = f32.shape[1] // CULL_CHUNK
+    is_pad = f32[3] < 0.0
+    r_abs = jnp.abs(1.0 / f32[4])
+    big = jnp.float32(3e38)
+    lo = jnp.stack([
+        jnp.where(is_pad, big, f32[k] - r_abs).reshape(n_chunks, CULL_CHUNK).min(axis=1)
+        for k in range(3)
+    ])
+    hi = jnp.stack([
+        jnp.where(is_pad, -big, f32[k] + r_abs).reshape(n_chunks, CULL_CHUNK).max(axis=1)
+        for k in range(3)
+    ])
+    aabb = jnp.concatenate([lo, hi], axis=0)  # [6, n_chunks]
+    return f32, mt, aabb
 
 
 def _trace_kernel(
     # scalar-prefetch refs (SMEM):
     sf_ref,  # [10, N] f32 scene table
     mt_ref,  # [N] i32 material types
+    aabb_ref,  # [6, n_chunks] f32 chunk bounds (culled sweeps only)
     meta_ref,  # [4] u32: key0, key1, sample_start, n_valid
     row0_ref,  # [1] u32: first image row of this block invocation
     # outputs (VMEM):
@@ -121,6 +152,7 @@ def _trace_kernel(
     tile_rows: int,
     ray_gen,
     material_set,
+    cull: bool,
 ):
     tile = pl.program_id(0)
 
@@ -199,10 +231,60 @@ def _trace_kernel(
             for si in range(n_spheres):
                 hc = hit_body(si, hc)
             t_best, i_best = hc
-        else:
+        elif not cull:
             t_best, i_best = jax.lax.fori_loop(
                 0, n_spheres, hit_body, (t_best0, i_best0)
             )
+        else:
+            # Chunked sweep with per-chunk AABB culling: a slab test per
+            # lane against the chunk bounds; the 16-sphere sweep runs only
+            # when any live lane's ray can enter the box before its current
+            # closest hit. Conservative (AABBs padded by eps), so results
+            # match the plain sweep bit-for-bit.
+            eps = jnp.float32(1e-4)
+            tiny = jnp.float32(1e-30)
+            ivx = 1.0 / jnp.where(jnp.abs(d.x) < tiny, tiny, d.x)
+            ivy = 1.0 / jnp.where(jnp.abs(d.y) < tiny, tiny, d.y)
+            ivz = 1.0 / jnp.where(jnp.abs(d.z) < tiny, tiny, d.z)
+            n_chunks = n_spheres // CULL_CHUNK
+
+            def chunk_sweep(c, hc):
+                t_best, i_best = hc
+                lox = aabb_ref[0, c] - eps
+                loy = aabb_ref[1, c] - eps
+                loz = aabb_ref[2, c] - eps
+                hix = aabb_ref[3, c] + eps
+                hiy = aabb_ref[4, c] + eps
+                hiz = aabb_ref[5, c] + eps
+                tx0 = (lox - o.x) * ivx
+                tx1 = (hix - o.x) * ivx
+                ty0 = (loy - o.y) * ivy
+                ty1 = (hiy - o.y) * ivy
+                tz0 = (loz - o.z) * ivz
+                tz1 = (hiz - o.z) * ivz
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                    jnp.maximum(jnp.minimum(tz0, tz1), t_minf),
+                )
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                    jnp.minimum(jnp.maximum(tz0, tz1), t_best),
+                )
+                enter = alive & (tn <= tf)
+
+                def sweep():
+                    hcc = (t_best, i_best)
+                    base = c * CULL_CHUNK
+                    for k in range(CULL_CHUNK):
+                        hcc = hit_body(base + k, hcc)
+                    return hcc
+
+                return jax.lax.cond(jnp.any(enter), sweep, lambda: hc)
+
+            hc = (t_best0, i_best0)
+            for c in range(n_chunks):
+                hc = chunk_sweep(c, hc)
+            t_best, i_best = hc
         hit_mask = t_best < t_maxf
 
         # --- fetch the winner's record by masked select sweep -------------
@@ -236,8 +318,25 @@ def _trace_kernel(
             for si in range(n_spheres):
                 fc = fetch_body(si, fc)
             fetched = fc
-        else:
+        elif not cull:
             fetched = jax.lax.fori_loop(0, n_spheres, fetch_body, fetched0)
+        else:
+            # Winners cluster in few chunks; fetch only chunks that own one.
+            fc = fetched0
+            for c in range(n_spheres // CULL_CHUNK):
+                base = c * CULL_CHUNK
+                owns = jnp.any(
+                    (i_best >= base) & (i_best < base + CULL_CHUNK)
+                )
+
+                def fetch_chunk(fc=fc, base=base):
+                    out = fc
+                    for k in range(CULL_CHUNK):
+                        out = fetch_body(base + k, out)
+                    return out
+
+                fc = jax.lax.cond(owns, fetch_chunk, lambda fc=fc: fc)
+            fetched = fc
         vals = dict(zip(rows, fetched[:-1]))
         mt = fetched[-1]
         cx, cy, cz, inv_r = vals[0], vals[1], vals[2], vals[4]
@@ -388,9 +487,11 @@ def make_block_renderer(
                 "the Pallas megakernel is sphere-only; use backend='jnp' "
                 "for triangle-mesh scenes"
             )
-        sf, mt = _scene_to_prefetch(scene)
+        sf, mt, aabb = _scene_to_prefetch(scene)
         n_spheres = int(sf.shape[1])
-        kern = functools.partial(kernel, n_spheres=n_spheres)
+        kern = functools.partial(
+            kernel, n_spheres=n_spheres, cull=n_spheres > CULL_MIN
+        )
 
         meta = jnp.stack(
             [
@@ -403,7 +504,7 @@ def make_block_renderer(
         row0_arr = jnp.asarray(row0, jnp.uint32).reshape(1)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=(n_tiles,),
             in_specs=[],
             out_specs=[
@@ -421,7 +522,7 @@ def make_block_renderer(
             grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((out_rows, LANES), jnp.float32)] * 4,
             interpret=interpret,
-        )(sf, mt, meta, row0_arr)
+        )(sf, mt, aabb, meta, row0_arr)
 
         flat = lambda a: a.reshape(-1)[:n_pixels]
         img_sum = jnp.stack([flat(r), flat(g), flat(b)], axis=-1).reshape(

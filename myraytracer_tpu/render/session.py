@@ -53,7 +53,10 @@ class RenderSession:
         self.world = world
         self.config = config
         self.width, self.height = config.resolve_size()
-        self.scene = compile_scene(world)
+        # Morton-sort large scenes so the Pallas kernel's chunk culling has
+        # spatial locality (affects only equal-t tie-breaking; see
+        # scene/compile.py).
+        self.scene = compile_scene(world, spatial_sort=len(world.spheres) > 64)
         self.key = crng.key_from_seed(config.seed)
 
         factory = renderer_factory or make_renderer

@@ -134,9 +134,49 @@ def _compile_triangles(meshes, pad_to: int) -> CompiledTriangles:
     )
 
 
-def compile_scene(world: api.World, pad_to: int = SPHERE_PAD) -> CompiledScene:
-    """Flatten an api.World into padded SoA jnp arrays."""
+def _morton3(q: np.ndarray) -> np.ndarray:
+    """Interleave 10-bit xyz quantized coords into a 30-bit Morton code."""
+
+    def spread(v):
+        v = v.astype(np.uint64)
+        v = (v | (v << 16)) & np.uint64(0x030000FF)
+        v = (v | (v << 8)) & np.uint64(0x0300F00F)
+        v = (v | (v << 4)) & np.uint64(0x030C30C3)
+        v = (v | (v << 2)) & np.uint64(0x09249249)
+        return v
+
+    return spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) | (
+        spread(q[:, 2]) << np.uint64(2)
+    )
+
+
+def morton_order(centers: np.ndarray) -> np.ndarray:
+    """Sphere permutation by Morton code of the center (stable)."""
+    lo = centers.min(axis=0)
+    span = np.maximum(centers.max(axis=0) - lo, 1e-12)
+    q = np.clip(((centers - lo) / span * 1023.0), 0, 1023).astype(np.uint32)
+    return np.argsort(_morton3(q), kind="stable")
+
+
+def compile_scene(
+    world: api.World, pad_to: int = SPHERE_PAD, spatial_sort: bool = False
+) -> CompiledScene:
+    """Flatten an api.World into padded SoA jnp arrays.
+
+    ``spatial_sort`` reorders spheres along a Morton curve so that
+    consecutive index chunks are spatially compact — the Pallas kernel's
+    chunk-AABB culling (kernels/trace.py) depends on that locality.
+    Reordering only affects equal-t tie-breaking (the reference's scan
+    order, shader.wgsl:320, matters only for exact ties), so all compute
+    paths stay statistically identical.
+    """
     n = len(world.spheres)
+    spheres = world.spheres
+    if spatial_sort and n > 1:
+        centers = np.asarray([s.center for s in spheres], np.float32)
+        order = morton_order(centers)
+        spheres = tuple(spheres[i] for i in order)
+        world = api.World(spheres, camera=world.camera, meshes=world.meshes)
     npad = max(pad_to, -(-max(n, 1) // pad_to) * pad_to)
 
     center = np.zeros((n, 3), np.float32)

@@ -46,6 +46,22 @@ def test_defocus_scene_parity():
     np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
 
 
+def test_final_scene_culled_parity():
+    """>64 spheres engages the chunk-AABB culled sweep; culling is
+    conservative so results match the oracle exactly (same stream)."""
+    world = presets.final_scene(seed=0)
+    from myraytracer_tpu.scene.compile import compile_scene as cs
+
+    scene = cs(world, spatial_sort=True)
+    jnp_render = make_jnp_renderer(world.camera, W, H, 1, 4, sample_batch=1)
+    pal_render = make_pallas_renderer(
+        world.camera, W, H, 1, 4, tile_rows=8, interpret=True
+    )
+    a, _ = jnp_render(scene, KEY, 0)
+    b, _ = pal_render(scene, KEY, 0)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6)
+
+
 def test_sample_window_masking():
     """n_valid masking: spp=3 renderer over a 2-sample window."""
     world = presets.reference_scene()

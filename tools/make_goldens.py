@@ -1,0 +1,50 @@
+"""Regenerate golden render arrays for tests/test_golden.py.
+
+Run on the CPU platform (goldens are CPU-generated; the TPU path is
+covered by statistical parity tests instead, since fp contraction differs):
+
+    python tools/make_goldens.py
+"""
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from myraytracer_tpu.core import rng as crng
+from myraytracer_tpu.render.integrator import make_renderer
+from myraytracer_tpu.scene import presets
+from myraytracer_tpu.scene.compile import compile_scene
+
+GOLDEN_DIR = pathlib.Path(__file__).resolve().parents[1] / "tests" / "golden"
+
+CONFIGS = [
+    # name, scene, W, H, spp, depth
+    ("reference_32x18", "reference", 32, 18, 4, 8),
+    ("three_sphere_32x18", "three-sphere", 32, 18, 4, 8),
+    ("defocus_32x18", "defocus", 32, 18, 4, 8),
+    ("final_48x32", "final", 48, 32, 2, 8),
+]
+
+
+def main():
+    GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
+    key = crng.key_from_seed(0)
+    for name, scene_name, w, h, spp, depth in CONFIGS:
+        world = presets.get_scene(scene_name)
+        scene = compile_scene(world)
+        render = make_renderer(world.camera, w, h, spp, depth, sample_batch=2)
+        img, segs = render(scene, key, 0)
+        arr = np.asarray(img)
+        np.save(GOLDEN_DIR / f"{name}.npy", arr)
+        print(f"{name}: shape={arr.shape} mean={arr.mean():.6f} segs={float(segs):.0f}")
+
+
+if __name__ == "__main__":
+    main()
