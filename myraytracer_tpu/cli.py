@@ -59,6 +59,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default=None, help="save checkpoint here")
     p.add_argument("--resume", default=None, help="resume from checkpoint")
     p.add_argument("--log-level", default="info")
+    p.add_argument(
+        "--profile", default=None, metavar="LOGDIR",
+        help="capture a jax.profiler (xplane) trace of the render loop",
+    )
+    p.add_argument(
+        "--debug-nans", action="store_true",
+        help="trip on the first NaN anywhere in the pipeline",
+    )
+    p.add_argument(
+        "--preview-every", type=int, default=0, metavar="N",
+        help="rewrite --out every N frames (progressive preview)",
+    )
     return p
 
 
@@ -100,17 +112,38 @@ def main(argv=None) -> int:
         args.frames, config.backend, config.shard,
     )
 
-    for i in range(args.frames):
-        t0 = time.perf_counter()
-        segs_before = session.segments_traced
-        fb = session.step()
-        fb.block_until_ready()
-        dt = time.perf_counter() - t0
-        mrays = (session.segments_traced - segs_before) / dt / 1e6
-        log.info(
-            "frame=%d spp=%d ms=%.1f Mrays/s=%.1f",
-            session.frame_count, session.accumulated_spp, dt * 1e3, mrays,
-        )
+    if args.debug_nans:
+        from myraytracer_tpu.utils.profiling import enable_debug_nans
+
+        enable_debug_nans(True)
+
+    import contextlib
+
+    if args.profile:
+        from myraytracer_tpu.utils.profiling import profile_trace
+
+        trace_cm = profile_trace(args.profile)
+    else:
+        trace_cm = contextlib.nullcontext()
+
+    import numpy as np
+
+    with trace_cm:
+        for i in range(args.frames):
+            t0 = time.perf_counter()
+            segs_before = session.segments_traced
+            fb = session.step()
+            np.asarray(fb)  # force the frame (block_until_ready may not block
+            # on remote-tunnel backends)
+            dt = time.perf_counter() - t0
+            mrays = (session.segments_traced - segs_before) / dt / 1e6
+            log.info(
+                "frame=%d spp=%d ms=%.1f Mrays/s=%.1f",
+                session.frame_count, session.accumulated_spp, dt * 1e3, mrays,
+            )
+            if args.preview_every and session.frame_count % args.preview_every == 0:
+                write_image(args.out, session.framebuffer, gamma=args.gamma)
+                log.info("preview → %s", args.out)
 
     if args.checkpoint:
         session.save_checkpoint(args.checkpoint)

@@ -70,9 +70,12 @@ LANES = 128
 # loop) so Mosaic can software-pipeline the SMEM scalar loads.
 UNROLL_MAX = 64
 # Above this sphere count the hit/fetch sweeps run chunked with per-chunk
-# AABB culling (requires a Morton-sorted scene for locality).
+# AABB culling (requires a Morton-sorted scene for locality). 64-sphere
+# chunks measured best on v5e: each chunk gate costs a cross-lane any()
+# reduction (~a 16-sphere sweep's worth of cycles), so fewer, larger
+# chunks beat fine-grained ones.
 CULL_MIN = 64
-CULL_CHUNK = 16
+CULL_CHUNK = 64
 # Rays per tile = tile_rows * 128. Keep the live wavefront state near the
 # vector register file: measured on v5e, 16 rows (2 vregs per array — two
 # independent dependency chains to hide VPU latency) beats 8 by ~20%, and

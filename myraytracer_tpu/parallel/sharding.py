@@ -52,6 +52,27 @@ from myraytracer_tpu.render.integrator import make_block_renderer
 from myraytracer_tpu.scene.api import Camera
 
 
+def _resolve_block_factory(block_factory):
+    """Pick the per-device block implementation.
+
+    "jnp" = the oracle integrator block; "pallas" = the fused megakernel
+    block (kernels/trace.py); None = pallas on TPU, jnp elsewhere. Both
+    satisfy the same contract and consume the identical RNG stream, so the
+    choice never changes the image.
+    """
+    if callable(block_factory):
+        return block_factory
+    if block_factory is None:
+        block_factory = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if block_factory == "pallas":
+        from myraytracer_tpu.kernels.trace import (
+            make_block_renderer as make_pallas_block,
+        )
+
+        return make_pallas_block
+    return make_block_renderer
+
+
 def default_mesh(devices: Optional[Sequence] = None, axis: str = "tiles") -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     return Mesh(np.asarray(devices), (axis,))
@@ -72,6 +93,7 @@ def make_tile_sharded_renderer(
     sample_batch: int = 1,
     mesh: Optional[Mesh] = None,
     material_set=None,
+    block_factory=None,
 ):
     """Shard image rows across the mesh; each chip renders its rows locally."""
     mesh = mesh or default_mesh()
@@ -82,7 +104,7 @@ def make_tile_sharded_renderer(
     rows_per = _ceil_div(height, nd)
     h_pad = rows_per * nd
 
-    block = make_block_renderer(
+    block = _resolve_block_factory(block_factory)(
         cam, width, height, rows_per, spp, ray_depth,
         t_min=t_min, t_max=t_max, sample_batch=sample_batch,
         material_set=material_set,
@@ -122,6 +144,7 @@ def make_sample_sharded_renderer(
     sample_batch: int = 1,
     mesh: Optional[Mesh] = None,
     material_set=None,
+    block_factory=None,
 ):
     """Each chip renders the full frame for a disjoint sample window; the
     partial sums reduce over ICI with psum."""
@@ -131,7 +154,7 @@ def make_sample_sharded_renderer(
     spp = int(samples_per_frame)
     per_dev = _ceil_div(spp, nd)
 
-    block = make_block_renderer(
+    block = _resolve_block_factory(block_factory)(
         cam, width, height, height, per_dev, ray_depth,
         t_min=t_min, t_max=t_max, sample_batch=sample_batch,
         material_set=material_set,
@@ -173,6 +196,7 @@ def make_hybrid_sharded_renderer(
     sample_batch: int = 1,
     mesh: Optional[Mesh] = None,
     material_set=None,
+    block_factory=None,
 ):
     """2-D mesh: image rows sharded over "tiles", samples over "samples".
 
@@ -192,7 +216,7 @@ def make_hybrid_sharded_renderer(
     rows_per = _ceil_div(height, nd_t)
     per_dev = _ceil_div(spp, nd_s)
 
-    block = make_block_renderer(
+    block = _resolve_block_factory(block_factory)(
         cam, width, height, rows_per, per_dev, ray_depth,
         t_min=t_min, t_max=t_max, sample_batch=sample_batch,
         material_set=material_set,
@@ -226,11 +250,14 @@ def make_hybrid_sharded_renderer(
     return render
 
 
-def shard_renderer_factory(base_factory, mode: str, mesh: Optional[Mesh] = None):
+def shard_renderer_factory(
+    base_factory, mode: str, mesh: Optional[Mesh] = None, block_factory=None
+):
     """Adapt a sharding mode to the RenderSession renderer-factory protocol.
 
     ``base_factory`` is accepted for interface compatibility (the sharded
-    renderers build on make_block_renderer directly).
+    renderers build on block renderers directly); ``block_factory`` picks
+    the per-device implementation ("jnp" | "pallas" | callable | None=auto).
     """
     del base_factory
     if mode == "tiles":
@@ -244,7 +271,8 @@ def shard_renderer_factory(base_factory, mode: str, mesh: Optional[Mesh] = None)
 
     def factory(cam, width, height, samples_per_frame, ray_depth, **kw):
         return maker(
-            cam, width, height, samples_per_frame, ray_depth, mesh=mesh, **kw
+            cam, width, height, samples_per_frame, ray_depth, mesh=mesh,
+            block_factory=block_factory, **kw
         )
 
     return factory

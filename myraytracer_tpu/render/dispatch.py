@@ -42,7 +42,9 @@ def renderer_factory(config: RenderConfig):
     if config.shard != "none":
         from myraytracer_tpu.parallel.sharding import shard_renderer_factory
 
-        return shard_renderer_factory(factory, config.shard)
+        return shard_renderer_factory(
+            factory, config.shard, block_factory=backend
+        )
     return factory
 
 

@@ -194,6 +194,117 @@ def _triangle_candidates(
     return t_best, i_best
 
 
+def _mt_candidate(o, d, v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, t_min, t_max):
+    """Möller-Trumbore candidate t for one gathered triangle per lane."""
+    px = d.y * e2z - d.z * e2y
+    py = d.z * e2x - d.x * e2z
+    pz = d.x * e2y - d.y * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < TRI_DET_EPS, 1.0, det)
+    tvx = o.x - v0x
+    tvy = o.y - v0y
+    tvz = o.z - v0z
+    u = (tvx * px + tvy * py + tvz * pz) * inv_det
+    qx = tvy * e1z - tvz * e1y
+    qy = tvz * e1x - tvx * e1z
+    qz = tvx * e1y - tvy * e1x
+    v = (d.x * qx + d.y * qy + d.z * qz) * inv_det
+    t_cand = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    valid = (
+        (jnp.abs(det) >= TRI_DET_EPS)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t_cand >= t_min)
+        & (t_cand < t_max)
+    )
+    return jnp.where(valid, t_cand, t_max)
+
+
+def _triangle_bvh_candidates(
+    o: V3, d: V3, tris: CompiledTriangles, t_min: float, t_max: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Lane-parallel stackless skip-link BVH traversal (oracle path).
+
+    Each lane walks the flat BVH (scene/compile.py CompiledTriangleBVH)
+    with its own cursor: descend to ``node+1`` on a bbox hit (interior) or
+    test the leaf's ≤ BVH_MAX_LEAF triangles, else jump to ``skip[node]``.
+    Per-step node/triangle reads are gathers — acceptable for the jnp
+    oracle; the closest-hit window tightens as hits are found, pruning
+    subtrees behind the current best.
+    """
+    from myraytracer_tpu.scene.compile import BVH_MAX_LEAF
+
+    bvh = tris.bvh
+    m = int(bvh.count.shape[0])
+    n_lanes = o.x.shape[0]
+    t_minf = jnp.float32(t_min)
+    big = jnp.float32(t_max)
+    tiny = jnp.float32(1e-30)
+    ivx = 1.0 / jnp.where(jnp.abs(d.x) < tiny, tiny, d.x)
+    ivy = 1.0 / jnp.where(jnp.abs(d.y) < tiny, tiny, d.y)
+    ivz = 1.0 / jnp.where(jnp.abs(d.z) < tiny, tiny, d.z)
+
+    def cond(carry):
+        node = carry[0]
+        return jnp.any(node < m)
+
+    def body(carry):
+        node, t_best, i_best = carry
+        active = node < m
+        nidx = jnp.where(active, node, 0)
+        take = lambda a: jnp.take(a, nidx, axis=0)
+        lox, loy, loz = take(bvh.lo.x), take(bvh.lo.y), take(bvh.lo.z)
+        hix, hiy, hiz = take(bvh.hi.x), take(bvh.hi.y), take(bvh.hi.z)
+        first = take(bvh.first)
+        count = take(bvh.count)
+        skip = take(bvh.skip)
+
+        tx0 = (lox - o.x) * ivx
+        tx1 = (hix - o.x) * ivx
+        ty0 = (loy - o.y) * ivy
+        ty1 = (hiy - o.y) * ivy
+        tz0 = (loz - o.z) * ivz
+        tz1 = (hiz - o.z) * ivz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.maximum(jnp.minimum(tz0, tz1), t_minf),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.minimum(jnp.maximum(tz0, tz1), t_best),
+        )
+        enter = active & (tn <= tf)
+        is_leaf = count > 0
+
+        # Leaf: test up to BVH_MAX_LEAF triangles per lane (masked).
+        test_leaf = enter & is_leaf
+        for k in range(BVH_MAX_LEAF):
+            pidx = jnp.where(test_leaf & (k < count), first + k, 0)
+            tk = lambda a: jnp.take(a, pidx, axis=0)
+            t_cand = _mt_candidate(
+                o, d,
+                tk(tris.v0.x), tk(tris.v0.y), tk(tris.v0.z),
+                tk(tris.e1.x), tk(tris.e1.y), tk(tris.e1.z),
+                tk(tris.e2.x), tk(tris.e2.y), tk(tris.e2.z),
+                t_minf, big,
+            )
+            t_cand = jnp.where(test_leaf & (k < count), t_cand, big)
+            better = t_cand < t_best
+            t_best = jnp.where(better, t_cand, t_best)
+            i_best = jnp.where(better, pidx, i_best)
+
+        descend = enter & ~is_leaf
+        node = jnp.where(active, jnp.where(descend, node + 1, skip), node)
+        return node, t_best, i_best
+
+    node0 = jnp.zeros((n_lanes,), jnp.int32)
+    t0 = jnp.full((n_lanes,), big, jnp.float32)
+    i0 = jnp.zeros((n_lanes,), jnp.int32)
+    _, t_best, i_best = jax.lax.while_loop(cond, body, (node0, t0, i0))
+    return t_best, i_best
+
+
 def closest_hit(
     o: V3,
     d: V3,
@@ -214,7 +325,10 @@ def closest_hit(
     ts, is_ = _sphere_candidates(o, d, scene, t_min, t_max)
 
     if scene.has_triangles:
-        tt, it = _triangle_candidates(o, d, scene.tris, t_min, t_max)
+        if scene.tris.bvh is not None:
+            tt, it = _triangle_bvh_candidates(o, d, scene.tris, t_min, t_max)
+        else:
+            tt, it = _triangle_candidates(o, d, scene.tris, t_min, t_max)
         tri_wins = tt < ts
         t_best = jnp.where(tri_wins, tt, ts)
     else:

@@ -33,6 +33,25 @@ from myraytracer_tpu.scene import api
 SPHERE_PAD = 8
 
 
+class CompiledTriangleBVH(NamedTuple):
+    """Flat skip-link BVH over the (reordered) triangle arrays.
+
+    Built host-side by the native C++ binned-SAH builder
+    (native/src/bvh.cpp; Python fallback myraytracer_tpu/native/bvh_py.py).
+    Traversal contract: node i descends to i+1 on a bbox hit (or tests its
+    leaf range), else jumps to skip[i]; done when the cursor reaches M.
+    """
+
+    lo: V3  # [M] each
+    hi: V3
+    first: jnp.ndarray  # [M] i32
+    count: jnp.ndarray  # [M] i32 (0 = interior)
+    skip: jnp.ndarray  # [M] i32
+
+
+BVH_MAX_LEAF = 4
+
+
 class CompiledTriangles(NamedTuple):
     """SoA triangle arrays; padding slots have zero edges (degenerate →
     Möller-Trumbore determinant 0 → can never hit)."""
@@ -44,6 +63,7 @@ class CompiledTriangles(NamedTuple):
     fuzz: jnp.ndarray
     ior: jnp.ndarray
     mat_ty: jnp.ndarray  # i32
+    bvh: Optional[CompiledTriangleBVH] = None
 
     @property
     def padded_size(self) -> int:
@@ -93,7 +113,9 @@ def _material_row(m: api.Material):
     raise TypeError(f"unknown material: {m!r}")
 
 
-def _compile_triangles(meshes, pad_to: int) -> CompiledTriangles:
+def _compile_triangles(
+    meshes, pad_to: int, with_bvh: bool
+) -> CompiledTriangles:
     t = sum(len(m) for m in meshes)
     tpad = max(pad_to, -(-max(t, 1) // pad_to) * pad_to)
     v0 = np.zeros((t, 3), np.float32)
@@ -118,6 +140,35 @@ def _compile_triangles(meshes, pad_to: int) -> CompiledTriangles:
             mat_ty[k] = ty
             k += 1
 
+    bvh = None
+    if with_bvh and t > 0:
+        from myraytracer_tpu.native import build_bvh
+
+        v1 = v0 + e1
+        v2 = v0 + e2
+        prim_min = np.minimum(np.minimum(v0, v1), v2)
+        prim_max = np.maximum(np.maximum(v0, v1), v2)
+        flat = build_bvh(prim_min, prim_max, max_leaf=BVH_MAX_LEAF)
+        # Reorder triangle rows so leaves reference contiguous ranges.
+        perm = flat.order
+        v0, e1, e2 = v0[perm], e1[perm], e2[perm]
+        albedo, fuzz, ior, mat_ty = albedo[perm], fuzz[perm], ior[perm], mat_ty[perm]
+        bvh = CompiledTriangleBVH(
+            lo=V3(
+                jnp.asarray(flat.nodes_min[:, 0]),
+                jnp.asarray(flat.nodes_min[:, 1]),
+                jnp.asarray(flat.nodes_min[:, 2]),
+            ),
+            hi=V3(
+                jnp.asarray(flat.nodes_max[:, 0]),
+                jnp.asarray(flat.nodes_max[:, 1]),
+                jnp.asarray(flat.nodes_max[:, 2]),
+            ),
+            first=jnp.asarray(flat.first),
+            count=jnp.asarray(flat.count),
+            skip=jnp.asarray(flat.skip),
+        )
+
     mkv3 = lambda a: V3(
         jnp.asarray(_pad(a[:, 0], tpad, 0.0)),
         jnp.asarray(_pad(a[:, 1], tpad, 0.0)),
@@ -131,6 +182,7 @@ def _compile_triangles(meshes, pad_to: int) -> CompiledTriangles:
         fuzz=jnp.asarray(_pad(fuzz, tpad, 0.0)),
         ior=jnp.asarray(_pad(ior, tpad, 1.0)),
         mat_ty=jnp.asarray(_pad(mat_ty, tpad, api.MATERIAL_NONE)),
+        bvh=bvh,
     )
 
 
@@ -159,7 +211,10 @@ def morton_order(centers: np.ndarray) -> np.ndarray:
 
 
 def compile_scene(
-    world: api.World, pad_to: int = SPHERE_PAD, spatial_sort: bool = False
+    world: api.World,
+    pad_to: int = SPHERE_PAD,
+    spatial_sort: bool = False,
+    triangle_bvh: Optional[bool] = None,
 ) -> CompiledScene:
     """Flatten an api.World into padded SoA jnp arrays.
 
@@ -210,7 +265,19 @@ def compile_scene(
         fuzz=jnp.asarray(_pad(fuzz, npad, 0.0)),
         ior=jnp.asarray(_pad(ior, npad, 1.0)),
         mat_ty=jnp.asarray(_pad(mat_ty, npad, api.MATERIAL_NONE)),
-        tris=_compile_triangles(world.meshes, pad_to) if world.meshes else None,
+        tris=(
+            _compile_triangles(
+                world.meshes,
+                pad_to,
+                with_bvh=(
+                    triangle_bvh
+                    if triangle_bvh is not None
+                    else world.triangle_count >= 256
+                ),
+            )
+            if world.meshes
+            else None
+        ),
     )
 
 

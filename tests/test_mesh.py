@@ -102,6 +102,49 @@ def test_mesh_scene_renders():
     assert float(segs) > 16 * 8 * 2  # some rays bounced
 
 
+def test_bvh_traversal_matches_brute_force():
+    """Skip-link BVH traversal returns the same hits as the linear scan."""
+    from myraytracer_tpu.scene.compile import compile_scene as cs
+
+    world = presets.mesh_scene(subdivisions=2)
+    brute = cs(world, triangle_bvh=False)
+    accel = cs(world, triangle_bvh=True)
+    assert accel.tris.bvh is not None
+
+    rng_ = np.random.RandomState(0)
+    n = 256
+    origins = rng_.uniform(-3, 3, (n, 3)) + [0, 1, 1]
+    dirs = rng_.standard_normal((n, 3))
+    o, d = rays(origins, dirs)
+    hb = closest_hit(o, d, brute, 1e-3, 1e4)
+    ha = closest_hit(o, d, accel, 1e-3, 1e4)
+    np.testing.assert_array_equal(np.asarray(hb.mask), np.asarray(ha.mask))
+    np.testing.assert_allclose(
+        np.asarray(hb.t), np.asarray(ha.t), rtol=1e-6, atol=1e-6
+    )
+    # Same winning surface (materials/normals), though indices may differ
+    # under reordering.
+    np.testing.assert_array_equal(
+        np.asarray(hb.mat_ty), np.asarray(ha.mat_ty)
+    )
+    np.testing.assert_allclose(
+        np.asarray(hb.normal.x), np.asarray(ha.normal.x), atol=1e-5
+    )
+
+
+def test_bvh_scene_renders():
+    from myraytracer_tpu.core import rng as crng
+    from myraytracer_tpu.render.integrator import make_renderer
+    from myraytracer_tpu.scene.compile import compile_scene as cs
+
+    world = presets.mesh_scene(subdivisions=2)
+    scene = cs(world, triangle_bvh=True)
+    render = make_renderer(world.camera, 16, 8, 1, 4, sample_batch=1)
+    img, segs = render(scene, crng.key_from_seed(0), 0)
+    assert np.isfinite(np.asarray(img)).all()
+    assert float(segs) > 0
+
+
 def test_mesh_sphere_equivalence():
     """A fine icosphere mesh converges to the analytic sphere silhouette."""
     from myraytracer_tpu.render.hit import closest_hit as ch
