@@ -156,6 +156,7 @@ def _trace_kernel(
     ray_gen,
     material_set,
     cull: bool,
+    rng_mode: str,
 ):
     tile = pl.program_id(0)
 
@@ -181,12 +182,39 @@ def _trace_kernel(
     t_minf = jnp.float32(t_min)
     t_maxf = jnp.float32(t_max)
 
+    if rng_mode == "hw":
+        # TPU hardware PRNG: ~60x cheaper per draw than threefry, at the
+        # cost of a different (still deterministic per (key, frame, tile))
+        # sample stream — opt-in, not oracle-parity.
+        # Single scalar seed (multi-operand prng_seed crashes this
+        # environment's AOT compile helper): mix key, frame window, tile.
+        seed = (
+            meta_ref[0].astype(jnp.int32)
+            ^ (meta_ref[2].astype(jnp.int32) * jnp.int32(-1640531527))
+            ^ (tile * jnp.int32(-2048144789))
+        )
+        pltpu.prng_seed(seed)
+
+        def _hw_uniform():
+            bits = pltpu.prng_random_bits(shape)
+            hi24 = (pltpu.bitcast(bits, jnp.uint32) >> jnp.uint32(8)).astype(
+                jnp.int32
+            )
+            return hi24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+        def draw2(_draw_slot):
+            return _hw_uniform(), _hw_uniform()
+    else:
+
+        def draw2(draw_slot):
+            return crng.uniform2(key, lane_id, draw_slot)
+
     def camera_ray(s_vec):
         """Camera ray for per-lane sample index vector (oracle draw slots)."""
         sample_id = sample_start + s_vec.astype(jnp.uint32)
         cam_draw = sample_id * jnp.uint32(crng.DRAWS_PER_SAMPLE)
-        u1, u2 = crng.uniform2(key, lane_id, cam_draw)
-        l1, l2 = crng.uniform2(key, lane_id, cam_draw + jnp.uint32(1))
+        u1, u2 = draw2(cam_draw)
+        l1, l2 = draw2(cam_draw + jnp.uint32(1))
         return ray_gen(ix, iy, u1, u2, l1, l2)
 
     o0, d0 = camera_ray(jnp.zeros(shape, jnp.int32))
@@ -377,14 +405,14 @@ def _trace_kernel(
         need_ball = 2 in material_set
         need_ud = 3 in material_set
         if 1 in material_set:
-            us1, us2 = crng.uniform2(key, lane_id, draw)
+            us1, us2 = draw2(draw)
             sphere_sample = crng.unit_sphere_from_uniforms(us1, us2)
         else:
             sphere_sample = zero3
         if need_ball:
-            ub1, ub2 = crng.uniform2(key, lane_id, draw + jnp.uint32(1))
+            ub1, ub2 = draw2(draw + jnp.uint32(1))
         if need_ball or need_ud:
-            ub3, ud = crng.uniform2(key, lane_id, draw + jnp.uint32(2))
+            ub3, ud = draw2(draw + jnp.uint32(2))
         else:
             ud = zero
         ball_sample = (
@@ -452,6 +480,7 @@ def make_block_renderer(
     tile_rows: int = DEFAULT_TILE_ROWS,
     interpret: bool = False,
     material_set=None,
+    rng_mode: str = "threefry",
 ):
     """Pallas implementation of the block-renderer protocol.
 
@@ -475,6 +504,7 @@ def make_block_renderer(
     kernel = functools.partial(
         _trace_kernel,
         material_set=material_set,
+        rng_mode=rng_mode,
         width=width,
         n_rows=n_rows,
         depth=int(ray_depth),
@@ -548,6 +578,7 @@ def make_renderer(
     tile_rows: int = DEFAULT_TILE_ROWS,
     interpret: bool = False,
     material_set=None,
+    rng_mode: str = "threefry",
 ):
     """Jitted single-device frame renderer on the Pallas megakernel.
 
@@ -557,7 +588,7 @@ def make_renderer(
     block = make_block_renderer(
         cam, width, height, height, spp, ray_depth,
         t_min=t_min, t_max=t_max, tile_rows=tile_rows, interpret=interpret,
-        material_set=material_set,
+        material_set=material_set, rng_mode=rng_mode,
     )
 
     @jax.jit
