@@ -214,7 +214,7 @@ def compile_scene(
     world: api.World,
     pad_to: int = SPHERE_PAD,
     spatial_sort: bool = False,
-    triangle_bvh: Optional[bool] = None,
+    triangle_bvh: bool = False,
 ) -> CompiledScene:
     """Flatten an api.World into padded SoA jnp arrays.
 
@@ -269,11 +269,11 @@ def compile_scene(
             _compile_triangles(
                 world.meshes,
                 pad_to,
-                with_bvh=(
-                    triangle_bvh
-                    if triangle_bvh is not None
-                    else world.triangle_count >= 256
-                ),
+                # BVH traversal is gather-bound: a win on CPU, but far
+                # slower than the vectorized chunk scan on TPU at moderate
+                # triangle counts — so it is opt-in (a TPU-native
+                # traversal is future work).
+                with_bvh=bool(triangle_bvh),
             )
             if world.meshes
             else None
