@@ -130,7 +130,24 @@ def _scene_to_prefetch(scene: CompiledScene):
         for k in range(3)
     ])
     aabb = jnp.concatenate([lo, hi], axis=0)  # [6, n_chunks]
-    return f32, mt, aabb
+
+    # Triangle tables: rows v0(3), e1(3), e2(3), albedo(3), fuzz, ior.
+    # A dummy degenerate row keeps the prefetch arity fixed for
+    # triangle-free scenes (n_tris=0 skips the sweep statically).
+    if scene.has_triangles:
+        tr = scene.tris
+        trf = jnp.stack([
+            tr.v0.x, tr.v0.y, tr.v0.z,
+            tr.e1.x, tr.e1.y, tr.e1.z,
+            tr.e2.x, tr.e2.y, tr.e2.z,
+            tr.albedo.x, tr.albedo.y, tr.albedo.z,
+            tr.fuzz, tr.ior,
+        ])
+        trmt = tr.mat_ty.astype(jnp.int32)
+    else:
+        trf = jnp.zeros((14, 1), jnp.float32)
+        trmt = jnp.zeros((1,), jnp.int32)
+    return f32, mt, aabb, trf, trmt
 
 
 def _trace_kernel(
@@ -138,6 +155,8 @@ def _trace_kernel(
     sf_ref,  # [10, N] f32 scene table
     mt_ref,  # [N] i32 material types
     aabb_ref,  # [6, n_chunks] f32 chunk bounds (culled sweeps only)
+    trf_ref,  # [14, T] f32 triangle table (v0, e1, e2, albedo, fuzz, ior)
+    trmt_ref,  # [T] i32 triangle material types
     meta_ref,  # [4] u32: key0, key1, sample_start, n_valid
     row0_ref,  # [1] u32: first image row of this block invocation
     # outputs (VMEM):
@@ -149,6 +168,7 @@ def _trace_kernel(
     width: int,
     n_rows: int,
     n_spheres: int,
+    n_tris: int,
     depth: int,
     t_min: float,
     t_max: float,
@@ -316,6 +336,55 @@ def _trace_kernel(
             for c in range(n_chunks):
                 hc = chunk_sweep(c, hc)
             t_best, i_best = hc
+        # --- triangle sweep (Möller-Trumbore, two-sided); winners are
+        # encoded as i_best = n_spheres + ti ---------------------------------
+        if n_tris:
+            def tri_body(ti, hc):
+                t_best, i_best = hc
+                v0x = trf_ref[0, ti]
+                v0y = trf_ref[1, ti]
+                v0z = trf_ref[2, ti]
+                e1x = trf_ref[3, ti]
+                e1y = trf_ref[4, ti]
+                e1z = trf_ref[5, ti]
+                e2x = trf_ref[6, ti]
+                e2y = trf_ref[7, ti]
+                e2z = trf_ref[8, ti]
+                px = d.y * e2z - d.z * e2y
+                py = d.z * e2x - d.x * e2z
+                pz = d.x * e2y - d.y * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-9, 1.0, det)
+                tvx = o.x - v0x
+                tvy = o.y - v0y
+                tvz = o.z - v0z
+                u = (tvx * px + tvy * py + tvz * pz) * inv_det
+                qx = tvy * e1z - tvz * e1y
+                qy = tvz * e1x - tvx * e1z
+                qz = tvx * e1y - tvy * e1x
+                v = (d.x * qx + d.y * qy + d.z * qz) * inv_det
+                t_cand = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                valid = (
+                    (jnp.abs(det) >= 1e-9)
+                    & (u >= 0.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (t_cand >= t_minf)
+                    & (t_cand < t_maxf)
+                )
+                t_cand = jnp.where(valid, t_cand, t_maxf)
+                better = t_cand < t_best
+                t_best = jnp.where(better, t_cand, t_best)
+                i_best = jnp.where(better, n_spheres + ti, i_best)
+                return t_best, i_best
+
+            hc = (t_best, i_best)
+            if n_tris <= UNROLL_MAX:
+                for ti in range(n_tris):
+                    hc = tri_body(ti, hc)
+            else:
+                hc = jax.lax.fori_loop(0, n_tris, tri_body, hc)
+            t_best, i_best = hc
         hit_mask = t_best < t_maxf
 
         # --- fetch the winner's record by masked select sweep -------------
@@ -379,6 +448,41 @@ def _trace_kernel(
 
         point = o + d * t_best
         normal = (point - V3(cx, cy, cz)) * inv_r
+        if n_tris:
+            # Triangle winners override the sphere record.
+            te1x = zero; te1y = zero; te1z = zero
+            te2x = zero; te2y = zero; te2z = zero
+
+            def tri_fetch(ti, fc):
+                (e1x, e1y, e1z, e2x, e2y, e2z, ax_, ay_, az_, fz_, io_, mt_) = fc
+                sel = i_best == (n_spheres + ti)
+                return (
+                    jnp.where(sel, trf_ref[3, ti], e1x),
+                    jnp.where(sel, trf_ref[4, ti], e1y),
+                    jnp.where(sel, trf_ref[5, ti], e1z),
+                    jnp.where(sel, trf_ref[6, ti], e2x),
+                    jnp.where(sel, trf_ref[7, ti], e2y),
+                    jnp.where(sel, trf_ref[8, ti], e2z),
+                    jnp.where(sel, trf_ref[9, ti], ax_),
+                    jnp.where(sel, trf_ref[10, ti], ay_),
+                    jnp.where(sel, trf_ref[11, ti], az_),
+                    jnp.where(sel, trf_ref[12, ti], fz_),
+                    jnp.where(sel, trf_ref[13, ti], io_),
+                    jnp.where(sel, trmt_ref[ti], mt_),
+                )
+
+            tfc = (te1x, te1y, te1z, te2x, te2y, te2z, ax, ay, az, fz, io, mt)
+            if n_tris <= UNROLL_MAX:
+                for ti in range(n_tris):
+                    tfc = tri_fetch(ti, tfc)
+            else:
+                tfc = jax.lax.fori_loop(0, n_tris, tri_fetch, tfc)
+            (te1x, te1y, te1z, te2x, te2y, te2z, ax, ay, az, fz, io, mt) = tfc
+
+            is_tri = i_best >= n_spheres
+            gn = V3(te1x, te1y, te1z).cross(V3(te2x, te2y, te2z))
+            gn_inv = jax.lax.rsqrt(jnp.maximum(gn.length_sq(), jnp.float32(1e-30)))
+            normal = V3.where(is_tri, gn * gn_inv, normal)
         front = normal.dot(d) <= 0.0
         normal = V3.where(front, normal, -normal)
         hit = Hit(
@@ -515,15 +619,12 @@ def make_block_renderer(
     )
 
     def block(scene: CompiledScene, key, row0, sample_start, n_valid):
-        if scene.has_triangles:
-            raise NotImplementedError(
-                "the Pallas megakernel is sphere-only; use backend='jnp' "
-                "for triangle-mesh scenes"
-            )
-        sf, mt, aabb = _scene_to_prefetch(scene)
+        sf, mt, aabb, trf, trmt = _scene_to_prefetch(scene)
         n_spheres = int(sf.shape[1])
+        n_tris = int(trf.shape[1]) if scene.has_triangles else 0
         kern = functools.partial(
-            kernel, n_spheres=n_spheres, cull=n_spheres > CULL_MIN
+            kernel, n_spheres=n_spheres, n_tris=n_tris,
+            cull=n_spheres > CULL_MIN,
         )
 
         meta = jnp.stack(
@@ -537,7 +638,7 @@ def make_block_renderer(
         row0_arr = jnp.asarray(row0, jnp.uint32).reshape(1)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
+            num_scalar_prefetch=7,
             grid=(n_tiles,),
             in_specs=[],
             out_specs=[
@@ -555,7 +656,7 @@ def make_block_renderer(
             grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((out_rows, LANES), jnp.float32)] * 4,
             interpret=interpret,
-        )(sf, mt, aabb, meta, row0_arr)
+        )(sf, mt, aabb, trf, trmt, meta, row0_arr)
 
         flat = lambda a: a.reshape(-1)[:n_pixels]
         img_sum = jnp.stack([flat(r), flat(g), flat(b)], axis=-1).reshape(

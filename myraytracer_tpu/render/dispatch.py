@@ -49,12 +49,4 @@ def renderer_factory(config: RenderConfig):
 
 
 def make_session(world: api.World, config: RenderConfig) -> RenderSession:
-    # The Pallas megakernel is sphere-only for now; under "auto", triangle
-    # scenes route to the jnp oracle (which handles meshes).
-    if (
-        config.backend == "auto"
-        and world.triangle_count > 0
-        and resolve_backend(config) == "pallas"
-    ):
-        config = config.replace(backend="jnp")
     return RenderSession(world, config, renderer_factory=renderer_factory(config))

@@ -62,6 +62,26 @@ def test_final_scene_culled_parity():
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6)
 
 
+def test_mesh_scene_parity():
+    """Triangle sweep in the megakernel matches the oracle (same stream)."""
+    from myraytracer_tpu.scene.api import Lambertian, Mesh, Metal, Sphere, World
+    from myraytracer_tpu.scene import meshgen
+
+    bv, bf = meshgen.box((0.6, 0.0, -1.2), (0.4, 0.4, 0.4))
+    gv, gf = meshgen.quad((-4, -0.5, 2), (4, -0.5, 2), (4, -0.5, -6), (-4, -0.5, -6))
+    world = World(
+        spheres=[Sphere((-0.8, 0.0, -1.0), 0.5, Metal((0.8, 0.8, 0.8), 0.1))],
+        meshes=[
+            Mesh(gv, gf, Lambertian((0.8, 0.8, 0.0))),
+            Mesh(bv, bf, Lambertian((0.2, 0.4, 0.8))),
+        ],
+    )
+    a, b, sa, sb = render_pair(world)
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+    assert sa == sb
+
+
 def test_sample_window_masking():
     """n_valid masking: spp=3 renderer over a 2-sample window."""
     world = presets.reference_scene()
