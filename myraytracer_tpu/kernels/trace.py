@@ -144,10 +144,35 @@ def _scene_to_prefetch(scene: CompiledScene):
             tr.fuzz, tr.ior,
         ])
         trmt = tr.mat_ty.astype(jnp.int32)
+        tpad = (-trf.shape[1]) % CULL_CHUNK
+        if tpad:
+            trf = jnp.pad(trf, ((0, 0), (0, tpad)))  # degenerate pads
+            trmt = jnp.pad(trmt, (0, tpad))
+        tn_chunks = trf.shape[1] // CULL_CHUNK
+        v0x, v0y, v0z = trf[0], trf[1], trf[2]
+        v1x, v1y, v1z = v0x + trf[3], v0y + trf[4], v0z + trf[5]
+        v2x, v2y, v2z = v0x + trf[6], v0y + trf[7], v0z + trf[8]
+        deg = (
+            trf[3] * trf[3] + trf[4] * trf[4] + trf[5] * trf[5]
+            + trf[6] * trf[6] + trf[7] * trf[7] + trf[8] * trf[8]
+        ) == 0.0
+        tbig = jnp.float32(3e38)
+        tlo = jnp.stack([
+            jnp.where(deg, tbig, jnp.minimum(jnp.minimum(a, b), c))
+            .reshape(tn_chunks, CULL_CHUNK).min(axis=1)
+            for a, b, c in ((v0x, v1x, v2x), (v0y, v1y, v2y), (v0z, v1z, v2z))
+        ])
+        thi = jnp.stack([
+            jnp.where(deg, -tbig, jnp.maximum(jnp.maximum(a, b), c))
+            .reshape(tn_chunks, CULL_CHUNK).max(axis=1)
+            for a, b, c in ((v0x, v1x, v2x), (v0y, v1y, v2y), (v0z, v1z, v2z))
+        ])
+        traabb = jnp.concatenate([tlo, thi], axis=0)
     else:
         trf = jnp.zeros((14, 1), jnp.float32)
         trmt = jnp.zeros((1,), jnp.int32)
-    return f32, mt, aabb, trf, trmt
+        traabb = jnp.zeros((6, 1), jnp.float32)
+    return f32, mt, aabb, trf, trmt, traabb
 
 
 def _trace_kernel(
@@ -157,6 +182,7 @@ def _trace_kernel(
     aabb_ref,  # [6, n_chunks] f32 chunk bounds (culled sweeps only)
     trf_ref,  # [14, T] f32 triangle table (v0, e1, e2, albedo, fuzz, ior)
     trmt_ref,  # [T] i32 triangle material types
+    traabb_ref,  # [6, t_chunks] f32 triangle chunk bounds
     meta_ref,  # [4] u32: key0, key1, sample_start, n_valid
     row0_ref,  # [1] u32: first image row of this block invocation
     # outputs (VMEM):
@@ -383,7 +409,44 @@ def _trace_kernel(
                 for ti in range(n_tris):
                     hc = tri_body(ti, hc)
             else:
-                hc = jax.lax.fori_loop(0, n_tris, tri_body, hc)
+                # Chunked sweep gated by chunk AABBs (same scheme as the
+                # sphere culling; Morton-sorted triangles).
+                eps_t = jnp.float32(1e-4)
+                tiny_t = jnp.float32(1e-30)
+                tivx = 1.0 / jnp.where(jnp.abs(d.x) < tiny_t, tiny_t, d.x)
+                tivy = 1.0 / jnp.where(jnp.abs(d.y) < tiny_t, tiny_t, d.y)
+                tivz = 1.0 / jnp.where(jnp.abs(d.z) < tiny_t, tiny_t, d.z)
+                for c in range(n_tris // CULL_CHUNK):
+                    t_best_c, i_best_c = hc
+                    lox = traabb_ref[0, c] - eps_t
+                    loy = traabb_ref[1, c] - eps_t
+                    loz = traabb_ref[2, c] - eps_t
+                    hix = traabb_ref[3, c] + eps_t
+                    hiy = traabb_ref[4, c] + eps_t
+                    hiz = traabb_ref[5, c] + eps_t
+                    tx0 = (lox - o.x) * tivx
+                    tx1 = (hix - o.x) * tivx
+                    ty0 = (loy - o.y) * tivy
+                    ty1 = (hiy - o.y) * tivy
+                    tz0 = (loz - o.z) * tivz
+                    tz1 = (hiz - o.z) * tivz
+                    tn = jnp.maximum(
+                        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                        jnp.maximum(jnp.minimum(tz0, tz1), t_minf),
+                    )
+                    tf = jnp.minimum(
+                        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                        jnp.minimum(jnp.maximum(tz0, tz1), t_best_c),
+                    )
+                    enter = alive & (tn <= tf)
+
+                    def tsweep(hc=hc, c=c):
+                        out = hc
+                        for k in range(CULL_CHUNK):
+                            out = tri_body(c * CULL_CHUNK + k, out)
+                        return out
+
+                    hc = jax.lax.cond(jnp.any(enter), tsweep, lambda hc=hc: hc)
             t_best, i_best = hc
         hit_mask = t_best < t_maxf
 
@@ -476,7 +539,20 @@ def _trace_kernel(
                 for ti in range(n_tris):
                     tfc = tri_fetch(ti, tfc)
             else:
-                tfc = jax.lax.fori_loop(0, n_tris, tri_fetch, tfc)
+                # Winners cluster: fetch only chunks that own one.
+                for c in range(n_tris // CULL_CHUNK):
+                    base = n_spheres + c * CULL_CHUNK
+                    owns = jnp.any(
+                        (i_best >= base) & (i_best < base + CULL_CHUNK)
+                    )
+
+                    def tfetch_chunk(tfc=tfc, c=c):
+                        out = tfc
+                        for k in range(CULL_CHUNK):
+                            out = tri_fetch(c * CULL_CHUNK + k, out)
+                        return out
+
+                    tfc = jax.lax.cond(owns, tfetch_chunk, lambda tfc=tfc: tfc)
             (te1x, te1y, te1z, te2x, te2y, te2z, ax, ay, az, fz, io, mt) = tfc
 
             is_tri = i_best >= n_spheres
@@ -619,7 +695,7 @@ def make_block_renderer(
     )
 
     def block(scene: CompiledScene, key, row0, sample_start, n_valid):
-        sf, mt, aabb, trf, trmt = _scene_to_prefetch(scene)
+        sf, mt, aabb, trf, trmt, traabb = _scene_to_prefetch(scene)
         n_spheres = int(sf.shape[1])
         n_tris = int(trf.shape[1]) if scene.has_triangles else 0
         kern = functools.partial(
@@ -638,7 +714,7 @@ def make_block_renderer(
         row0_arr = jnp.asarray(row0, jnp.uint32).reshape(1)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=7,
+            num_scalar_prefetch=8,
             grid=(n_tiles,),
             in_specs=[],
             out_specs=[
@@ -656,7 +732,7 @@ def make_block_renderer(
             grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((out_rows, LANES), jnp.float32)] * 4,
             interpret=interpret,
-        )(sf, mt, aabb, trf, trmt, meta, row0_arr)
+        )(sf, mt, aabb, trf, trmt, traabb, meta, row0_arr)
 
         flat = lambda a: a.reshape(-1)[:n_pixels]
         img_sum = jnp.stack([flat(r), flat(g), flat(b)], axis=-1).reshape(

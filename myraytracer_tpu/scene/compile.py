@@ -140,6 +140,17 @@ def _compile_triangles(
             mat_ty[k] = ty
             k += 1
 
+    if not with_bvh and t > 64:
+        # Morton-sort triangles by centroid so the Pallas kernel's chunked
+        # AABB culling gets spatial locality (ties-only semantic effect,
+        # like the sphere sort).
+        cent = v0 + (e1 + e2) / 3.0
+        order = morton_order(cent)
+        v0, e1, e2 = v0[order], e1[order], e2[order]
+        albedo, fuzz, ior, mat_ty = (
+            albedo[order], fuzz[order], ior[order], mat_ty[order],
+        )
+
     bvh = None
     if with_bvh and t > 0:
         from myraytracer_tpu.native import build_bvh

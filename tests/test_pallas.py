@@ -82,6 +82,15 @@ def test_mesh_scene_parity():
     assert sa == sb
 
 
+def test_mesh_culled_parity():
+    """>64 triangles engages the chunked/gated triangle sweep."""
+    world = presets.mesh_scene(subdivisions=1)  # ~190 triangles
+    assert world.triangle_count > 64
+    a, b, sa, sb = render_pair(world)
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+    assert sa == sb
+
+
 def test_sample_window_masking():
     """n_valid masking: spp=3 renderer over a 2-sample window."""
     world = presets.reference_scene()
