@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="built-in scene (the reference hard-codes 'reference')",
     )
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--obj", default=None, metavar="FILE",
+        help="render an OBJ mesh (overrides --scene; native C++ loader)",
+    )
     p.add_argument("--out", default="out.png", help=".png or .ppm output path")
     p.add_argument("--gamma", type=float, default=2.0)
     p.add_argument(
@@ -93,7 +97,12 @@ def main(argv=None) -> int:
         backend=args.backend,
         shard=args.shard,
     )
-    world = get_scene(args.scene, seed=args.seed)
+    if args.obj:
+        from myraytracer_tpu.scene.presets import obj_scene
+
+        world = obj_scene(args.obj)
+    else:
+        world = get_scene(args.scene, seed=args.seed)
 
     from myraytracer_tpu.render.dispatch import make_session
 

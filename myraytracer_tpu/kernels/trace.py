@@ -76,6 +76,9 @@ UNROLL_MAX = 64
 # chunks beat fine-grained ones.
 CULL_MIN = 64
 CULL_CHUNK = 64
+# Gate the winner-fetch sweeps per chunk (an any() reduction each); with
+# few chunks the gates may cost more than they save — tunable for bench.
+GATED_FETCH = True
 # Rays per tile = tile_rows * 128. Keep the live wavefront state near the
 # vector register file: measured on v5e, 16 rows (2 vregs per array — two
 # independent dependency chains to hide VPU latency) beats 8 by ~20%, and
@@ -485,21 +488,24 @@ def _trace_kernel(
             fetched = jax.lax.fori_loop(0, n_spheres, fetch_body, fetched0)
         else:
             # Winners cluster in few chunks; fetch only chunks that own one.
-            fc = fetched0
-            for c in range(n_spheres // CULL_CHUNK):
-                base = c * CULL_CHUNK
-                owns = jnp.any(
-                    (i_best >= base) & (i_best < base + CULL_CHUNK)
-                )
+            if GATED_FETCH:
+                fc = fetched0
+                for c in range(n_spheres // CULL_CHUNK):
+                    base = c * CULL_CHUNK
+                    owns = jnp.any(
+                        (i_best >= base) & (i_best < base + CULL_CHUNK)
+                    )
 
-                def fetch_chunk(fc=fc, base=base):
-                    out = fc
-                    for k in range(CULL_CHUNK):
-                        out = fetch_body(base + k, out)
-                    return out
+                    def fetch_chunk(fc=fc, base=base):
+                        out = fc
+                        for k in range(CULL_CHUNK):
+                            out = fetch_body(base + k, out)
+                        return out
 
-                fc = jax.lax.cond(owns, fetch_chunk, lambda fc=fc: fc)
-            fetched = fc
+                    fc = jax.lax.cond(owns, fetch_chunk, lambda fc=fc: fc)
+                fetched = fc
+            else:
+                fetched = jax.lax.fori_loop(0, n_spheres, fetch_body, fetched0)
         vals = dict(zip(rows, fetched[:-1]))
         mt = fetched[-1]
         cx, cy, cz, inv_r = vals[0], vals[1], vals[2], vals[4]

@@ -164,6 +164,47 @@ def mesh_scene(subdivisions: int = 2) -> World:
     )
 
 
+def obj_scene(path, material=None) -> World:
+    """Render an OBJ file: mesh normalized to unit size over a ground quad.
+
+    Uses the native C++ OBJ loader (myraytracer_tpu/native; Python
+    fallback). The mesh is recentered and scaled to fit a unit sphere at
+    (0, 0.55, -1.2) so any model frames sensibly with the stock camera.
+    """
+    from myraytracer_tpu.native import load_obj
+    from myraytracer_tpu.scene import meshgen
+    from myraytracer_tpu.scene.api import Mesh
+
+    vertices, triangles = load_obj(path)
+    if len(triangles) == 0:
+        raise ValueError(f"no triangles in {path}")
+    lo = vertices.min(axis=0)
+    hi = vertices.max(axis=0)
+    center = (lo + hi) / 2
+    scale = 1.1 / max(float(np.linalg.norm(hi - lo)), 1e-9)
+    vertices = (vertices - center) * scale + np.array(
+        [0.0, 0.55, -1.2], np.float32
+    )
+
+    gv, gf = meshgen.quad(
+        (-6.0, 0.0, 4.0), (6.0, 0.0, 4.0), (6.0, 0.0, -8.0), (-6.0, 0.0, -8.0)
+    )
+    return World(
+        spheres=[],
+        meshes=[
+            Mesh(gv, gf, Lambertian((0.6, 0.6, 0.6))),
+            Mesh(vertices, triangles, material or Lambertian((0.4, 0.5, 0.8))),
+        ],
+        camera=Camera(
+            lookfrom=(0.8, 1.1, 1.2),
+            lookat=(0.0, 0.5, -1.2),
+            vup=(0.0, 1.0, 0.0),
+            vfov_degrees=40.0,
+            aperture=0.0,
+        ),
+    )
+
+
 SCENES = {
     "reference": reference_scene,
     "lambertian": lambertian_sphere_scene,

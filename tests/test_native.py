@@ -75,3 +75,28 @@ def test_obj_loader_matches_python(tmp_path):
 def test_obj_missing_file():
     with pytest.raises(FileNotFoundError):
         load_obj("/nonexistent/file.obj")
+
+
+def test_obj_scene_end_to_end(tmp_path):
+    """OBJ file → scene → a traced frame (CPU, tiny)."""
+    from myraytracer_tpu.scene import meshgen
+    from myraytracer_tpu.scene.presets import obj_scene
+    from myraytracer_tpu.scene.compile import compile_scene
+    from myraytracer_tpu.render.integrator import make_renderer
+    from myraytracer_tpu.core import rng as crng
+
+    v, f = meshgen.icosphere((0, 0, 0), 1.0, 0)
+    p = tmp_path / "ico.obj"
+    with open(p, "w") as fh:
+        for pt in v:
+            fh.write(f"v {pt[0]} {pt[1]} {pt[2]}\n")
+        for t in f:
+            fh.write(f"f {t[0]+1} {t[1]+1} {t[2]+1}\n")
+
+    world = obj_scene(p)
+    assert world.triangle_count == 20 + 2  # icosahedron + ground quad
+    scene = compile_scene(world)
+    render = make_renderer(world.camera, 16, 9, 1, 4, sample_batch=1)
+    img, segs = render(scene, crng.key_from_seed(0), 0)
+    assert np.isfinite(np.asarray(img)).all()
+    assert float(segs) > 0
