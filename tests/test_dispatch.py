@@ -1,0 +1,66 @@
+"""Backend/sharding dispatch and auxiliary utilities."""
+
+import numpy as np
+import pytest
+
+from myraytracer_tpu.config import RenderConfig
+from myraytracer_tpu.render.dispatch import make_session, resolve_backend
+from myraytracer_tpu.scene import presets
+
+
+def test_resolve_backend_explicit():
+    assert resolve_backend(RenderConfig(backend="jnp")) == "jnp"
+    assert resolve_backend(RenderConfig(backend="pallas")) == "pallas"
+    # auto on CPU → jnp (tests force the CPU platform).
+    assert resolve_backend(RenderConfig(backend="auto")) == "jnp"
+
+
+def test_make_session_renders():
+    cfg = RenderConfig(width=16, height=8, samples_per_frame=2, ray_depth=4)
+    s = make_session(presets.reference_scene(), cfg)
+    fb = np.asarray(s.step())
+    assert fb.shape == (8, 16, 3)
+    assert np.isfinite(fb).all()
+
+
+def test_sharded_session_matches_unsharded():
+    cfg = RenderConfig(width=16, height=8, samples_per_frame=2, ray_depth=4)
+    a = make_session(presets.reference_scene(), cfg)
+    b = make_session(presets.reference_scene(), cfg.replace(shard="tiles"))
+    fa = np.asarray(a.step())
+    fb = np.asarray(b.step())
+    np.testing.assert_array_equal(fa, fb)
+
+
+def test_hybrid_shard_session():
+    cfg = RenderConfig(
+        width=16, height=8, samples_per_frame=4, ray_depth=4, shard="hybrid"
+    )
+    s = make_session(presets.reference_scene(), cfg)
+    fb = np.asarray(s.step())
+    assert np.isfinite(fb).all()
+
+
+def test_sample_batch_resolution():
+    assert RenderConfig(width=16, height=8, samples_per_frame=4).resolve_sample_batch() == 4
+    big = RenderConfig(width=4096, height=4096, samples_per_frame=64)
+    assert big.resolve_sample_batch() == 1  # lane budget caps the batch
+    forced = RenderConfig(samples_per_frame=8, sample_batch=2)
+    assert forced.resolve_sample_batch() == 2
+
+
+def test_profiling_utils(tmp_path):
+    from myraytracer_tpu.utils.profiling import enable_debug_nans, profile_trace
+
+    import jax
+    import jax.numpy as jnp
+
+    with profile_trace(str(tmp_path / "trace")):
+        jnp.ones(8).sum().block_until_ready()
+
+    enable_debug_nans(True)
+    try:
+        with pytest.raises(Exception):
+            jax.jit(lambda x: x / 0.0 * 0.0)(jnp.float32(1.0)).block_until_ready()
+    finally:
+        enable_debug_nans(False)
