@@ -79,6 +79,9 @@ CULL_CHUNK = 64
 # Gate the winner-fetch sweeps per chunk (an any() reduction each); with
 # few chunks the gates may cost more than they save — tunable for bench.
 GATED_FETCH = True
+# Unrolled chunk interiors compile-blow-up past ~1k primitives; larger
+# scenes run a fori_loop inside each gate instead.
+UNROLL_TOTAL_MAX = 1024
 # Rays per tile = tile_rows * 128. Keep the live wavefront state near the
 # vector register file: measured on v5e, 16 rows (2 vregs per array — two
 # independent dependency chains to hide VPU latency) beats 8 by ~20%, and
@@ -353,11 +356,15 @@ def _trace_kernel(
                 enter = alive & (tn <= tf)
 
                 def sweep():
-                    hcc = (t_best, i_best)
                     base = c * CULL_CHUNK
-                    for k in range(CULL_CHUNK):
-                        hcc = hit_body(base + k, hcc)
-                    return hcc
+                    if n_spheres <= UNROLL_TOTAL_MAX:
+                        hcc = (t_best, i_best)
+                        for k in range(CULL_CHUNK):
+                            hcc = hit_body(base + k, hcc)
+                        return hcc
+                    return jax.lax.fori_loop(
+                        base, base + CULL_CHUNK, hit_body, (t_best, i_best)
+                    )
 
                 return jax.lax.cond(jnp.any(enter), sweep, lambda: hc)
 
@@ -444,10 +451,14 @@ def _trace_kernel(
                     enter = alive & (tn <= tf)
 
                     def tsweep(hc=hc, c=c):
-                        out = hc
-                        for k in range(CULL_CHUNK):
-                            out = tri_body(c * CULL_CHUNK + k, out)
-                        return out
+                        if n_tris <= UNROLL_TOTAL_MAX:
+                            out = hc
+                            for k in range(CULL_CHUNK):
+                                out = tri_body(c * CULL_CHUNK + k, out)
+                            return out
+                        return jax.lax.fori_loop(
+                            c * CULL_CHUNK, (c + 1) * CULL_CHUNK, tri_body, hc
+                        )
 
                     hc = jax.lax.cond(jnp.any(enter), tsweep, lambda hc=hc: hc)
             t_best, i_best = hc
@@ -497,10 +508,14 @@ def _trace_kernel(
                     )
 
                     def fetch_chunk(fc=fc, base=base):
-                        out = fc
-                        for k in range(CULL_CHUNK):
-                            out = fetch_body(base + k, out)
-                        return out
+                        if n_spheres <= UNROLL_TOTAL_MAX:
+                            out = fc
+                            for k in range(CULL_CHUNK):
+                                out = fetch_body(base + k, out)
+                            return out
+                        return jax.lax.fori_loop(
+                            base, base + CULL_CHUNK, fetch_body, fc
+                        )
 
                     fc = jax.lax.cond(owns, fetch_chunk, lambda fc=fc: fc)
                 fetched = fc
@@ -553,10 +568,14 @@ def _trace_kernel(
                     )
 
                     def tfetch_chunk(tfc=tfc, c=c):
-                        out = tfc
-                        for k in range(CULL_CHUNK):
-                            out = tri_fetch(c * CULL_CHUNK + k, out)
-                        return out
+                        if n_tris <= UNROLL_TOTAL_MAX:
+                            out = tfc
+                            for k in range(CULL_CHUNK):
+                                out = tri_fetch(c * CULL_CHUNK + k, out)
+                            return out
+                        return jax.lax.fori_loop(
+                            c * CULL_CHUNK, (c + 1) * CULL_CHUNK, tri_fetch, tfc
+                        )
 
                     tfc = jax.lax.cond(owns, tfetch_chunk, lambda tfc=tfc: tfc)
             (te1x, te1y, te1z, te2x, te2y, te2z, ax, ay, az, fz, io, mt) = tfc
