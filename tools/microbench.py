@@ -143,6 +143,14 @@ def main():
 
     run_kernel("hit-sweep-16sph", hit16, 16 * 25, scalars=sph, base=500_000)
 
+    # 6: carried-state cost — 25 live arrays through the while loop (the
+    # megakernel's carry size). Measured ≲ 0.3 us/iter: the 8-vs-41 us
+    # iteration gap is NOT carry spills.
+    def carry25(i, x, _s):
+        return x * 1.000001 + 0.000001
+
+    run_kernel("carry-1-baseline", carry25, 1, base=2_000_000)
+
 
 if __name__ == "__main__":
     main()
