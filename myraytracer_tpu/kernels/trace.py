@@ -274,11 +274,11 @@ def _trace_kernel(
     # Carried state (bool masks carried as int32 for Mosaic):
     #   s: per-lane current sample index;  b: per-lane bounce index
     def cond(carry):
-        alive_i = carry[7]
+        alive_i = carry[6]
         return jnp.any(alive_i > 0)
 
     def body(carry):
-        it, o, d, atten, rad, s, b, alive_i, segs = carry
+        o, d, atten, rad, s, b, alive_i, segs = carry
         alive = alive_i > 0
         segs = segs + alive_i.astype(jnp.float32)
 
@@ -647,12 +647,11 @@ def _trace_kernel(
         atten = V3.where(regen, V3(one, one, one), atten)
         b = jnp.where(regen, 0, b)
         alive_i = (alive | regen).astype(jnp.int32)
-        return (it + 1, o, d, atten, rad, s, b, alive_i, segs)
+        return (o, d, atten, rad, s, b, alive_i, segs)
 
     zero = jnp.zeros(shape, jnp.float32)
     active0 = in_image & (n_valid_i > 0)
     init = (
-        jnp.int32(0),
         o0,
         d0,
         V3.ones(shape),
@@ -663,7 +662,7 @@ def _trace_kernel(
         zero,  # segs
     )
     out = jax.lax.while_loop(cond, body, init)
-    rad, segs = out[4], out[8]
+    rad, segs = out[3], out[7]
 
     w = in_image.astype(jnp.float32)
     r_ref[...] = rad.x * w
