@@ -66,6 +66,8 @@ from myraytracer_tpu.scene.api import Camera
 from myraytracer_tpu.scene.compile import CompiledScene
 
 LANES = 128
+# Pixel-block width per tile (block height = tile_size / BLOCK_W).
+BLOCK_W = 64
 # Sphere sweeps with at most this many spheres are fully unrolled (python
 # loop) so Mosaic can software-pipeline the SMEM scalar loads.
 UNROLL_MAX = 64
@@ -221,14 +223,23 @@ def _trace_kernel(
     tile_size = tile_rows * LANES
 
     # Lane → global pixel coordinates (int32 math; u32 only at the RNG).
-    lin = (
+    # Tiles map to compact BLOCK_W × block_h pixel blocks, not scanline
+    # strips: a 2048-ray tile covering 64x32 pixels has a far tighter ray
+    # frustum than a 1.7-row strip across the whole image, so the
+    # chunk-AABB gates skip much more (the caller unscrambles the output
+    # with a static gather).
+    block_h = tile_size // BLOCK_W
+    blocks_x = -(-width // BLOCK_W)
+    local = (
         jax.lax.broadcasted_iota(jnp.int32, shape, 0) * jnp.int32(LANES)
         + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        + jnp.int32(tile_size) * tile
     )
-    in_image = lin < jnp.int32(n_rows * width)
-    ix = lin % jnp.int32(width)
-    iy = lin // jnp.int32(width) + row0.astype(jnp.int32)
+    bx = tile % jnp.int32(blocks_x)
+    by = tile // jnp.int32(blocks_x)
+    ix = bx * jnp.int32(BLOCK_W) + local % jnp.int32(BLOCK_W)
+    iy_local = by * jnp.int32(block_h) + local // jnp.int32(BLOCK_W)
+    in_image = (ix < jnp.int32(width)) & (iy_local < jnp.int32(n_rows))
+    iy = iy_local + row0.astype(jnp.int32)
     lane_id = (iy * jnp.int32(width) + ix).astype(jnp.uint32)
 
     t_minf = jnp.float32(t_min)
@@ -702,8 +713,20 @@ def make_block_renderer(
 
     n_pixels = n_rows * width
     tile_size = tile_rows * LANES
-    n_tiles = -(-n_pixels // tile_size)
+    block_h = tile_size // BLOCK_W
+    blocks_x = -(-width // BLOCK_W)
+    blocks_y = -(-n_rows // block_h)
+    n_tiles = blocks_x * blocks_y
     out_rows = n_tiles * tile_rows
+
+    # Static pixel → lane permutation for unscrambling the block layout.
+    import numpy as _np
+
+    _py = _np.arange(n_rows)[:, None]
+    _px = _np.arange(width)[None, :]
+    _tile = (_py // block_h) * blocks_x + (_px // BLOCK_W)
+    _local = (_py % block_h) * BLOCK_W + (_px % BLOCK_W)
+    _lane_of_pixel = (_tile * tile_size + _local).reshape(-1)
 
     kernel = functools.partial(
         _trace_kernel,
@@ -758,10 +781,10 @@ def make_block_renderer(
             interpret=interpret,
         )(sf, mt, aabb, trf, trmt, traabb, meta, row0_arr)
 
-        flat = lambda a: a.reshape(-1)[:n_pixels]
-        img_sum = jnp.stack([flat(r), flat(g), flat(b)], axis=-1).reshape(
-            n_rows, width, 3
-        )
+        unscramble = lambda a: a.reshape(-1)[_lane_of_pixel]
+        img_sum = jnp.stack(
+            [unscramble(r), unscramble(g), unscramble(b)], axis=-1
+        ).reshape(n_rows, width, 3)
         return img_sum, jnp.sum(segs)
 
     return block
