@@ -649,6 +649,9 @@ def _trace_kernel(
         alive = alive & (b < depth)
 
         # --- path regeneration: dead lanes start their next sample --------
+        # (Immediate regeneration; holding dead lanes for phase-aligned
+        # "waves" measured 15-20% slower — idle lanes cost more than the
+        # frustum coherence they buy.)
         regen = (~alive) & (s + 1 < n_valid_i) & in_image
         s = jnp.where(regen, s + 1, s)
         no, nd2 = camera_ray(s)
