@@ -20,18 +20,24 @@ sample window. This replaces the reference's "one fragment thread = one
 pixel, loop over samples inside" (shader.wgsl:372-386) with a design that
 keeps SIMD lanes busy.
 
-Other layout choices (TPU-first):
+Other layout choices (TPU-first, each measured on v5e):
 
-* rays occupy a [TM, 128] (sublane × lane) tile, TM small enough that all
-  live state fits the vector register file (TM=8 ⇒ ~30 live vregs; TM=32
-  spills catastrophically — measured 100x slower);
-* the sphere SoA rides in SMEM via scalar prefetch; closest-hit is a
-  ``fori_loop`` over spheres broadcasting each sphere's scalars against
-  the ray tile with a running (t_best, i_best) — the vector analog of the
-  reference's shrinking-window scan (shader.wgsl:314-329), with no
-  cross-lane reduction and no gather;
+* rays occupy a [TM, 128] (sublane × lane) tile; TM=16 balances register
+  residency against gate amortization (TM=8 halves the rays each fixed
+  gate serves, TM≥24 spills — 32 measured 10-100x slower);
+* each tile maps to a compact BLOCK_W × (tile/BLOCK_W) **pixel block**
+  (64×32 default) rather than a scanline strip: the tighter ray frustum
+  makes the chunk-AABB gates skip far more work (+34% on the final
+  scene); the caller unscrambles the output with a static gather;
+* the sphere/triangle SoA rides in SMEM via scalar prefetch; closest-hit
+  sweeps primitives broadcasting each one's scalars against the ray tile
+  with a running (t_best, i_best) — the vector analog of the reference's
+  shrinking-window scan (shader.wgsl:314-329), with no gathers. Scenes
+  above CULL_MIN primitives sweep Morton-sorted CULL_CHUNK-sized chunks
+  behind per-chunk AABB ``lax.cond`` gates (conservative ⇒ results are
+  identical);
 * the winner's record is fetched by a second masked select sweep
-  (i_best == s) — gather-free material/geometry fetch.
+  (i_best == s) — gather-free material/geometry fetch, gated per chunk.
 
 RNG, camera mapping, and material scatter are the *same jnp functions*
 the oracle integrator uses (core/rng.py, render/camera.py,
