@@ -119,5 +119,17 @@ def main() -> int:
     return 0
 
 
+def main_with_retry() -> int:
+    """The remote TPU backend occasionally wedges transiently (observed
+    FAILED_PRECONDITION followed by minutes of unavailability); one spaced
+    retry in a fresh attempt salvages the benchmark run."""
+    try:
+        return main()
+    except Exception as e:  # pragma: no cover - environment-dependent
+        log(f"bench: first attempt failed ({type(e).__name__}: {e}); retrying in 90s")
+        time.sleep(90)
+        return main()
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main_with_retry())
