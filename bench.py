@@ -38,9 +38,9 @@ def main() -> int:
     height = int(os.environ.get("BENCH_HEIGHT", 800 if on_tpu else 112))
     depth = int(os.environ.get("BENCH_DEPTH", 50))
     # Larger per-frame sample windows amortize the regeneration tail
-    # (measured on v5e: 17/30/40/50/54 Mrays/s at spp 8/16/32/64/125 on the
-    # final scene).
-    spp_timed = int(os.environ.get("BENCH_SPP", 64 if on_tpu else 2))
+    # (measured on v5e: 55/69/75 Mrays/s at spp 32/64/125 on the final
+    # scene with block tiling; steady-state at 125 reaches ~84).
+    spp_timed = int(os.environ.get("BENCH_SPP", 125 if on_tpu else 2))
     backend = os.environ.get("BENCH_BACKEND", "auto")
 
     from myraytracer_tpu.config import RenderConfig
