@@ -31,13 +31,17 @@ Other layout choices (TPU-first, each measured on v5e):
   scene); the caller unscrambles the output with a static gather;
 * the sphere/triangle SoA rides in SMEM via scalar prefetch; closest-hit
   sweeps primitives broadcasting each one's scalars against the ray tile
-  with a running (t_best, i_best) — the vector analog of the reference's
+  with a running t_best — the vector analog of the reference's
   shrinking-window scan (shader.wgsl:314-329), with no gathers. Scenes
   above CULL_MIN primitives sweep Morton-sorted CULL_CHUNK-sized chunks
   behind per-chunk AABB ``lax.cond`` gates (conservative ⇒ results are
   identical);
-* the winner's record is fetched by a second masked select sweep
-  (i_best == s) — gather-free material/geometry fetch, gated per chunk.
+* the winner's record (center/inv_r for the normal, albedo/fuzz/ior/mat)
+  rides the sweep carry, overwritten on every ``better`` lane — the last
+  improvement in sweep order leaves exactly the final winner's data, so
+  no winner index is ever materialized and there is no second fetch pass
+  (a separate gated fetch sweep measured ~30% of frame time:
+  tools/ablate.py; merging it in was -20% frame time: tools/sweep.py).
 
 RNG, camera mapping, and material scatter are the *same jnp functions*
 the oracle integrator uses (core/rng.py, render/camera.py,
@@ -87,6 +91,14 @@ CULL_CHUNK = 64
 # Gate the winner-fetch sweeps per chunk (an any() reduction each); with
 # few chunks the gates may cost more than they save — tunable for bench.
 GATED_FETCH = True
+# Carry the provisional winner's record through the hit sweep (selects on
+# `better`) instead of a separate fetch pass. Exact: the last improvement
+# in sweep order leaves the final winner's data, identical to the
+# post-sweep fetch. tools/ablate.py measured the separate fetch pass at
+# ~30% of frame time on the final scene; merging it measured -20% frame
+# time (tools/sweep.py). In merged mode the winner *index* is never
+# materialized — a tri_flag carry distinguishes triangle winners.
+MERGED_FETCH = True
 # Unrolled chunk interiors compile-blow-up past ~1k primitives; larger
 # scenes run a fori_loop inside each gate instead.
 UNROLL_TOTAL_MAX = 1024
@@ -95,6 +107,16 @@ UNROLL_TOTAL_MAX = 1024
 # independent dependency chains to hide VPU latency) beats 8 by ~20%, and
 # 24+ spills (32 rows measured 10-100x slower).
 DEFAULT_TILE_ROWS = 16
+# Ablation hook (tools/ablate.py): names of kernel-body components to
+# *duplicate* with an opaque runtime-zero perturbation; the duplicate's
+# outputs fold into the segment counter times an opaque 0.0, so Mosaic can
+# neither CSE nor DCE it and runtime results stay bit-identical. The
+# marginal frame time of a dup is that component's true in-situ cost.
+# Production default: empty.
+_ABLATE: tuple = ()
+# Experiment hook (tools/sweep.py): None = cull iff n_spheres > CULL_MIN;
+# True/False forces the chunk-AABB culled sweep on/off.
+_FORCE_CULL = None
 
 
 def _scene_to_prefetch(scene: CompiledScene):
@@ -225,6 +247,12 @@ def _trace_kernel(
     n_valid_i = meta_ref[3].astype(jnp.int32)
     row0 = row0_ref[0]
 
+    abl = frozenset(_ABLATE)
+    # Opaque runtime zeros (n_valid < 2^31): inputs perturbed by these are
+    # not CSE-able, and outputs multiplied by them fold to exact 0.0.
+    kill_i = (meta_ref[3] >> jnp.uint32(31)).astype(jnp.int32)
+    kill_f = kill_i.astype(jnp.float32)
+
     shape = (tile_rows, LANES)
     tile_size = tile_rows * LANES
 
@@ -298,191 +326,10 @@ def _trace_kernel(
         o, d, atten, rad, s, b, alive_i, segs = carry
         alive = alive_i > 0
         segs = segs + alive_i.astype(jnp.float32)
+        sink_parts = []  # ablation dup outputs, folded * kill_f at the end
 
-        # --- closest hit: scalar-sphere sweep with running min ------------
-        def hit_body(si, hc):
-            t_best, i_best = hc
-            cx = sf_ref[0, si]
-            cy = sf_ref[1, si]
-            cz = sf_ref[2, si]
-            rsq = sf_ref[3, si]
-            ocx = o.x - cx
-            ocy = o.y - cy
-            ocz = o.z - cz
-            b_ = ocx * d.x + ocy * d.y + ocz * d.z
-            c_ = ocx * ocx + ocy * ocy + ocz * ocz - rsq
-            disc = b_ * b_ - c_
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            t1 = -b_ - sq
-            t2 = -b_ + sq
-            t1_ok = (t1 >= t_minf) & (t1 < t_maxf)
-            t_cand = jnp.where(t1_ok, t1, t2)
-            valid = (disc >= 0.0) & (t_cand >= t_minf) & (t_cand < t_maxf)
-            t_cand = jnp.where(valid, t_cand, t_maxf)
-            better = t_cand < t_best
-            t_best = jnp.where(better, t_cand, t_best)
-            i_best = jnp.where(better, si, i_best)
-            return t_best, i_best
-
-        t_best0 = jnp.full(shape, t_maxf, jnp.float32)
-        i_best0 = jnp.full(shape, -1, jnp.int32)
-        if n_spheres <= UNROLL_MAX:
-            hc = (t_best0, i_best0)
-            for si in range(n_spheres):
-                hc = hit_body(si, hc)
-            t_best, i_best = hc
-        elif not cull:
-            t_best, i_best = jax.lax.fori_loop(
-                0, n_spheres, hit_body, (t_best0, i_best0)
-            )
-        else:
-            # Chunked sweep with per-chunk AABB culling: a slab test per
-            # lane against the chunk bounds; the 16-sphere sweep runs only
-            # when any live lane's ray can enter the box before its current
-            # closest hit. Conservative (AABBs padded by eps), so results
-            # match the plain sweep bit-for-bit.
-            eps = jnp.float32(1e-4)
-            tiny = jnp.float32(1e-30)
-            ivx = 1.0 / jnp.where(jnp.abs(d.x) < tiny, tiny, d.x)
-            ivy = 1.0 / jnp.where(jnp.abs(d.y) < tiny, tiny, d.y)
-            ivz = 1.0 / jnp.where(jnp.abs(d.z) < tiny, tiny, d.z)
-            n_chunks = n_spheres // CULL_CHUNK
-
-            def chunk_sweep(c, hc):
-                t_best, i_best = hc
-                lox = aabb_ref[0, c] - eps
-                loy = aabb_ref[1, c] - eps
-                loz = aabb_ref[2, c] - eps
-                hix = aabb_ref[3, c] + eps
-                hiy = aabb_ref[4, c] + eps
-                hiz = aabb_ref[5, c] + eps
-                tx0 = (lox - o.x) * ivx
-                tx1 = (hix - o.x) * ivx
-                ty0 = (loy - o.y) * ivy
-                ty1 = (hiy - o.y) * ivy
-                tz0 = (loz - o.z) * ivz
-                tz1 = (hiz - o.z) * ivz
-                tn = jnp.maximum(
-                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                    jnp.maximum(jnp.minimum(tz0, tz1), t_minf),
-                )
-                tf = jnp.minimum(
-                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                    jnp.minimum(jnp.maximum(tz0, tz1), t_best),
-                )
-                enter = alive & (tn <= tf)
-
-                def sweep():
-                    base = c * CULL_CHUNK
-                    if n_spheres <= UNROLL_TOTAL_MAX:
-                        hcc = (t_best, i_best)
-                        for k in range(CULL_CHUNK):
-                            hcc = hit_body(base + k, hcc)
-                        return hcc
-                    return jax.lax.fori_loop(
-                        base, base + CULL_CHUNK, hit_body, (t_best, i_best)
-                    )
-
-                return jax.lax.cond(jnp.any(enter), sweep, lambda: hc)
-
-            hc = (t_best0, i_best0)
-            for c in range(n_chunks):
-                hc = chunk_sweep(c, hc)
-            t_best, i_best = hc
-        # --- triangle sweep (Möller-Trumbore, two-sided); winners are
-        # encoded as i_best = n_spheres + ti ---------------------------------
-        if n_tris:
-            def tri_body(ti, hc):
-                t_best, i_best = hc
-                v0x = trf_ref[0, ti]
-                v0y = trf_ref[1, ti]
-                v0z = trf_ref[2, ti]
-                e1x = trf_ref[3, ti]
-                e1y = trf_ref[4, ti]
-                e1z = trf_ref[5, ti]
-                e2x = trf_ref[6, ti]
-                e2y = trf_ref[7, ti]
-                e2z = trf_ref[8, ti]
-                px = d.y * e2z - d.z * e2y
-                py = d.z * e2x - d.x * e2z
-                pz = d.x * e2y - d.y * e2x
-                det = e1x * px + e1y * py + e1z * pz
-                inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-9, 1.0, det)
-                tvx = o.x - v0x
-                tvy = o.y - v0y
-                tvz = o.z - v0z
-                u = (tvx * px + tvy * py + tvz * pz) * inv_det
-                qx = tvy * e1z - tvz * e1y
-                qy = tvz * e1x - tvx * e1z
-                qz = tvx * e1y - tvy * e1x
-                v = (d.x * qx + d.y * qy + d.z * qz) * inv_det
-                t_cand = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                valid = (
-                    (jnp.abs(det) >= 1e-9)
-                    & (u >= 0.0)
-                    & (v >= 0.0)
-                    & (u + v <= 1.0)
-                    & (t_cand >= t_minf)
-                    & (t_cand < t_maxf)
-                )
-                t_cand = jnp.where(valid, t_cand, t_maxf)
-                better = t_cand < t_best
-                t_best = jnp.where(better, t_cand, t_best)
-                i_best = jnp.where(better, n_spheres + ti, i_best)
-                return t_best, i_best
-
-            hc = (t_best, i_best)
-            if n_tris <= UNROLL_MAX:
-                for ti in range(n_tris):
-                    hc = tri_body(ti, hc)
-            else:
-                # Chunked sweep gated by chunk AABBs (same scheme as the
-                # sphere culling; Morton-sorted triangles).
-                eps_t = jnp.float32(1e-4)
-                tiny_t = jnp.float32(1e-30)
-                tivx = 1.0 / jnp.where(jnp.abs(d.x) < tiny_t, tiny_t, d.x)
-                tivy = 1.0 / jnp.where(jnp.abs(d.y) < tiny_t, tiny_t, d.y)
-                tivz = 1.0 / jnp.where(jnp.abs(d.z) < tiny_t, tiny_t, d.z)
-                for c in range(n_tris // CULL_CHUNK):
-                    t_best_c, i_best_c = hc
-                    lox = traabb_ref[0, c] - eps_t
-                    loy = traabb_ref[1, c] - eps_t
-                    loz = traabb_ref[2, c] - eps_t
-                    hix = traabb_ref[3, c] + eps_t
-                    hiy = traabb_ref[4, c] + eps_t
-                    hiz = traabb_ref[5, c] + eps_t
-                    tx0 = (lox - o.x) * tivx
-                    tx1 = (hix - o.x) * tivx
-                    ty0 = (loy - o.y) * tivy
-                    ty1 = (hiy - o.y) * tivy
-                    tz0 = (loz - o.z) * tivz
-                    tz1 = (hiz - o.z) * tivz
-                    tn = jnp.maximum(
-                        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                        jnp.maximum(jnp.minimum(tz0, tz1), t_minf),
-                    )
-                    tf = jnp.minimum(
-                        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                        jnp.minimum(jnp.maximum(tz0, tz1), t_best_c),
-                    )
-                    enter = alive & (tn <= tf)
-
-                    def tsweep(hc=hc, c=c):
-                        if n_tris <= UNROLL_TOTAL_MAX:
-                            out = hc
-                            for k in range(CULL_CHUNK):
-                                out = tri_body(c * CULL_CHUNK + k, out)
-                            return out
-                        return jax.lax.fori_loop(
-                            c * CULL_CHUNK, (c + 1) * CULL_CHUNK, tri_body, hc
-                        )
-
-                    hc = jax.lax.cond(jnp.any(enter), tsweep, lambda hc=hc: hc)
-            t_best, i_best = hc
-        hit_mask = t_best < t_maxf
-
-        # --- fetch the winner's record by masked select sweep -------------
-        # Only rows the present material families consume are fetched.
+        # Winner-record rows (defined up front for the merged-fetch sweep):
+        # only rows the present material families consume are fetched.
         zero = jnp.zeros(shape, jnp.float32)
         need_albedo = (1 in material_set) or (2 in material_set)
         rows = [0, 1, 2, 4]
@@ -496,50 +343,336 @@ def _trace_kernel(
         if 3 in material_set:
             rows += [9]
             inits += [jnp.ones(shape, jnp.float32)]
+        merged = MERGED_FETCH
+        # Triangle-table rows for the winner-record entries a triangle
+        # winner must overwrite (albedo/fuzz/ior live in different rows of
+        # the triangle SoA than the sphere SoA).
+        tri_row_of = {5: 9, 6: 10, 7: 11, 8: 12, 9: 13}
 
-        def fetch_body(si, fc):
-            sel = i_best == si
-            selected = [
-                jnp.where(sel, sf_ref[k, si], prev)
-                for k, prev in zip(rows, fc[:-1])
-            ]
-            mat = jnp.where(sel, mt_ref[si], fc[-1])
-            return (*selected, mat)
+        # --- closest hit: scalar-sphere sweep with running min ------------
+        # With MERGED_FETCH the sweep carry also holds the provisional
+        # winner's record, updated on every `better` lane: selects apply in
+        # sweep order, so the last improvement leaves exactly the final
+        # winner's data — the separate fetch pass (measured ~30% of frame
+        # time by tools/ablate.py) disappears.
+        def run_hit(o, d):
+            def hit_body(si, hc):
+                t_best = hc[0]
+                cx = sf_ref[0, si]
+                cy = sf_ref[1, si]
+                cz = sf_ref[2, si]
+                rsq = sf_ref[3, si]
+                ocx = o.x - cx
+                ocy = o.y - cy
+                ocz = o.z - cz
+                b_ = ocx * d.x + ocy * d.y + ocz * d.z
+                c_ = ocx * ocx + ocy * ocy + ocz * ocz - rsq
+                disc = b_ * b_ - c_
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                t1 = -b_ - sq
+                t2 = -b_ + sq
+                t1_ok = (t1 >= t_minf) & (t1 < t_maxf)
+                t_cand = jnp.where(t1_ok, t1, t2)
+                valid = (disc >= 0.0) & (t_cand >= t_minf) & (t_cand < t_maxf)
+                t_cand = jnp.where(valid, t_cand, t_maxf)
+                better = t_cand < t_best
+                t_best = jnp.where(better, t_cand, t_best)
+                if not merged:
+                    i_best = jnp.where(better, si, hc[1])
+                    return t_best, i_best
+                acc = hc[1:]
+                new_acc = [
+                    jnp.where(better, sf_ref[k, si], prev)
+                    for k, prev in zip(rows, acc[: len(rows)])
+                ]
+                new_acc.append(jnp.where(better, mt_ref[si], acc[len(rows)]))
+                new_acc.extend(acc[len(rows) + 1:])  # tri slots pass through
+                return (t_best, *new_acc)
 
-        fetched0 = (*inits, jnp.zeros(shape, jnp.int32))
-        if n_spheres <= UNROLL_MAX:
-            fc = fetched0
-            for si in range(n_spheres):
-                fc = fetch_body(si, fc)
-            fetched = fc
-        elif not cull:
-            fetched = jax.lax.fori_loop(0, n_spheres, fetch_body, fetched0)
-        else:
-            # Winners cluster in few chunks; fetch only chunks that own one.
-            if GATED_FETCH:
-                fc = fetched0
-                for c in range(n_spheres // CULL_CHUNK):
-                    base = c * CULL_CHUNK
-                    owns = jnp.any(
-                        (i_best >= base) & (i_best < base + CULL_CHUNK)
+            t_best0 = jnp.full(shape, t_maxf, jnp.float32)
+            izero = jnp.zeros(shape, jnp.int32)
+            if merged:
+                # carry: t_best, winner record (rows + mat), and for tri
+                # scenes e1/e2 (geometric normal) + a winner-is-tri flag.
+                hc0 = (
+                    t_best0, *inits, izero,
+                    *([zero] * 6 + [izero] if n_tris else []),
+                )
+            else:
+                hc0 = (t_best0, jnp.full(shape, -1, jnp.int32))
+            if n_spheres <= UNROLL_MAX:
+                hc = hc0
+                for si in range(n_spheres):
+                    hc = hit_body(si, hc)
+            elif not cull:
+                hc = jax.lax.fori_loop(0, n_spheres, hit_body, hc0)
+            else:
+                # Chunked sweep with per-chunk AABB culling: a slab test per
+                # lane against the chunk bounds; the 16-sphere sweep runs only
+                # when any live lane's ray can enter the box before its current
+                # closest hit. Conservative (AABBs padded by eps), so results
+                # match the plain sweep bit-for-bit.
+                eps = jnp.float32(1e-4)
+                tiny = jnp.float32(1e-30)
+                ivx = 1.0 / jnp.where(jnp.abs(d.x) < tiny, tiny, d.x)
+                ivy = 1.0 / jnp.where(jnp.abs(d.y) < tiny, tiny, d.y)
+                ivz = 1.0 / jnp.where(jnp.abs(d.z) < tiny, tiny, d.z)
+                n_chunks = n_spheres // CULL_CHUNK
+
+                def chunk_sweep(c, hc):
+                    t_best = hc[0]
+                    lox = aabb_ref[0, c] - eps
+                    loy = aabb_ref[1, c] - eps
+                    loz = aabb_ref[2, c] - eps
+                    hix = aabb_ref[3, c] + eps
+                    hiy = aabb_ref[4, c] + eps
+                    hiz = aabb_ref[5, c] + eps
+                    tx0 = (lox - o.x) * ivx
+                    tx1 = (hix - o.x) * ivx
+                    ty0 = (loy - o.y) * ivy
+                    ty1 = (hiy - o.y) * ivy
+                    tz0 = (loz - o.z) * ivz
+                    tz1 = (hiz - o.z) * ivz
+                    tn = jnp.maximum(
+                        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                        jnp.maximum(jnp.minimum(tz0, tz1), t_minf),
                     )
+                    tf = jnp.minimum(
+                        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                        jnp.minimum(jnp.maximum(tz0, tz1), t_best),
+                    )
+                    enter = alive & (tn <= tf)
 
-                    def fetch_chunk(fc=fc, base=base):
+                    def sweep():
+                        base = c * CULL_CHUNK
                         if n_spheres <= UNROLL_TOTAL_MAX:
-                            out = fc
+                            hcc = hc
                             for k in range(CULL_CHUNK):
-                                out = fetch_body(base + k, out)
-                            return out
+                                hcc = hit_body(base + k, hcc)
+                            return hcc
                         return jax.lax.fori_loop(
-                            base, base + CULL_CHUNK, fetch_body, fc
+                            base, base + CULL_CHUNK, hit_body, hc
                         )
 
-                    fc = jax.lax.cond(owns, fetch_chunk, lambda fc=fc: fc)
+                    return jax.lax.cond(jnp.any(enter), sweep, lambda: hc)
+
+                hc = hc0
+                for c in range(n_chunks):
+                    hc = chunk_sweep(c, hc)
+            # --- triangle sweep (Möller-Trumbore, two-sided); winners are
+            # encoded as i_best = n_spheres + ti ---------------------------------
+            if n_tris:
+                def tri_body(ti, hc):
+                    t_best = hc[0]
+                    v0x = trf_ref[0, ti]
+                    v0y = trf_ref[1, ti]
+                    v0z = trf_ref[2, ti]
+                    e1x = trf_ref[3, ti]
+                    e1y = trf_ref[4, ti]
+                    e1z = trf_ref[5, ti]
+                    e2x = trf_ref[6, ti]
+                    e2y = trf_ref[7, ti]
+                    e2z = trf_ref[8, ti]
+                    px = d.y * e2z - d.z * e2y
+                    py = d.z * e2x - d.x * e2z
+                    pz = d.x * e2y - d.y * e2x
+                    det = e1x * px + e1y * py + e1z * pz
+                    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-9, 1.0, det)
+                    tvx = o.x - v0x
+                    tvy = o.y - v0y
+                    tvz = o.z - v0z
+                    u = (tvx * px + tvy * py + tvz * pz) * inv_det
+                    qx = tvy * e1z - tvz * e1y
+                    qy = tvz * e1x - tvx * e1z
+                    qz = tvx * e1y - tvy * e1x
+                    v = (d.x * qx + d.y * qy + d.z * qz) * inv_det
+                    t_cand = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                    valid = (
+                        (jnp.abs(det) >= 1e-9)
+                        & (u >= 0.0)
+                        & (v >= 0.0)
+                        & (u + v <= 1.0)
+                        & (t_cand >= t_minf)
+                        & (t_cand < t_maxf)
+                    )
+                    t_cand = jnp.where(valid, t_cand, t_maxf)
+                    better = t_cand < t_best
+                    t_best = jnp.where(better, t_cand, t_best)
+                    if not merged:
+                        i_best = jnp.where(better, n_spheres + ti, hc[1])
+                        return t_best, i_best
+                    acc = list(hc[1:])
+                    for pos, k in enumerate(rows):
+                        if k in tri_row_of:
+                            acc[pos] = jnp.where(
+                                better, trf_ref[tri_row_of[k], ti], acc[pos]
+                            )
+                    acc[len(rows)] = jnp.where(
+                        better, trmt_ref[ti], acc[len(rows)]
+                    )
+                    for j in range(6):
+                        acc[len(rows) + 1 + j] = jnp.where(
+                            better, trf_ref[3 + j, ti], acc[len(rows) + 1 + j]
+                        )
+                    # Spheres sweep strictly before triangles, so once any
+                    # triangle improves the hit, the final winner is a
+                    # triangle: OR of tri betters == winner-is-tri.
+                    acc[len(rows) + 7] = jnp.where(
+                        better, 1, acc[len(rows) + 7]
+                    )
+                    return (t_best, *acc)
+
+                if n_tris <= UNROLL_MAX:
+                    for ti in range(n_tris):
+                        hc = tri_body(ti, hc)
+                else:
+                    # Chunked sweep gated by chunk AABBs (same scheme as the
+                    # sphere culling; Morton-sorted triangles).
+                    eps_t = jnp.float32(1e-4)
+                    tiny_t = jnp.float32(1e-30)
+                    tivx = 1.0 / jnp.where(jnp.abs(d.x) < tiny_t, tiny_t, d.x)
+                    tivy = 1.0 / jnp.where(jnp.abs(d.y) < tiny_t, tiny_t, d.y)
+                    tivz = 1.0 / jnp.where(jnp.abs(d.z) < tiny_t, tiny_t, d.z)
+                    for c in range(n_tris // CULL_CHUNK):
+                        t_best_c = hc[0]
+                        lox = traabb_ref[0, c] - eps_t
+                        loy = traabb_ref[1, c] - eps_t
+                        loz = traabb_ref[2, c] - eps_t
+                        hix = traabb_ref[3, c] + eps_t
+                        hiy = traabb_ref[4, c] + eps_t
+                        hiz = traabb_ref[5, c] + eps_t
+                        tx0 = (lox - o.x) * tivx
+                        tx1 = (hix - o.x) * tivx
+                        ty0 = (loy - o.y) * tivy
+                        ty1 = (hiy - o.y) * tivy
+                        tz0 = (loz - o.z) * tivz
+                        tz1 = (hiz - o.z) * tivz
+                        tn = jnp.maximum(
+                            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                            jnp.maximum(jnp.minimum(tz0, tz1), t_minf),
+                        )
+                        tf = jnp.minimum(
+                            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                            jnp.minimum(jnp.maximum(tz0, tz1), t_best_c),
+                        )
+                        enter = alive & (tn <= tf)
+
+                        def tsweep(hc=hc, c=c):
+                            if n_tris <= UNROLL_TOTAL_MAX:
+                                out = hc
+                                for k in range(CULL_CHUNK):
+                                    out = tri_body(c * CULL_CHUNK + k, out)
+                                return out
+                            return jax.lax.fori_loop(
+                                c * CULL_CHUNK, (c + 1) * CULL_CHUNK, tri_body, hc
+                            )
+
+                        hc = jax.lax.cond(jnp.any(enter), tsweep, lambda hc=hc: hc)
+            return hc
+
+        hres = run_hit(o, d)
+        if "hit" in abl:
+            h2 = run_hit(V3(o.x + kill_f, o.y, o.z), d)
+            for a2 in h2:
+                sink_parts.append(
+                    a2 if a2.dtype == jnp.float32 else a2.astype(jnp.float32)
+                )
+        t_best = hres[0]
+        i_best = None if merged else hres[1]
+        hit_mask = t_best < t_maxf
+
+        if "gates" in abl and cull:
+            # Slab test + any() + lax.cond per chunk, with trivial branch
+            # bodies: isolates the per-chunk gate overhead from the sweeps.
+            eps_g = jnp.float32(1e-4)
+            tiny_g = jnp.float32(1e-30)
+            dxg = d.x + kill_f
+            gvx = 1.0 / jnp.where(jnp.abs(dxg) < tiny_g, tiny_g, dxg)
+            gvy = 1.0 / jnp.where(jnp.abs(d.y) < tiny_g, tiny_g, d.y)
+            gvz = 1.0 / jnp.where(jnp.abs(d.z) < tiny_g, tiny_g, d.z)
+            gacc = segs * kill_f
+            for c in range(n_spheres // CULL_CHUNK):
+                tx0 = (aabb_ref[0, c] - eps_g - o.x) * gvx
+                tx1 = (aabb_ref[3, c] + eps_g - o.x) * gvx
+                ty0 = (aabb_ref[1, c] - eps_g - o.y) * gvy
+                ty1 = (aabb_ref[4, c] + eps_g - o.y) * gvy
+                tz0 = (aabb_ref[2, c] - eps_g - o.z) * gvz
+                tz1 = (aabb_ref[5, c] + eps_g - o.z) * gvz
+                tng = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                    jnp.maximum(jnp.minimum(tz0, tz1), t_minf),
+                )
+                tfg = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                    jnp.minimum(jnp.maximum(tz0, tz1), t_maxf),
+                )
+                enter_g = alive & (tng <= tfg)
+                gacc = jax.lax.cond(
+                    jnp.any(enter_g),
+                    lambda gacc=gacc: gacc + 1.0,
+                    lambda gacc=gacc: gacc,
+                )
+            sink_parts.append(gacc)
+
+        # --- fetch the winner's record by masked select sweep -------------
+        # (Only in non-merged mode; with MERGED_FETCH the hit sweep above
+        # already carried the winner's record.)
+        def run_fetch(i_best):
+            def fetch_body(si, fc):
+                sel = i_best == si
+                selected = [
+                    jnp.where(sel, sf_ref[k, si], prev)
+                    for k, prev in zip(rows, fc[:-1])
+                ]
+                mat = jnp.where(sel, mt_ref[si], fc[-1])
+                return (*selected, mat)
+
+            fetched0 = (*inits, jnp.zeros(shape, jnp.int32))
+            if n_spheres <= UNROLL_MAX:
+                fc = fetched0
+                for si in range(n_spheres):
+                    fc = fetch_body(si, fc)
                 fetched = fc
-            else:
+            elif not cull:
                 fetched = jax.lax.fori_loop(0, n_spheres, fetch_body, fetched0)
-        vals = dict(zip(rows, fetched[:-1]))
-        mt = fetched[-1]
+            else:
+                # Winners cluster in few chunks; fetch only chunks that own one.
+                if GATED_FETCH:
+                    fc = fetched0
+                    for c in range(n_spheres // CULL_CHUNK):
+                        base = c * CULL_CHUNK
+                        owns = jnp.any(
+                            (i_best >= base) & (i_best < base + CULL_CHUNK)
+                        )
+
+                        def fetch_chunk(fc=fc, base=base):
+                            if n_spheres <= UNROLL_TOTAL_MAX:
+                                out = fc
+                                for k in range(CULL_CHUNK):
+                                    out = fetch_body(base + k, out)
+                                return out
+                            return jax.lax.fori_loop(
+                                base, base + CULL_CHUNK, fetch_body, fc
+                            )
+
+                        fc = jax.lax.cond(owns, fetch_chunk, lambda fc=fc: fc)
+                    fetched = fc
+                else:
+                    fetched = jax.lax.fori_loop(0, n_spheres, fetch_body, fetched0)
+            return fetched
+
+        if merged:
+            vals = dict(zip(rows, hres[1:1 + len(rows)]))
+            mt = hres[1 + len(rows)]
+        else:
+            fetched = run_fetch(i_best)
+            if "fetch" in abl:
+                f2 = run_fetch(i_best + kill_i)
+                for a2 in f2[:-1]:
+                    sink_parts.append(a2)
+                sink_parts.append(f2[-1].astype(jnp.float32))
+            vals = dict(zip(rows, fetched[:-1]))
+            mt = fetched[-1]
         cx, cy, cz, inv_r = vals[0], vals[1], vals[2], vals[4]
         ax = vals.get(5, zero)
         ay = vals.get(6, zero)
@@ -549,7 +682,15 @@ def _trace_kernel(
 
         point = o + d * t_best
         normal = (point - V3(cx, cy, cz)) * inv_r
-        if n_tris:
+        if n_tris and merged:
+            # Triangle winners already overrode the record in the sweep;
+            # only the geometric normal from the carried e1/e2 remains.
+            (te1x, te1y, te1z, te2x, te2y, te2z, tri_flag) = hres[2 + len(rows):]
+            is_tri = tri_flag > 0
+            gn = V3(te1x, te1y, te1z).cross(V3(te2x, te2y, te2z))
+            gn_inv = jax.lax.rsqrt(jnp.maximum(gn.length_sq(), jnp.float32(1e-30)))
+            normal = V3.where(is_tri, gn * gn_inv, normal)
+        if n_tris and not merged:
             # Triangle winners override the sphere record.
             te1x = zero; te1y = zero; te1z = zero
             te2x = zero; te2y = zero; te2z = zero
@@ -604,7 +745,10 @@ def _trace_kernel(
         front = normal.dot(d) <= 0.0
         normal = V3.where(front, normal, -normal)
         hit = Hit(
-            t=t_best, idx=i_best, mask=hit_mask, point=point, normal=normal,
+            # In merged mode the winner index is never materialized (the
+            # record rides the sweep carry); scatter does not consume idx.
+            t=t_best, idx=(jnp.zeros(shape, jnp.int32) if merged else i_best),
+            mask=hit_mask, point=point, normal=normal,
             front_face=front, mat_ty=mt, albedo=V3(ax, ay, az), fuzz=fz, ior=io,
         )
 
@@ -641,7 +785,32 @@ def _trace_kernel(
             crng.unit_ball_from_uniforms(ub1, ub2, ub3) if need_ball else zero3
         )
 
+        if "rng" in abl:
+            # Three extra draw2 calls (the per-bounce scatter draw budget)
+            # at distinct slots: the threefry cost, data-independent.
+            for off in (101, 102, 103):
+                ra, rb = draw2(draw + jnp.uint32(off))
+                sink_parts.append(ra)
+                sink_parts.append(rb)
+        if "samplers" in abl:
+            if 1 in material_set:
+                ss2 = crng.unit_sphere_from_uniforms(us1 + kill_f, us2)
+                sink_parts.extend([ss2.x, ss2.y, ss2.z])
+            if need_ball:
+                bs2 = crng.unit_ball_from_uniforms(ub1 + kill_f, ub2, ub3)
+                sink_parts.extend([bs2.x, bs2.y, bs2.z])
+
         sc = scatter(d, hit, sphere_sample, ball_sample, ud, material_set)
+        if "scatter" in abl:
+            sc2 = scatter(
+                d, hit._replace(fuzz=hit.fuzz + kill_f),
+                sphere_sample, ball_sample, ud, material_set,
+            )
+            sink_parts.extend([
+                sc2.ok.astype(jnp.float32),
+                sc2.direction.x, sc2.direction.y, sc2.direction.z,
+                sc2.attenuation.x, sc2.attenuation.y, sc2.attenuation.z,
+            ])
         alive = alive & sc.ok  # absorbed → retire black (shader.wgsl:349-350)
 
         atten = V3.where(alive, atten * sc.attenuation, atten)
@@ -661,12 +830,20 @@ def _trace_kernel(
         regen = (~alive) & (s + 1 < n_valid_i) & in_image
         s = jnp.where(regen, s + 1, s)
         no, nd2 = camera_ray(s)
+        if "regen" in abl:
+            ro2, rd2 = camera_ray(s + kill_i)
+            sink_parts.extend([ro2.x, ro2.y, ro2.z, rd2.x, rd2.y, rd2.z])
         o = V3.where(regen, no, o)
         d = V3.where(regen, nd2, d)
         one = zero + 1.0
         atten = V3.where(regen, V3(one, one, one), atten)
         b = jnp.where(regen, 0, b)
         alive_i = (alive | regen).astype(jnp.int32)
+        if sink_parts:
+            acc = sink_parts[0]
+            for p in sink_parts[1:]:
+                acc = acc + p
+            segs = segs + acc * kill_f
         return (o, d, atten, rad, s, b, alive_i, segs)
 
     zero = jnp.zeros(shape, jnp.float32)
@@ -756,7 +933,8 @@ def make_block_renderer(
         n_tris = int(trf.shape[1]) if scene.has_triangles else 0
         kern = functools.partial(
             kernel, n_spheres=n_spheres, n_tris=n_tris,
-            cull=n_spheres > CULL_MIN,
+            cull=(_FORCE_CULL if _FORCE_CULL is not None
+                  else n_spheres > CULL_MIN),
         )
 
         meta = jnp.stack(
