@@ -37,10 +37,12 @@ def main() -> int:
     width = int(os.environ.get("BENCH_WIDTH", 1200 if on_tpu else 200))
     height = int(os.environ.get("BENCH_HEIGHT", 800 if on_tpu else 112))
     depth = int(os.environ.get("BENCH_DEPTH", 50))
-    # Larger per-frame sample windows amortize the regeneration tail
-    # (measured on v5e: 55/69/75 Mrays/s at spp 32/64/125 on the final
-    # scene with block tiling; steady-state at 125 reaches ~84).
-    spp_timed = int(os.environ.get("BENCH_SPP", 125 if on_tpu else 2))
+    # Larger per-frame sample windows amortize the regeneration tail and
+    # per-call dispatch (measured on v5e with the merged-fetch kernel:
+    # 66/87/100/109/115 Mrays/s at spp 32/64/125/250/500). The default is
+    # the headline BASELINE config itself: the full 500-spp final-scene
+    # frame in one kernel call.
+    spp_timed = int(os.environ.get("BENCH_SPP", 500 if on_tpu else 2))
     backend = os.environ.get("BENCH_BACKEND", "auto")
 
     from myraytracer_tpu.config import RenderConfig
@@ -89,7 +91,7 @@ def main() -> int:
     log(f"bench: compile+first frame {time.perf_counter() - t0:.1f}s")
 
     # Timed frames (distinct sample windows — real progressive work).
-    n_frames = 3
+    n_frames = int(os.environ.get("BENCH_FRAMES", 2 if spp_timed >= 250 else 3))
     t0 = time.perf_counter()
     total_segs = 0.0
     for i in range(1, n_frames + 1):
