@@ -64,6 +64,8 @@ def main() -> int:
     factory = renderer_factory(config)
     materials = {s.material.type_id for s in world.spheres}
     materials |= {m.material.type_id for m in world.meshes}
+    iors = {s.material.ior for s in world.spheres if s.material.type_id == 3}
+    iors |= {m.material.ior for m in world.meshes if m.material.type_id == 3}
     render = factory(
         world.camera,
         width,
@@ -72,6 +74,7 @@ def main() -> int:
         config.ray_depth,
         sample_batch=config.resolve_sample_batch(),
         material_set=tuple(sorted(materials)) or None,
+        static_ior=(iors.pop() if len(iors) == 1 else None),
     )
     key = crng.key_from_seed(0)
 

@@ -119,43 +119,74 @@ _ABLATE: tuple = ()
 _FORCE_CULL = None
 
 
-def _scene_to_prefetch(scene: CompiledScene):
+PAD_CENTER = 3e30  # pad-slot cx: the hit quadratic overflows → never valid
+
+
+def _pack_mat_bits(values_x, fuzz, mat_ty, material_set):
+    """Pack the material-type index into the SIGN bits of (albedo_r, fuzz).
+
+    ``idx = signbit(albedo_r) + 2*signbit(fuzz)`` indexes
+    ``sorted(material_set)``. Albedo and fuzz are nonnegative by API
+    contract and ``|-0.0| == 0.0``, so the packing is lossless — the
+    kernel recovers exact values with ``abs`` and never needs a separate
+    material-id row (one fewer SMEM read + select + carried array per
+    sweep step). Pad slots (mat_ty 0) match nothing → idx 0 → unchanged.
+    """
+    ms = sorted(material_set)
+    idx = jnp.zeros_like(mat_ty)
+    for j, m in enumerate(ms):
+        idx = jnp.where(mat_ty == m, j, idx)
+    vx = jnp.where((idx & 1) == 1, -values_x, values_x)
+    fz = jnp.where((idx >> 1) == 1, -fuzz, fuzz)
+    return vx, fz
+
+
+def _scene_to_prefetch(scene: CompiledScene, material_set):
     """Pack the SoA scene into the SMEM prefetch layout.
 
-    Rows of the f32 table: cx, cy, cz, radius_sq, inv_radius (signed),
-    albedo_r, albedo_g, albedo_b, fuzz, ior. Arrays are padded to a
-    CULL_CHUNK multiple; the third return is the per-chunk AABB table
-    [6, n_chunks] (lox loy loz hix hiy hiz), with unhittable pad slots
-    excluded (an all-pad chunk gets an empty inverted box and is always
-    culled).
+    Rows of the f32 table: cx, cy, cz, r (signed radius), albedo_r,
+    albedo_g, albedo_b, fuzz, ior — with the material-type index packed
+    into the sign bits of albedo_r/fuzz (see ``_pack_mat_bits``). The
+    kernel derives ``radius² = r·r`` (the same IEEE product the scene
+    compiler stores) and ``1/r`` (correctly-rounded divide — identical to
+    the compiled ``inv_radius``), so one row replaces two.
+
+    Pad slots — both the scene compiler's (``radius_sq < 0``) and the
+    CULL_CHUNK alignment pads added here — are relocated to
+    ``cx = PAD_CENTER``: the quadratic's ``|oc|²`` overflows to inf and
+    ``disc`` becomes -inf/NaN, which never passes ``valid`` (NaN
+    comparisons are false). The AABB table excludes them by the same
+    center test (an all-pad chunk gets an inverted box, always culled).
+
+    Returns (f32 table, chunk AABBs, triangle table, triangle AABBs).
     """
-    inv_r = 1.0 / scene.radius  # pads have radius 1.0 → safe
+    is_pad = scene.radius_sq < 0.0
+    arx, fzp = _pack_mat_bits(
+        scene.albedo.x, scene.fuzz, scene.mat_ty.astype(jnp.int32),
+        material_set,
+    )
     f32 = jnp.stack(
         [
-            scene.center.x,
+            jnp.where(is_pad, jnp.float32(PAD_CENTER), scene.center.x),
             scene.center.y,
             scene.center.z,
-            scene.radius_sq,
-            inv_r,
-            scene.albedo.x,
+            scene.radius,  # pads: 1.0 (harmless — relocated far away)
+            arx,
             scene.albedo.y,
             scene.albedo.z,
-            scene.fuzz,
+            fzp,
             scene.ior,
         ]
     )
-    mt = scene.mat_ty.astype(jnp.int32)
     pad = (-f32.shape[1]) % CULL_CHUNK
     if pad:
         f32 = jnp.pad(f32, ((0, 0), (0, pad)))
-        # keep pads unhittable / safe: radius_sq=-1, inv_radius=1
-        f32 = f32.at[3, -pad:].set(-1.0)
-        f32 = f32.at[4, -pad:].set(1.0)
-        mt = jnp.pad(mt, (0, pad))
+        f32 = f32.at[0, -pad:].set(PAD_CENTER)
+        f32 = f32.at[3, -pad:].set(1.0)
 
     n_chunks = f32.shape[1] // CULL_CHUNK
-    is_pad = f32[3] < 0.0
-    r_abs = jnp.abs(1.0 / f32[4])
+    is_pad = f32[0] > jnp.float32(1e29)
+    r_abs = jnp.abs(f32[3])
     big = jnp.float32(3e38)
     lo = jnp.stack([
         jnp.where(is_pad, big, f32[k] - r_abs).reshape(n_chunks, CULL_CHUNK).min(axis=1)
@@ -167,23 +198,25 @@ def _scene_to_prefetch(scene: CompiledScene):
     ])
     aabb = jnp.concatenate([lo, hi], axis=0)  # [6, n_chunks]
 
-    # Triangle tables: rows v0(3), e1(3), e2(3), albedo(3), fuzz, ior.
-    # A dummy degenerate row keeps the prefetch arity fixed for
+    # Triangle tables: rows v0(3), e1(3), e2(3), albedo(3), fuzz, ior —
+    # material type packed into albedo_r/fuzz signs exactly as for
+    # spheres. A dummy degenerate row keeps the prefetch arity fixed for
     # triangle-free scenes (n_tris=0 skips the sweep statically).
     if scene.has_triangles:
         tr = scene.tris
+        tarx, tfzp = _pack_mat_bits(
+            tr.albedo.x, tr.fuzz, tr.mat_ty.astype(jnp.int32), material_set
+        )
         trf = jnp.stack([
             tr.v0.x, tr.v0.y, tr.v0.z,
             tr.e1.x, tr.e1.y, tr.e1.z,
             tr.e2.x, tr.e2.y, tr.e2.z,
-            tr.albedo.x, tr.albedo.y, tr.albedo.z,
-            tr.fuzz, tr.ior,
+            tarx, tr.albedo.y, tr.albedo.z,
+            tfzp, tr.ior,
         ])
-        trmt = tr.mat_ty.astype(jnp.int32)
         tpad = (-trf.shape[1]) % CULL_CHUNK
         if tpad:
             trf = jnp.pad(trf, ((0, 0), (0, tpad)))  # degenerate pads
-            trmt = jnp.pad(trmt, (0, tpad))
         tn_chunks = trf.shape[1] // CULL_CHUNK
         v0x, v0y, v0z = trf[0], trf[1], trf[2]
         v1x, v1y, v1z = v0x + trf[3], v0y + trf[4], v0z + trf[5]
@@ -206,18 +239,16 @@ def _scene_to_prefetch(scene: CompiledScene):
         traabb = jnp.concatenate([tlo, thi], axis=0)
     else:
         trf = jnp.zeros((14, 1), jnp.float32)
-        trmt = jnp.zeros((1,), jnp.int32)
         traabb = jnp.zeros((6, 1), jnp.float32)
-    return f32, mt, aabb, trf, trmt, traabb
+    return f32, aabb, trf, traabb
 
 
 def _trace_kernel(
     # scalar-prefetch refs (SMEM):
-    sf_ref,  # [10, N] f32 scene table
-    mt_ref,  # [N] i32 material types
+    sf_ref,  # [9, N] f32 scene table (cx cy cz r ar ag ab fz ior; see
+    #          _scene_to_prefetch — material type in ar/fz sign bits)
     aabb_ref,  # [6, n_chunks] f32 chunk bounds (culled sweeps only)
     trf_ref,  # [14, T] f32 triangle table (v0, e1, e2, albedo, fuzz, ior)
-    trmt_ref,  # [T] i32 triangle material types
     traabb_ref,  # [6, t_chunks] f32 triangle chunk bounds
     meta_ref,  # [4] u32: key0, key1, sample_start, n_valid
     row0_ref,  # [1] u32: first image row of this block invocation
@@ -239,6 +270,7 @@ def _trace_kernel(
     material_set,
     cull: bool,
     rng_mode: str,
+    static_ior=None,
 ):
     tile = pl.program_id(0)
 
@@ -329,25 +361,28 @@ def _trace_kernel(
         sink_parts = []  # ablation dup outputs, folded * kill_f at the end
 
         # Winner-record rows (defined up front for the merged-fetch sweep):
-        # only rows the present material families consume are fetched.
+        # beyond cx/cy/cz/r — always carried for the hit normal — only
+        # rows the present material families consume are fetched. The
+        # material type rides the sign bits of albedo_r/fuzz (see
+        # _pack_mat_bits), and a scene-uniform dielectric IOR becomes the
+        # static_ior constant: no type row, and usually no IOR row.
         zero = jnp.zeros(shape, jnp.float32)
+        ones = jnp.ones(shape, jnp.float32)
         need_albedo = (1 in material_set) or (2 in material_set)
-        rows = [0, 1, 2, 4]
-        inits = [zero, zero, zero, jnp.ones(shape, jnp.float32)]
+        rec_rows = []
+        rec_inits = []
         if need_albedo:
-            rows += [5, 6, 7]
-            inits += [zero, zero, zero]
+            rec_rows += [4, 5, 6]
+            rec_inits += [zero, zero, zero]
         if 2 in material_set:
-            rows += [8]
-            inits += [zero]
-        if 3 in material_set:
-            rows += [9]
-            inits += [jnp.ones(shape, jnp.float32)]
+            rec_rows += [7]
+            rec_inits += [zero]
+        if (3 in material_set) and static_ior is None:
+            rec_rows += [8]
+            rec_inits += [ones]
         merged = MERGED_FETCH
-        # Triangle-table rows for the winner-record entries a triangle
-        # winner must overwrite (albedo/fuzz/ior live in different rows of
-        # the triangle SoA than the sphere SoA).
-        tri_row_of = {5: 9, 6: 10, 7: 11, 8: 12, 9: 13}
+        # Triangle-table row holding the same quantity as sphere row k:
+        tri_row_of = {4: 9, 5: 10, 6: 11, 7: 12, 8: 13}
 
         # --- closest hit: scalar-sphere sweep with running min ------------
         # With MERGED_FETCH the sweep carry also holds the provisional
@@ -361,7 +396,8 @@ def _trace_kernel(
                 cx = sf_ref[0, si]
                 cy = sf_ref[1, si]
                 cz = sf_ref[2, si]
-                rsq = sf_ref[3, si]
+                r_ = sf_ref[3, si]
+                rsq = r_ * r_  # scalar; same IEEE product the compiler stores
                 ocx = o.x - cx
                 ocy = o.y - cy
                 ocz = o.z - cz
@@ -381,21 +417,26 @@ def _trace_kernel(
                     i_best = jnp.where(better, si, hc[1])
                     return t_best, i_best
                 acc = hc[1:]
+                # cx/cy/cz/r reuse the scalars the quadratic already read.
                 new_acc = [
-                    jnp.where(better, sf_ref[k, si], prev)
-                    for k, prev in zip(rows, acc[: len(rows)])
+                    jnp.where(better, v, prev)
+                    for v, prev in zip((cx, cy, cz, r_), acc[:4])
                 ]
-                new_acc.append(jnp.where(better, mt_ref[si], acc[len(rows)]))
-                new_acc.extend(acc[len(rows) + 1:])  # tri slots pass through
+                new_acc.extend(
+                    jnp.where(better, sf_ref[k, si], prev)
+                    for k, prev in zip(rec_rows, acc[4:4 + len(rec_rows)])
+                )
+                new_acc.extend(acc[4 + len(rec_rows):])  # tri slots pass through
                 return (t_best, *new_acc)
 
             t_best0 = jnp.full(shape, t_maxf, jnp.float32)
             izero = jnp.zeros(shape, jnp.int32)
             if merged:
-                # carry: t_best, winner record (rows + mat), and for tri
-                # scenes e1/e2 (geometric normal) + a winner-is-tri flag.
+                # carry: t_best, winner record (center, r, material rows),
+                # and for tri scenes e1/e2 (geometric normal) + a
+                # winner-is-tri flag.
                 hc0 = (
-                    t_best0, *inits, izero,
+                    t_best0, zero, zero, zero, ones, *rec_inits,
                     *([zero] * 6 + [izero] if n_tris else []),
                 )
             else:
@@ -502,24 +543,21 @@ def _trace_kernel(
                         i_best = jnp.where(better, n_spheres + ti, hc[1])
                         return t_best, i_best
                     acc = list(hc[1:])
-                    for pos, k in enumerate(rows):
-                        if k in tri_row_of:
-                            acc[pos] = jnp.where(
-                                better, trf_ref[tri_row_of[k], ti], acc[pos]
-                            )
-                    acc[len(rows)] = jnp.where(
-                        better, trmt_ref[ti], acc[len(rows)]
-                    )
+                    # cx/cy/cz/r accumulators stay (normal is overridden
+                    # for triangle winners; r stays finite for the divide).
+                    for pos, k in enumerate(rec_rows):
+                        acc[4 + pos] = jnp.where(
+                            better, trf_ref[tri_row_of[k], ti], acc[4 + pos]
+                        )
+                    base = 4 + len(rec_rows)
                     for j in range(6):
-                        acc[len(rows) + 1 + j] = jnp.where(
-                            better, trf_ref[3 + j, ti], acc[len(rows) + 1 + j]
+                        acc[base + j] = jnp.where(
+                            better, trf_ref[3 + j, ti], acc[base + j]
                         )
                     # Spheres sweep strictly before triangles, so once any
                     # triangle improves the hit, the final winner is a
                     # triangle: OR of tri betters == winner-is-tri.
-                    acc[len(rows) + 7] = jnp.where(
-                        better, 1, acc[len(rows) + 7]
-                    )
+                    acc[base + 6] = jnp.where(better, 1, acc[base + 6])
                     return (t_best, *acc)
 
                 if n_tris <= UNROLL_MAX:
@@ -618,27 +656,27 @@ def _trace_kernel(
         # (Only in non-merged mode; with MERGED_FETCH the hit sweep above
         # already carried the winner's record.)
         def run_fetch(i_best):
+            frows = [0, 1, 2, 3] + rec_rows
+            finits = (zero, zero, zero, ones, *rec_inits)
+
             def fetch_body(si, fc):
                 sel = i_best == si
-                selected = [
+                return tuple(
                     jnp.where(sel, sf_ref[k, si], prev)
-                    for k, prev in zip(rows, fc[:-1])
-                ]
-                mat = jnp.where(sel, mt_ref[si], fc[-1])
-                return (*selected, mat)
+                    for k, prev in zip(frows, fc)
+                )
 
-            fetched0 = (*inits, jnp.zeros(shape, jnp.int32))
             if n_spheres <= UNROLL_MAX:
-                fc = fetched0
+                fc = finits
                 for si in range(n_spheres):
                     fc = fetch_body(si, fc)
                 fetched = fc
             elif not cull:
-                fetched = jax.lax.fori_loop(0, n_spheres, fetch_body, fetched0)
+                fetched = jax.lax.fori_loop(0, n_spheres, fetch_body, finits)
             else:
                 # Winners cluster in few chunks; fetch only chunks that own one.
                 if GATED_FETCH:
-                    fc = fetched0
+                    fc = finits
                     for c in range(n_spheres // CULL_CHUNK):
                         base = c * CULL_CHUNK
                         owns = jnp.any(
@@ -658,62 +696,50 @@ def _trace_kernel(
                         fc = jax.lax.cond(owns, fetch_chunk, lambda fc=fc: fc)
                     fetched = fc
                 else:
-                    fetched = jax.lax.fori_loop(0, n_spheres, fetch_body, fetched0)
+                    fetched = jax.lax.fori_loop(0, n_spheres, fetch_body, finits)
             return fetched
 
         if merged:
-            vals = dict(zip(rows, hres[1:1 + len(rows)]))
-            mt = hres[1 + len(rows)]
+            cxw, cyw, czw, rw = hres[1], hres[2], hres[3], hres[4]
+            recs = list(hres[5:5 + len(rec_rows)])
         else:
             fetched = run_fetch(i_best)
             if "fetch" in abl:
                 f2 = run_fetch(i_best + kill_i)
-                for a2 in f2[:-1]:
+                for a2 in f2:
                     sink_parts.append(a2)
-                sink_parts.append(f2[-1].astype(jnp.float32))
-            vals = dict(zip(rows, fetched[:-1]))
-            mt = fetched[-1]
-        cx, cy, cz, inv_r = vals[0], vals[1], vals[2], vals[4]
-        ax = vals.get(5, zero)
-        ay = vals.get(6, zero)
-        az = vals.get(7, zero)
-        fz = vals.get(8, zero)
-        io = vals.get(9, jnp.ones(shape, jnp.float32))
+            cxw, cyw, czw, rw = fetched[0], fetched[1], fetched[2], fetched[3]
+            recs = list(fetched[4:])
 
         point = o + d * t_best
-        normal = (point - V3(cx, cy, cz)) * inv_r
+        # 1/r is the correctly-rounded divide — bit-identical to the scene
+        # compiler's inv_radius (no-hit lanes carry r=1, keeping it finite).
+        normal = (point - V3(cxw, cyw, czw)) * (1.0 / rw)
         if n_tris and merged:
             # Triangle winners already overrode the record in the sweep;
             # only the geometric normal from the carried e1/e2 remains.
-            (te1x, te1y, te1z, te2x, te2y, te2z, tri_flag) = hres[2 + len(rows):]
+            (te1x, te1y, te1z, te2x, te2y, te2z, tri_flag) = (
+                hres[5 + len(rec_rows):]
+            )
             is_tri = tri_flag > 0
             gn = V3(te1x, te1y, te1z).cross(V3(te2x, te2y, te2z))
             gn_inv = jax.lax.rsqrt(jnp.maximum(gn.length_sq(), jnp.float32(1e-30)))
             normal = V3.where(is_tri, gn * gn_inv, normal)
         if n_tris and not merged:
-            # Triangle winners override the sphere record.
-            te1x = zero; te1y = zero; te1z = zero
-            te2x = zero; te2y = zero; te2z = zero
-
+            # Triangle winners override the sphere record (still packed).
             def tri_fetch(ti, fc):
-                (e1x, e1y, e1z, e2x, e2y, e2z, ax_, ay_, az_, fz_, io_, mt_) = fc
                 sel = i_best == (n_spheres + ti)
-                return (
-                    jnp.where(sel, trf_ref[3, ti], e1x),
-                    jnp.where(sel, trf_ref[4, ti], e1y),
-                    jnp.where(sel, trf_ref[5, ti], e1z),
-                    jnp.where(sel, trf_ref[6, ti], e2x),
-                    jnp.where(sel, trf_ref[7, ti], e2y),
-                    jnp.where(sel, trf_ref[8, ti], e2z),
-                    jnp.where(sel, trf_ref[9, ti], ax_),
-                    jnp.where(sel, trf_ref[10, ti], ay_),
-                    jnp.where(sel, trf_ref[11, ti], az_),
-                    jnp.where(sel, trf_ref[12, ti], fz_),
-                    jnp.where(sel, trf_ref[13, ti], io_),
-                    jnp.where(sel, trmt_ref[ti], mt_),
+                new_e = tuple(
+                    jnp.where(sel, trf_ref[3 + j, ti], v)
+                    for j, v in enumerate(fc[:6])
                 )
+                new_r = tuple(
+                    jnp.where(sel, trf_ref[tri_row_of[k], ti], v)
+                    for k, v in zip(rec_rows, fc[6:])
+                )
+                return (*new_e, *new_r)
 
-            tfc = (te1x, te1y, te1z, te2x, te2y, te2z, ax, ay, az, fz, io, mt)
+            tfc = (zero, zero, zero, zero, zero, zero, *recs)
             if n_tris <= UNROLL_MAX:
                 for ti in range(n_tris):
                     tfc = tri_fetch(ti, tfc)
@@ -736,12 +762,49 @@ def _trace_kernel(
                         )
 
                     tfc = jax.lax.cond(owns, tfetch_chunk, lambda tfc=tfc: tfc)
-            (te1x, te1y, te1z, te2x, te2y, te2z, ax, ay, az, fz, io, mt) = tfc
+            (te1x, te1y, te1z, te2x, te2y, te2z) = tfc[:6]
+            recs = list(tfc[6:])
 
             is_tri = i_best >= n_spheres
             gn = V3(te1x, te1y, te1z).cross(V3(te2x, te2y, te2z))
             gn_inv = jax.lax.rsqrt(jnp.maximum(gn.length_sq(), jnp.float32(1e-30)))
             normal = V3.where(is_tri, gn * gn_inv, normal)
+
+        # --- decode the packed record (see _pack_mat_bits) -----------------
+        recd = dict(zip(rec_rows, recs))
+        arp = recd.get(4, zero)
+        ay = recd.get(5, zero)
+        az = recd.get(6, zero)
+        fzp = recd.get(7, zero)
+        if (3 in material_set) and static_ior is None:
+            io = recd[8]
+        elif 3 in material_set:
+            io = zero + jnp.float32(static_ior)
+        else:
+            io = ones
+        ms = sorted(material_set)
+        if len(ms) == 1:
+            ax, fz = arp, fzp
+            mt = jnp.full(shape, ms[0], jnp.int32)
+        else:
+            b0 = (
+                jax.lax.bitcast_convert_type(arp, jnp.uint32)
+                >> jnp.uint32(31)
+            ).astype(jnp.int32)
+            ax = jnp.abs(arp)
+            if len(ms) == 2:
+                fz = fzp
+                mt = jnp.where(b0 == 1, jnp.int32(ms[1]), jnp.int32(ms[0]))
+            else:
+                b1 = (
+                    jax.lax.bitcast_convert_type(fzp, jnp.uint32)
+                    >> jnp.uint32(31)
+                ).astype(jnp.int32)
+                fz = jnp.abs(fzp)
+                mt = jnp.where(
+                    b1 == 1, jnp.int32(ms[2]),
+                    jnp.where(b0 == 1, jnp.int32(ms[1]), jnp.int32(ms[0])),
+                )
         front = normal.dot(d) <= 0.0
         normal = V3.where(front, normal, -normal)
         hit = Hit(
@@ -882,14 +945,22 @@ def make_block_renderer(
     interpret: bool = False,
     material_set=None,
     rng_mode: str = "threefry",
+    static_ior=None,
 ):
     """Pallas implementation of the block-renderer protocol.
 
     Same contract as ``render.integrator.make_block_renderer``:
     ``block(scene, key, row0, sample_start, n_valid) -> (radiance_sum
     [n_rows, width, 3], segments f32)``.
+
+    ``static_ior``: when every dielectric in the scene shares one index of
+    refraction, pass it here — the kernel bakes it in and drops the IOR
+    row from the winner-record sweep (one fewer SMEM read + select +
+    carried array per sweep step). Exact: the constant is the same f32.
     """
     del sample_batch, max_samples
+    if static_ior is not None:
+        static_ior = float(static_ior)
     if material_set is None:
         material_set = (1, 2, 3)
     material_set = tuple(sorted(set(material_set)))
@@ -925,10 +996,11 @@ def make_block_renderer(
         t_max=float(t_max),
         tile_rows=tile_rows,
         ray_gen=ray_gen,
+        static_ior=static_ior,
     )
 
     def block(scene: CompiledScene, key, row0, sample_start, n_valid):
-        sf, mt, aabb, trf, trmt, traabb = _scene_to_prefetch(scene)
+        sf, aabb, trf, traabb = _scene_to_prefetch(scene, material_set)
         n_spheres = int(sf.shape[1])
         n_tris = int(trf.shape[1]) if scene.has_triangles else 0
         kern = functools.partial(
@@ -948,7 +1020,7 @@ def make_block_renderer(
         row0_arr = jnp.asarray(row0, jnp.uint32).reshape(1)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=8,
+            num_scalar_prefetch=6,
             grid=(n_tiles,),
             in_specs=[],
             out_specs=[
@@ -966,7 +1038,7 @@ def make_block_renderer(
             grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((out_rows, LANES), jnp.float32)] * 4,
             interpret=interpret,
-        )(sf, mt, aabb, trf, trmt, traabb, meta, row0_arr)
+        )(sf, aabb, trf, traabb, meta, row0_arr)
 
         unscramble = lambda a: a.reshape(-1)[_lane_of_pixel]
         img_sum = jnp.stack(
@@ -990,6 +1062,7 @@ def make_renderer(
     interpret: bool = False,
     material_set=None,
     rng_mode: str = "threefry",
+    static_ior=None,
 ):
     """Jitted single-device frame renderer on the Pallas megakernel.
 
@@ -999,7 +1072,7 @@ def make_renderer(
     block = make_block_renderer(
         cam, width, height, height, spp, ray_depth,
         t_min=t_min, t_max=t_max, tile_rows=tile_rows, interpret=interpret,
-        material_set=material_set, rng_mode=rng_mode,
+        material_set=material_set, rng_mode=rng_mode, static_ior=static_ior,
     )
 
     @jax.jit

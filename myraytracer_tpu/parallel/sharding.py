@@ -93,6 +93,7 @@ def make_tile_sharded_renderer(
     sample_batch: int = 1,
     mesh: Optional[Mesh] = None,
     material_set=None,
+    static_ior=None,
     block_factory=None,
 ):
     """Shard image rows across the mesh; each chip renders its rows locally."""
@@ -107,7 +108,7 @@ def make_tile_sharded_renderer(
     block = _resolve_block_factory(block_factory)(
         cam, width, height, rows_per, spp, ray_depth,
         t_min=t_min, t_max=t_max, sample_batch=sample_batch,
-        material_set=material_set,
+        material_set=material_set, static_ior=static_ior,
     )
 
     def local(scene, key, sample_base):
@@ -144,6 +145,7 @@ def make_sample_sharded_renderer(
     sample_batch: int = 1,
     mesh: Optional[Mesh] = None,
     material_set=None,
+    static_ior=None,
     block_factory=None,
 ):
     """Each chip renders the full frame for a disjoint sample window; the
@@ -157,7 +159,7 @@ def make_sample_sharded_renderer(
     block = _resolve_block_factory(block_factory)(
         cam, width, height, height, per_dev, ray_depth,
         t_min=t_min, t_max=t_max, sample_batch=sample_batch,
-        material_set=material_set,
+        material_set=material_set, static_ior=static_ior,
     )
 
     def local(scene, key, sample_base):
@@ -196,6 +198,7 @@ def make_hybrid_sharded_renderer(
     sample_batch: int = 1,
     mesh: Optional[Mesh] = None,
     material_set=None,
+    static_ior=None,
     block_factory=None,
 ):
     """2-D mesh: image rows sharded over "tiles", samples over "samples".
@@ -219,7 +222,7 @@ def make_hybrid_sharded_renderer(
     block = _resolve_block_factory(block_factory)(
         cam, width, height, rows_per, per_dev, ray_depth,
         t_min=t_min, t_max=t_max, sample_batch=sample_batch,
-        material_set=material_set,
+        material_set=material_set, static_ior=static_ior,
     )
 
     def local(scene, key, sample_base):

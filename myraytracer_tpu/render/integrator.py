@@ -152,6 +152,7 @@ def make_block_renderer(
     t_max: float = 1e4,
     sample_batch: int = 1,
     material_set=None,
+    static_ior=None,
 ):
     """Build the composable rendering primitive.
 
@@ -166,7 +167,8 @@ def make_block_renderer(
     """
     if ray_depth > crng.MAX_DEPTH:
         raise ValueError(f"ray_depth {ray_depth} exceeds MAX_DEPTH {crng.MAX_DEPTH}")
-    del material_set  # the oracle keeps all branches (it is the reference)
+    del material_set, static_ior  # the oracle keeps all branches (it is
+    # the reference; static_ior is a Pallas-kernel specialization knob)
     b = max(1, min(int(sample_batch), int(max_samples)))
     n_batches = -(-int(max_samples) // b)
     ray_gen = cam_mod.make_ray_generator(cam, width, height)
@@ -233,6 +235,7 @@ def make_renderer(
     t_max: float = 1e4,
     sample_batch: int = 1,
     material_set=None,
+    static_ior=None,
 ):
     """Build a jitted single-device frame renderer.
 
@@ -247,7 +250,7 @@ def make_renderer(
     block = make_block_renderer(
         cam, width, height, height, spp, ray_depth,
         t_min=t_min, t_max=t_max, sample_batch=sample_batch,
-        material_set=material_set,
+        material_set=material_set, static_ior=static_ior,
     )
 
     @jax.jit

@@ -62,6 +62,9 @@ class RenderSession:
         factory = renderer_factory or make_renderer
         materials = {s.material.type_id for s in world.spheres}
         materials |= {m.material.type_id for m in world.meshes}
+        # Scene-uniform dielectric IOR → static kernel constant (exact).
+        iors = {s.material.ior for s in world.spheres if s.material.type_id == 3}
+        iors |= {m.material.ior for m in world.meshes if m.material.type_id == 3}
         self._render = factory(
             world.camera,
             self.width,
@@ -72,6 +75,7 @@ class RenderSession:
             t_max=config.t_max,
             sample_batch=config.resolve_sample_batch(),
             material_set=tuple(sorted(materials)) or None,
+            static_ior=(iors.pop() if len(iors) == 1 else None),
         )
 
         self.framebuffer = jnp.zeros((self.height, self.width, 3), jnp.float32)

@@ -151,6 +151,63 @@ def main():
 
     run_kernel("carry-1-baseline", carry25, 1, base=2_000_000)
 
+    # 7: the MERGED-fetch sweep shape — per sphere 14 SMEM scalar reads,
+    # the hit quadratic, and 11 record selects on `better`. Distinguishes
+    # "SMEM read port limit" from "ALU throughput" for the in-situ sweep.
+    rec = jnp.arange(14 * 16, dtype=jnp.float32).reshape(14, 16) * 0.01 + 1.0
+
+    def hit16_merged(i, x, s_ref):
+        o = x * 0.001
+        d = x * 0.0005 + 0.5
+        t_best = x * 0.0 + 1e4
+        acc = [x * 0.0] * 11
+        for k in range(16):
+            cx = s_ref[0, k]
+            cy = s_ref[1, k]
+            cz = s_ref[2, k]
+            rsq = s_ref[3, k]
+            ocx = o - cx
+            ocy = o - cy
+            ocz = o - cz
+            b = ocx * d + ocy * d + ocz * d
+            c = ocx * ocx + ocy * ocy + ocz * ocz - rsq
+            disc = b * b - c
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t1 = -b - sq
+            t2 = -b + sq
+            ok = (t1 >= 1e-3) & (t1 < 1e4)
+            tc = jnp.where(ok, t1, t2)
+            valid = (disc >= 0.0) & (tc >= 1e-3) & (tc < 1e4)
+            tc = jnp.where(valid, tc, 1e4)
+            better = tc < t_best
+            t_best = jnp.where(better, tc, t_best)
+            acc = [
+                jnp.where(better, s_ref[3 + j, k], a)
+                for j, a in enumerate(acc)
+            ]
+        out = t_best * 1e-4 + x * 0.9
+        for a in acc:
+            out = out + a * 1e-7
+        return out
+
+    run_kernel(
+        "hit-sweep-16sph-merged", hit16_merged, 16 * 36, scalars=rec,
+        base=300_000,
+    )
+
+    # 8: SMEM read throughput — 32 reads + 1 add each per iteration.
+    def smem32(i, x, s_ref):
+        for r in range(8):
+            for c in range(4):
+                x = x + s_ref[r, c]
+        return x * 0.999
+
+    run_kernel(
+        "smem-32reads", smem32, 32,
+        scalars=jnp.arange(128, dtype=jnp.float32).reshape(8, 16),
+        base=2_000_000,
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -41,6 +41,7 @@ VARIANTS = [
                          "UNROLL_MAX": 512}),
     ("merged-chunk32", {"MERGED_FETCH": True, "CULL_CHUNK": 32}),
     ("unmerged", {"MERGED_FETCH": False}),
+    ("dyn-ior", {"_NO_STATIC_IOR": True}),
     ("chunk96", {"CULL_CHUNK": 96}),
     ("tile24", {"DEFAULT_TILE_ROWS": 24}),
     ("tile32", {"DEFAULT_TILE_ROWS": 32}),
@@ -66,6 +67,9 @@ def main() -> int:
     world = get_scene(scene_name, seed=0)
     mats = tuple(sorted({s.material.type_id for s in world.spheres} |
                         {m.material.type_id for m in world.meshes}))
+    iors = {s.material.ior for s in world.spheres if s.material.type_id == 3}
+    iors |= {m.material.ior for m in world.meshes if m.material.type_id == 3}
+    static_ior = iors.pop() if len(iors) == 1 else None
     key = crng.key_from_seed(0)
 
     defaults = {}
@@ -75,6 +79,8 @@ def main() -> int:
           flush=True)
     for name, overrides in variants:
         for k, v in overrides.items():
+            if k.startswith("_NO_"):  # sweep-local switch, not a trace attr
+                continue
             defaults.setdefault(k, getattr(trace, k))
             setattr(trace, k, v)
         try:
@@ -83,6 +89,8 @@ def main() -> int:
                 world.camera, width, height, spp, 50,
                 material_set=mats,
                 tile_rows=trace.DEFAULT_TILE_ROWS,
+                static_ior=(None if overrides.get("_NO_STATIC_IOR")
+                            else static_ior),
             )
             t0 = time.perf_counter()
             img, segs = render(scene, key, 0)
