@@ -35,7 +35,10 @@ Other layout choices (TPU-first, each measured on v5e):
   shrinking-window scan (shader.wgsl:314-329), with no gathers. Scenes
   above CULL_MIN primitives sweep Morton-sorted CULL_CHUNK-sized chunks
   behind per-chunk AABB ``lax.cond`` gates (conservative ⇒ results are
-  identical);
+  identical), except the first LEADERS slots — the scene compiler hoists
+  the largest spheres there and they sweep unconditionally, so a giant
+  sphere (RTiOW's ground) cannot inflate its chunk's AABB into a box
+  every ray enters every bounce;
 * the winner's record (center/inv_r for the normal, albedo/fuzz/ior/mat)
   rides the sweep carry, overwritten on every ``better`` lane — the last
   improvement in sweep order leaves exactly the final winner's data, so
@@ -73,7 +76,7 @@ from myraytracer_tpu.render import camera as cam_mod
 from myraytracer_tpu.render.hit import Hit
 from myraytracer_tpu.render.materials import color_sky, scatter
 from myraytracer_tpu.scene.api import Camera
-from myraytracer_tpu.scene.compile import CompiledScene
+from myraytracer_tpu.scene.compile import LEADERS, CompiledScene
 
 LANES = 128
 # Pixel-block width per tile (block height = tile_size / BLOCK_W).
@@ -82,12 +85,13 @@ BLOCK_W = 64
 # loop) so Mosaic can software-pipeline the SMEM scalar loads.
 UNROLL_MAX = 64
 # Above this sphere count the hit/fetch sweeps run chunked with per-chunk
-# AABB culling (requires a Morton-sorted scene for locality). 64-sphere
-# chunks measured best on v5e: each chunk gate costs a cross-lane any()
-# reduction (~a 16-sphere sweep's worth of cycles), so fewer, larger
-# chunks beat fine-grained ones.
+# AABB culling (requires a Morton-sorted scene for locality). With the
+# scene's giant spheres hoisted into the ungated LEADERS prologue the
+# remaining chunks' AABBs are tight, and 32-sphere chunks measured a
+# consistent few-percent win over 64 (each gate costs a cross-lane any()
+# reduction, so much finer chunks lose again — 16 measured worse).
 CULL_MIN = 64
-CULL_CHUNK = 64
+CULL_CHUNK = 32
 # Gate the winner-fetch sweeps per chunk (an any() reduction each); with
 # few chunks the gates may cost more than they save — tunable for bench.
 GATED_FETCH = True
@@ -141,63 +145,7 @@ def _pack_mat_bits(values_x, fuzz, mat_ty, material_set):
     return vx, fz
 
 
-def _scene_to_prefetch(scene: CompiledScene, material_set):
-    """Pack the SoA scene into the SMEM prefetch layout.
-
-    Rows of the f32 table: cx, cy, cz, r (signed radius), albedo_r,
-    albedo_g, albedo_b, fuzz, ior — with the material-type index packed
-    into the sign bits of albedo_r/fuzz (see ``_pack_mat_bits``). The
-    kernel derives ``radius² = r·r`` (the same IEEE product the scene
-    compiler stores) and ``1/r`` (correctly-rounded divide — identical to
-    the compiled ``inv_radius``), so one row replaces two.
-
-    Pad slots — both the scene compiler's (``radius_sq < 0``) and the
-    CULL_CHUNK alignment pads added here — are relocated to
-    ``cx = PAD_CENTER``: the quadratic's ``|oc|²`` overflows to inf and
-    ``disc`` becomes -inf/NaN, which never passes ``valid`` (NaN
-    comparisons are false). The AABB table excludes them by the same
-    center test (an all-pad chunk gets an inverted box, always culled).
-
-    Returns (f32 table, chunk AABBs, triangle table, triangle AABBs).
-    """
-    is_pad = scene.radius_sq < 0.0
-    arx, fzp = _pack_mat_bits(
-        scene.albedo.x, scene.fuzz, scene.mat_ty.astype(jnp.int32),
-        material_set,
-    )
-    f32 = jnp.stack(
-        [
-            jnp.where(is_pad, jnp.float32(PAD_CENTER), scene.center.x),
-            scene.center.y,
-            scene.center.z,
-            scene.radius,  # pads: 1.0 (harmless — relocated far away)
-            arx,
-            scene.albedo.y,
-            scene.albedo.z,
-            fzp,
-            scene.ior,
-        ]
-    )
-    pad = (-f32.shape[1]) % CULL_CHUNK
-    if pad:
-        f32 = jnp.pad(f32, ((0, 0), (0, pad)))
-        f32 = f32.at[0, -pad:].set(PAD_CENTER)
-        f32 = f32.at[3, -pad:].set(1.0)
-
-    n_chunks = f32.shape[1] // CULL_CHUNK
-    is_pad = f32[0] > jnp.float32(1e29)
-    r_abs = jnp.abs(f32[3])
-    big = jnp.float32(3e38)
-    lo = jnp.stack([
-        jnp.where(is_pad, big, f32[k] - r_abs).reshape(n_chunks, CULL_CHUNK).min(axis=1)
-        for k in range(3)
-    ])
-    hi = jnp.stack([
-        jnp.where(is_pad, -big, f32[k] + r_abs).reshape(n_chunks, CULL_CHUNK).max(axis=1)
-        for k in range(3)
-    ])
-    aabb = jnp.concatenate([lo, hi], axis=0)  # [6, n_chunks]
-
+def _tri_prefetch(scene: CompiledScene, material_set):
     # Triangle tables: rows v0(3), e1(3), e2(3), albedo(3), fuzz, ior —
     # material type packed into albedo_r/fuzz signs exactly as for
     # spheres. A dummy degenerate row keeps the prefetch arity fixed for
@@ -240,7 +188,79 @@ def _scene_to_prefetch(scene: CompiledScene, material_set):
     else:
         trf = jnp.zeros((14, 1), jnp.float32)
         traabb = jnp.zeros((6, 1), jnp.float32)
-    return f32, aabb, trf, traabb
+    return trf, traabb
+
+
+def _scene_to_prefetch(scene: CompiledScene, material_set):
+    """Pack the SoA scene into the SMEM prefetch layout.
+
+    Rows of the f32 table: cx, cy, cz, r (signed radius), albedo_r,
+    albedo_g, albedo_b, fuzz, ior — with the material-type index packed
+    into the sign bits of albedo_r/fuzz (see ``_pack_mat_bits``). The
+    kernel derives ``radius² = r·r`` (the same IEEE product the scene
+    compiler stores) and ``1/r`` (correctly-rounded divide — identical to
+    the compiled ``inv_radius``), so one row replaces two.
+
+    Pad slots — both the scene compiler's (``radius_sq < 0``) and the
+    CULL_CHUNK alignment pads added here — are relocated to
+    ``cx = PAD_CENTER``: the quadratic's ``|oc|²`` overflows to inf and
+    ``disc`` becomes -inf/NaN, which never passes ``valid`` (NaN
+    comparisons are false). The AABB table excludes them by the same
+    center test (an all-pad chunk gets an inverted box, always culled).
+
+    Returns (f32 table, chunk AABBs, triangle table, triangle AABBs).
+    """
+    is_pad = scene.radius_sq < 0.0
+    arx, fzp = _pack_mat_bits(
+        scene.albedo.x, scene.fuzz, scene.mat_ty.astype(jnp.int32),
+        material_set,
+    )
+    f32 = jnp.stack(
+        [
+            jnp.where(is_pad, jnp.float32(PAD_CENTER), scene.center.x),
+            scene.center.y,
+            scene.center.z,
+            scene.radius,  # pads: 1.0 (harmless — relocated far away)
+            arx,
+            scene.albedo.y,
+            scene.albedo.z,
+            fzp,
+            scene.ior,
+        ]
+    )
+    # The first LEADERS slots sweep unconditionally (compile_scene hoists
+    # the largest spheres there); chunk-AABB culling covers only the rest,
+    # so pad the table to LEADERS + k*CULL_CHUNK.
+    pad = (LEADERS - f32.shape[1]) % CULL_CHUNK
+    if pad:
+        f32 = jnp.pad(f32, ((0, 0), (0, pad)))
+        f32 = f32.at[0, -pad:].set(PAD_CENTER)
+        f32 = f32.at[3, -pad:].set(1.0)
+
+    ck = f32[:, LEADERS:]  # the chunk-culled portion
+    n_chunks = ck.shape[1] // CULL_CHUNK
+    if n_chunks == 0:
+        # Small scene: everything fits in the unrolled sweep, no culling.
+        # Mosaic rejects zero-sized prefetch operands, so pass a dummy row.
+        return (
+            f32,
+            jnp.zeros((6, 1), jnp.float32),
+            *_tri_prefetch(scene, material_set),
+        )
+    is_pad = ck[0] > jnp.float32(1e29)
+    r_abs = jnp.abs(ck[3])
+    big = jnp.float32(3e38)
+    lo = jnp.stack([
+        jnp.where(is_pad, big, ck[k] - r_abs).reshape(n_chunks, CULL_CHUNK).min(axis=1)
+        for k in range(3)
+    ])
+    hi = jnp.stack([
+        jnp.where(is_pad, -big, ck[k] + r_abs).reshape(n_chunks, CULL_CHUNK).max(axis=1)
+        for k in range(3)
+    ])
+    aabb = jnp.concatenate([lo, hi], axis=0)  # [6, n_chunks]
+
+    return f32, aabb, *_tri_prefetch(scene, material_set)
 
 
 def _trace_kernel(
@@ -458,7 +478,7 @@ def _trace_kernel(
                 ivx = 1.0 / jnp.where(jnp.abs(d.x) < tiny, tiny, d.x)
                 ivy = 1.0 / jnp.where(jnp.abs(d.y) < tiny, tiny, d.y)
                 ivz = 1.0 / jnp.where(jnp.abs(d.z) < tiny, tiny, d.z)
-                n_chunks = n_spheres // CULL_CHUNK
+                n_chunks = (n_spheres - LEADERS) // CULL_CHUNK
 
                 def chunk_sweep(c, hc):
                     t_best = hc[0]
@@ -485,7 +505,7 @@ def _trace_kernel(
                     enter = alive & (tn <= tf)
 
                     def sweep():
-                        base = c * CULL_CHUNK
+                        base = LEADERS + c * CULL_CHUNK
                         if n_spheres <= UNROLL_TOTAL_MAX:
                             hcc = hc
                             for k in range(CULL_CHUNK):
@@ -497,7 +517,12 @@ def _trace_kernel(
 
                     return jax.lax.cond(jnp.any(enter), sweep, lambda: hc)
 
+                # Leaders (the scene's largest spheres, hoisted up front by
+                # compile_scene) sweep unconditionally — their size would
+                # make any chunk AABB containing them always-entered.
                 hc = hc0
+                for si in range(LEADERS):
+                    hc = hit_body(si, hc)
                 for c in range(n_chunks):
                     hc = chunk_sweep(c, hc)
             # --- triangle sweep (Möller-Trumbore, two-sided); winners are
@@ -629,7 +654,7 @@ def _trace_kernel(
             gvy = 1.0 / jnp.where(jnp.abs(d.y) < tiny_g, tiny_g, d.y)
             gvz = 1.0 / jnp.where(jnp.abs(d.z) < tiny_g, tiny_g, d.z)
             gacc = segs * kill_f
-            for c in range(n_spheres // CULL_CHUNK):
+            for c in range((n_spheres - LEADERS) // CULL_CHUNK):
                 tx0 = (aabb_ref[0, c] - eps_g - o.x) * gvx
                 tx1 = (aabb_ref[3, c] + eps_g - o.x) * gvx
                 ty0 = (aabb_ref[1, c] - eps_g - o.y) * gvy
@@ -674,11 +699,15 @@ def _trace_kernel(
             elif not cull:
                 fetched = jax.lax.fori_loop(0, n_spheres, fetch_body, finits)
             else:
-                # Winners cluster in few chunks; fetch only chunks that own one.
+                # Winners cluster in few chunks; fetch only chunks that own
+                # one. Leaders fetch unconditionally (they match the hit
+                # sweep's ungated prologue).
                 if GATED_FETCH:
                     fc = finits
-                    for c in range(n_spheres // CULL_CHUNK):
-                        base = c * CULL_CHUNK
+                    for si in range(LEADERS):
+                        fc = fetch_body(si, fc)
+                    for c in range((n_spheres - LEADERS) // CULL_CHUNK):
+                        base = LEADERS + c * CULL_CHUNK
                         owns = jnp.any(
                             (i_best >= base) & (i_best < base + CULL_CHUNK)
                         )

@@ -29,6 +29,19 @@ MATERIAL_METAL = 2  # lib.rs:646
 MATERIAL_DIELECTRIC = 3  # extension
 
 
+def _check_nonnegative(name: str, *values: float) -> None:
+    # Albedo/fuzz nonnegativity is part of the API contract (they are
+    # physically meaningless negative, and the reference's RTiOW scenes
+    # never produce one). The Pallas kernel additionally relies on it:
+    # the material-type index is packed into the sign bits of
+    # albedo_r/fuzz in the SMEM scene table (kernels/trace.py
+    # _pack_mat_bits), so a negative value would decode as the wrong
+    # material. Reject loudly at construction.
+    for v in values:
+        if v < 0:
+            raise ValueError(f"{name} must be nonnegative, got {values}")
+
+
 @dataclasses.dataclass(frozen=True)
 class Lambertian:
     """Diffuse material (reference api::Lambertian, lib.rs:613-615)."""
@@ -36,6 +49,9 @@ class Lambertian:
     albedo: Vec3
 
     type_id = MATERIAL_LAMBERTIAN
+
+    def __post_init__(self):
+        _check_nonnegative("Lambertian.albedo", *self.albedo)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -46,6 +62,10 @@ class Metal:
     fuzz: float = 0.0
 
     type_id = MATERIAL_METAL
+
+    def __post_init__(self):
+        _check_nonnegative("Metal.albedo", *self.albedo)
+        _check_nonnegative("Metal.fuzz", self.fuzz)
 
 
 @dataclasses.dataclass(frozen=True)

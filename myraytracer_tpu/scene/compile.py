@@ -221,6 +221,14 @@ def morton_order(centers: np.ndarray) -> np.ndarray:
     return np.argsort(_morton3(q), kind="stable")
 
 
+# Spheres hoisted to the front of the spatially-sorted order (the LEADERS
+# largest by |radius|): the Pallas kernel sweeps the first LEADERS table
+# slots unconditionally and applies chunk-AABB culling only to the rest,
+# so one giant sphere (e.g. the RTiOW ground, radius 1000) cannot inflate
+# its Morton chunk's AABB into a box every ray enters every bounce.
+LEADERS = 8
+
+
 def compile_scene(
     world: api.World,
     pad_to: int = SPHERE_PAD,
@@ -241,6 +249,15 @@ def compile_scene(
     if spatial_sort and n > 1:
         centers = np.asarray([s.center for s in spheres], np.float32)
         order = morton_order(centers)
+        if n > LEADERS:
+            # Hoist the LEADERS largest spheres to the front (keeping
+            # Morton order within each group). Ordering affects only
+            # equal-t tie-breaking, like the Morton sort itself.
+            radii = np.abs(np.asarray([s.radius for s in spheres], np.float32))
+            big = np.argsort(-radii[order], kind="stable")[:LEADERS]
+            lead_mask = np.zeros(len(order), bool)
+            lead_mask[big] = True
+            order = np.concatenate([order[lead_mask], order[~lead_mask]])
         spheres = tuple(spheres[i] for i in order)
         world = api.World(spheres, camera=world.camera, meshes=world.meshes)
     npad = max(pad_to, -(-max(n, 1) // pad_to) * pad_to)

@@ -88,3 +88,21 @@ def test_camera_focus_dist():
     assert abs(cam.resolved_focus_dist() - 5.0) < 1e-9
     cam2 = api.Camera(focus_dist=2.5)
     assert cam2.resolved_focus_dist() == 2.5
+
+
+def test_material_params_must_be_nonnegative():
+    # API contract (and the Pallas kernel packs the material-type index
+    # into albedo/fuzz sign bits — a negative value would decode wrong).
+    import pytest
+
+    from myraytracer_tpu.scene import api
+
+    with pytest.raises(ValueError):
+        api.Lambertian(albedo=(-0.1, 0.5, 0.5))
+    with pytest.raises(ValueError):
+        api.Metal(albedo=(0.5, -1.0, 0.5))
+    with pytest.raises(ValueError):
+        api.Metal(albedo=(0.5, 0.5, 0.5), fuzz=-0.01)
+    # Zero and positive values are fine.
+    api.Lambertian(albedo=(0.0, 0.0, 0.0))
+    api.Metal(albedo=(1.0, 1.0, 1.0), fuzz=0.0)

@@ -84,6 +84,10 @@ def main() -> int:
 
     print(f"scene=final {width}x{height} spp={spp} depth=50 reps={reps}",
           flush=True)
+    # Interleave a baseline before every component and compare each dup to
+    # the mean of its neighboring baselines: the TPU drifts ±3-5% (and
+    # sometimes 20% coming off idle) across a multi-minute run, which a
+    # single up-front baseline cannot cancel.
     base_t, base_segs, cs, base_img = measure(())
     print(f"baseline: {base_t*1e3:8.1f} ms  ({base_segs/1e6:.0f} M segs, "
           f"{base_segs/base_t/1e6:.1f} Mrays/s; compile {cs:.0f}s)", flush=True)
@@ -91,27 +95,29 @@ def main() -> int:
     rows = []
     if trace.MERGED_FETCH:
         comps = tuple(c for c in comps if c != "fetch")
+    prev_base = base_t
     for comp in comps:
         t, segs, cs, img = measure((comp,))
+        next_base, _, _, _ = measure(())
+        local_base = (prev_base + next_base) / 2
+        prev_base = next_base
         if segs != base_segs:
             print(f"!! {comp}: segs changed ({segs} vs {base_segs}) — "
                   "dup not inert, measurement invalid", flush=True)
         if not np.array_equal(img, base_img):
             print(f"!! {comp}: image changed — dup not inert", flush=True)
-        dt = t - base_t
-        rows.append((comp, dt))
+        dt = t - local_base
+        rows.append((comp, dt, local_base))
         print(f"+{comp:9s} {t*1e3:8.1f} ms  Δ={dt*1e3:7.1f} ms "
-              f"({dt/base_t*100:5.1f}% of baseline; compile {cs:.0f}s)",
+              f"({dt/local_base*100:5.1f}% of local baseline "
+              f"{local_base*1e3:.0f} ms; compile {cs:.0f}s)",
               flush=True)
 
-    base2_t, _, _, _ = measure(())
-    drift = abs(base2_t - base_t) / base_t * 100
-    print(f"baseline(recheck): {base2_t*1e3:8.1f} ms (drift {drift:.1f}%)",
-          flush=True)
-    total = sum(dt for _, dt in rows)
+    total = sum(dt for _, dt, _ in rows)
+    mean_base = sum(b for _, _, b in rows) / max(1, len(rows))
     print(f"sum of component deltas: {total*1e3:.1f} ms "
-          f"({total/base_t*100:.1f}% of baseline) — the remainder is "
-          "bookkeeping (miss/sky/regen selects) + loop/launch overhead",
+          f"({total/mean_base*100:.1f}% of mean baseline) — the remainder "
+          "is bookkeeping (miss/sky/regen selects) + loop/launch overhead",
           flush=True)
     return 0
 

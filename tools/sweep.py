@@ -34,6 +34,7 @@ VARIANTS = [
     # "sweeps at isolated VPU throughput" hypothesis test.
     ("no-cull-unrolled", {"_FORCE_CULL": False, "UNROLL_MAX": 512}),
     ("chunk16", {"CULL_CHUNK": 16}),
+    ("chunk24", {"CULL_CHUNK": 24}),
     ("chunk48", {"CULL_CHUNK": 48}),
     # Winner record carried through the hit sweep; no separate fetch pass.
     ("merged", {"MERGED_FETCH": True}),
@@ -73,10 +74,15 @@ def main() -> int:
     key = crng.key_from_seed(0)
 
     defaults = {}
-    base = None
-    base_img = None
     print(f"scene={scene_name} {width}x{height} spp={spp} depth=50 reps={reps}",
           flush=True)
+
+    # Build + compile every variant first, then time them ROUND-ROBIN:
+    # the TPU drifts between distinct performance phases (~±10%) over a
+    # multi-minute run, so sequential per-variant timing is unreliable —
+    # interleaving rounds and taking each variant's min cancels it.
+    built = []
+    base_img = None
     for name, overrides in variants:
         for k, v in overrides.items():
             if k.startswith("_NO_"):  # sweep-local switch, not a trace attr
@@ -102,25 +108,46 @@ def main() -> int:
                 base_img = img_np
             elif not np.array_equal(img_np, base_img):
                 print(f"!! {name}: image differs from baseline", flush=True)
-            times = []
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                img, segs = render(scene, key, 0)
-                np.asarray(img)
-                times.append(time.perf_counter() - t0)
-            t = min(times)
-            segs_f = float(np.asarray(segs))
-            rel = "" if base is None else f"  ({(t / base - 1) * 100:+.1f}% vs baseline)"
-            if base is None:
-                base = t
-            print(
-                f"{name:18s} {t*1e3:8.1f} ms  {segs_f/t/1e6:6.1f} Mrays/s"
-                f"  (compile {compile_s:.0f}s){rel}",
-                flush=True,
-            )
+            print(f"built {name} (compile {compile_s:.0f}s)", flush=True)
+            built.append((name, render, scene, [float("inf")]))
         finally:
             for k, v in defaults.items():
                 setattr(trace, k, v)
+
+    # Per-round ratios to the first variant, median across rounds: the
+    # TPU flips between performance phases lasting minutes, so even
+    # min-over-interleaved-rounds is biased when a flip lands mid-round.
+    # A single round (~seconds) sits inside one phase; its ratios are
+    # clean, and the median across rounds rejects flip-straddling rounds.
+    times = {name: [] for name, *_ in built}
+    for r in range(reps):
+        order = built if r % 2 == 0 else list(reversed(built))
+        round_t = {}
+        for name, render, scene, _ in order:
+            t0 = time.perf_counter()
+            img, segs = render(scene, key, 0)
+            np.asarray(img)
+            round_t[name] = time.perf_counter() - t0
+        for name, t in round_t.items():
+            times[name].append(t)
+
+    def median(xs):
+        xs = sorted(xs)
+        return xs[len(xs) // 2]
+
+    base_name = built[0][0]
+    ratios = {
+        name: median([times[name][r] / times[base_name][r]
+                      for r in range(reps)])
+        for name, *_ in built
+    }
+    for name, render, scene, _ in built:
+        t = median(times[name])
+        segs_f = float(np.asarray(render(scene, key, 0)[1]))
+        rel = ("" if name == base_name
+               else f"  ({(ratios[name] - 1) * 100:+.1f}% vs {base_name}, per-round median)")
+        print(f"{name:18s} {t*1e3:8.1f} ms  {segs_f/t/1e6:6.1f} Mrays/s{rel}",
+              flush=True)
     return 0
 
 
