@@ -92,6 +92,10 @@ UNROLL_MAX = 64
 # reduction, so much finer chunks lose again — 16 measured worse).
 CULL_MIN = 64
 CULL_CHUNK = 32
+# Triangle sweeps keep 64-wide chunks: the Möller-Trumbore interior is
+# ~40 ops/primitive (vs ~33 with the record selects for spheres) and mesh
+# chunks measured best at 64 (32 and 96 worse on the 420-tri scene).
+TRI_CHUNK = 64
 # Gate the winner-fetch sweeps per chunk (an any() reduction each); with
 # few chunks the gates may cost more than they save — tunable for bench.
 GATED_FETCH = True
@@ -162,10 +166,10 @@ def _tri_prefetch(scene: CompiledScene, material_set):
             tarx, tr.albedo.y, tr.albedo.z,
             tfzp, tr.ior,
         ])
-        tpad = (-trf.shape[1]) % CULL_CHUNK
+        tpad = (-trf.shape[1]) % TRI_CHUNK
         if tpad:
             trf = jnp.pad(trf, ((0, 0), (0, tpad)))  # degenerate pads
-        tn_chunks = trf.shape[1] // CULL_CHUNK
+        tn_chunks = trf.shape[1] // TRI_CHUNK
         v0x, v0y, v0z = trf[0], trf[1], trf[2]
         v1x, v1y, v1z = v0x + trf[3], v0y + trf[4], v0z + trf[5]
         v2x, v2y, v2z = v0x + trf[6], v0y + trf[7], v0z + trf[8]
@@ -176,12 +180,12 @@ def _tri_prefetch(scene: CompiledScene, material_set):
         tbig = jnp.float32(3e38)
         tlo = jnp.stack([
             jnp.where(deg, tbig, jnp.minimum(jnp.minimum(a, b), c))
-            .reshape(tn_chunks, CULL_CHUNK).min(axis=1)
+            .reshape(tn_chunks, TRI_CHUNK).min(axis=1)
             for a, b, c in ((v0x, v1x, v2x), (v0y, v1y, v2y), (v0z, v1z, v2z))
         ])
         thi = jnp.stack([
             jnp.where(deg, -tbig, jnp.maximum(jnp.maximum(a, b), c))
-            .reshape(tn_chunks, CULL_CHUNK).max(axis=1)
+            .reshape(tn_chunks, TRI_CHUNK).max(axis=1)
             for a, b, c in ((v0x, v1x, v2x), (v0y, v1y, v2y), (v0z, v1z, v2z))
         ])
         traabb = jnp.concatenate([tlo, thi], axis=0)
@@ -596,7 +600,7 @@ def _trace_kernel(
                     tivx = 1.0 / jnp.where(jnp.abs(d.x) < tiny_t, tiny_t, d.x)
                     tivy = 1.0 / jnp.where(jnp.abs(d.y) < tiny_t, tiny_t, d.y)
                     tivz = 1.0 / jnp.where(jnp.abs(d.z) < tiny_t, tiny_t, d.z)
-                    for c in range(n_tris // CULL_CHUNK):
+                    for c in range(n_tris // TRI_CHUNK):
                         t_best_c = hc[0]
                         lox = traabb_ref[0, c] - eps_t
                         loy = traabb_ref[1, c] - eps_t
@@ -623,11 +627,11 @@ def _trace_kernel(
                         def tsweep(hc=hc, c=c):
                             if n_tris <= UNROLL_TOTAL_MAX:
                                 out = hc
-                                for k in range(CULL_CHUNK):
-                                    out = tri_body(c * CULL_CHUNK + k, out)
+                                for k in range(TRI_CHUNK):
+                                    out = tri_body(c * TRI_CHUNK + k, out)
                                 return out
                             return jax.lax.fori_loop(
-                                c * CULL_CHUNK, (c + 1) * CULL_CHUNK, tri_body, hc
+                                c * TRI_CHUNK, (c + 1) * TRI_CHUNK, tri_body, hc
                             )
 
                         hc = jax.lax.cond(jnp.any(enter), tsweep, lambda hc=hc: hc)
@@ -774,20 +778,20 @@ def _trace_kernel(
                     tfc = tri_fetch(ti, tfc)
             else:
                 # Winners cluster: fetch only chunks that own one.
-                for c in range(n_tris // CULL_CHUNK):
-                    base = n_spheres + c * CULL_CHUNK
+                for c in range(n_tris // TRI_CHUNK):
+                    base = n_spheres + c * TRI_CHUNK
                     owns = jnp.any(
-                        (i_best >= base) & (i_best < base + CULL_CHUNK)
+                        (i_best >= base) & (i_best < base + TRI_CHUNK)
                     )
 
                     def tfetch_chunk(tfc=tfc, c=c):
                         if n_tris <= UNROLL_TOTAL_MAX:
                             out = tfc
-                            for k in range(CULL_CHUNK):
-                                out = tri_fetch(c * CULL_CHUNK + k, out)
+                            for k in range(TRI_CHUNK):
+                                out = tri_fetch(c * TRI_CHUNK + k, out)
                             return out
                         return jax.lax.fori_loop(
-                            c * CULL_CHUNK, (c + 1) * CULL_CHUNK, tri_fetch, tfc
+                            c * TRI_CHUNK, (c + 1) * TRI_CHUNK, tri_fetch, tfc
                         )
 
                     tfc = jax.lax.cond(owns, tfetch_chunk, lambda tfc=tfc: tfc)
