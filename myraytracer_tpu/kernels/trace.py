@@ -52,6 +52,17 @@ render/materials.py) — elementwise code runs unchanged inside Pallas — so
 the kernel consumes the identical threefry (pixel, sample, bounce) stream
 and reproduces the oracle image up to f32 sum order.
 
+Determinism contract: same code path + same platform + same key ⇒
+identical bits (what checkpoint/resume and the golden tests rely on),
+and all kernel config variants (cull on/off, merged fetch on/off, chunk
+sizes, tile shapes) are bit-identical to each other. *Cross-compiler*
+parity (kernel vs oracle) is exact on the preset scenes but only
+statistical in the limit: on dense random scenes, ray-sphere encounters
+whose discriminant sits within an ulp of zero can flip hit/miss between
+Mosaic and XLA (different FMA contraction of the quadratic) — both
+outcomes are valid renders; see tools/parity_stress.py for the measured
+envelope.
+
 Mosaic portability notes (learned on real v5e):
 
 * no uint32→f32 cast (route through int32), no cbrt (exp2/log2 form), no
