@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--preview-every", type=int, default=0, metavar="N",
         help="rewrite --out every N frames (progressive preview)",
     )
+    p.add_argument(
+        "--serve", type=int, default=None, metavar="PORT",
+        help="serve the accumulating frame at http://localhost:PORT/ "
+        "(the TPU-native analog of the reference's browser runner)",
+    )
     return p
 
 
@@ -137,6 +142,12 @@ def main(argv=None) -> int:
 
     import numpy as np
 
+    viewer = None
+    if args.serve is not None:
+        from myraytracer_tpu.viewer import LiveViewer
+
+        viewer = LiveViewer(args.serve, gamma=args.gamma)
+
     with trace_cm:
         for i in range(args.frames):
             t0 = time.perf_counter()
@@ -150,6 +161,11 @@ def main(argv=None) -> int:
                 "frame=%d spp=%d ms=%.1f Mrays/s=%.1f",
                 session.frame_count, session.accumulated_spp, dt * 1e3, mrays,
             )
+            if viewer is not None:
+                viewer.update(
+                    session.framebuffer, session.frame_count,
+                    session.accumulated_spp,
+                )
             if args.preview_every and session.frame_count % args.preview_every == 0:
                 write_image(args.out, session.framebuffer, gamma=args.gamma)
                 log.info("preview → %s", args.out)

@@ -32,13 +32,19 @@ Other layout choices (TPU-first, each measured on v5e):
 * the sphere/triangle SoA rides in SMEM via scalar prefetch; closest-hit
   sweeps primitives broadcasting each one's scalars against the ray tile
   with a running t_best — the vector analog of the reference's
-  shrinking-window scan (shader.wgsl:314-329), with no gathers. Scenes
-  above CULL_MIN primitives sweep Morton-sorted CULL_CHUNK-sized chunks
-  behind per-chunk AABB ``lax.cond`` gates (conservative ⇒ results are
+  shrinking-window scan (shader.wgsl:314-329), with no gathers. Unrolled
+  sweeps tree-combine SWEEP_WIDTH independent candidates before touching
+  the carry (exact; -24% frame time at spp 32 — the sweep was
+  latency-bound on the carry's select chain). Scenes above CULL_MIN
+  primitives sweep Morton-sorted CULL_CHUNK-sized chunks behind
+  per-chunk AABB ``lax.cond`` gates (conservative ⇒ results are
   identical), except the first LEADERS slots — the scene compiler hoists
   the largest spheres there and they sweep unconditionally, so a giant
   sphere (RTiOW's ground) cannot inflate its chunk's AABB into a box
-  every ray enters every bounce;
+  every ray enters every bounce. Past SUPER_MIN chunks a second gate
+  level (SUPER chunks per outer AABB) bounds the per-bounce gate scan —
+  an implicit two-level BVH over the Morton order, replacing the
+  traversal stack a GPU BVH would use with nested static gates;
 * the winner's record (center/inv_r for the normal, albedo/fuzz/ior/mat)
   rides the sweep carry, overwritten on every ``better`` lane — the last
   improvement in sweep order leaves exactly the final winner's data, so
@@ -107,6 +113,15 @@ CULL_CHUNK = 32
 # ~40 ops/primitive (vs ~33 with the record selects for spheres) and mesh
 # chunks measured best at 64 (32 and 96 worse on the 420-tri scene).
 TRI_CHUNK = 64
+# Two-level culling: group SUPER consecutive chunks under one outer AABB
+# gate once the chunk count reaches SUPER_MIN — an implicit two-level BVH
+# over the Morton order (the TPU-native answer to the reference's absent
+# BVH, SURVEY.md §7.1 step 8: no gathers, no traversal stack, just nested
+# lax.cond gates over SMEM-resident bounds). Per bounce the gate scan is
+# O(n_super + entered·SUPER) instead of O(n_chunks). Conservative ⇒
+# bitwise-identical results.
+SUPER = 8
+SUPER_MIN = 24
 # Gate the winner-fetch sweeps per chunk (an any() reduction each); with
 # few chunks the gates may cost more than they save — tunable for bench.
 GATED_FETCH = True
@@ -121,6 +136,21 @@ MERGED_FETCH = True
 # Unrolled chunk interiors compile-blow-up past ~1k primitives; larger
 # scenes run a fori_loop inside each gate instead.
 UNROLL_TOTAL_MAX = 1024
+# Tree-combine width for the unrolled merged-fetch sphere sweeps: W sphere
+# candidates are computed independently, reduced pairwise (strict <, so
+# the earliest index still wins ties — exactly the sequential semantics),
+# and merged into the carry once. Same op count as the sequential sweep
+# but the serial select chain through the (t_best + record) carry shrinks
+# ~W×, giving Mosaic independent work to hide VPU latency with. Bitwise
+# identical to width 1. Measured on v5e (final scene, spp 32): w2 -9.9%,
+# w4 -24.1%, w8 -23.5% frame time vs w1 — the sweep was latency-bound on
+# the carry chain, not SMEM- or ALU-bound.
+SWEEP_WIDTH = 4
+# Guard the quadratic's discriminant (max(disc,0) + disc>=0 in `valid`).
+# With the guard off, sqrt(disc<0) = NaN and every window comparison on a
+# NaN t is false, so `valid` is false exactly as before — identical
+# winners with ~3 fewer VPU ops per sphere per ray.
+SQRT_GUARD = False
 # Rays per tile = tile_rows * 128. Keep the live wavefront state near the
 # vector register file: measured on v5e, 16 rows (2 vregs per array — two
 # independent dependency chains to hide VPU latency) beats 8 by ~20%, and
@@ -158,6 +188,27 @@ def _pack_mat_bits(values_x, fuzz, mat_ty, material_set):
     vx = jnp.where((idx & 1) == 1, -values_x, values_x)
     fz = jnp.where((idx >> 1) == 1, -fuzz, fuzz)
     return vx, fz
+
+
+def _super_aabb(aabb):
+    """Group chunk AABBs into SUPER-wide outer bounds ([6, n_super]).
+
+    Returns a dummy [6, 1] zero table when there are too few chunks for
+    the two-level gating (the kernel statically skips it then; Mosaic
+    rejects zero-sized prefetch operands).
+    """
+    n_chunks = aabb.shape[1]
+    if n_chunks < SUPER_MIN:
+        return jnp.zeros((6, 1), jnp.float32)
+    big = jnp.float32(3e38)
+    pad = (-n_chunks) % SUPER
+    if pad:
+        inv = jnp.stack([big] * 3 + [-big] * 3).reshape(6, 1)
+        aabb = jnp.concatenate([aabb, jnp.tile(inv, (1, pad))], axis=1)
+    n_super = aabb.shape[1] // SUPER
+    lo = aabb[:3].reshape(3, n_super, SUPER).min(axis=2)
+    hi = aabb[3:].reshape(3, n_super, SUPER).max(axis=2)
+    return jnp.concatenate([lo, hi], axis=0)
 
 
 def _tri_prefetch(scene: CompiledScene, material_set):
@@ -203,7 +254,7 @@ def _tri_prefetch(scene: CompiledScene, material_set):
     else:
         trf = jnp.zeros((14, 1), jnp.float32)
         traabb = jnp.zeros((6, 1), jnp.float32)
-    return trf, traabb
+    return trf, traabb, _super_aabb(traabb)
 
 
 def _scene_to_prefetch(scene: CompiledScene, material_set):
@@ -260,6 +311,7 @@ def _scene_to_prefetch(scene: CompiledScene, material_set):
         return (
             f32,
             jnp.zeros((6, 1), jnp.float32),
+            jnp.zeros((6, 1), jnp.float32),
             *_tri_prefetch(scene, material_set),
         )
     is_pad = ck[0] > jnp.float32(1e29)
@@ -275,7 +327,7 @@ def _scene_to_prefetch(scene: CompiledScene, material_set):
     ])
     aabb = jnp.concatenate([lo, hi], axis=0)  # [6, n_chunks]
 
-    return f32, aabb, *_tri_prefetch(scene, material_set)
+    return f32, aabb, _super_aabb(aabb), *_tri_prefetch(scene, material_set)
 
 
 def _trace_kernel(
@@ -283,8 +335,10 @@ def _trace_kernel(
     sf_ref,  # [9, N] f32 scene table (cx cy cz r ar ag ab fz ior; see
     #          _scene_to_prefetch — material type in ar/fz sign bits)
     aabb_ref,  # [6, n_chunks] f32 chunk bounds (culled sweeps only)
+    saabb_ref,  # [6, n_super] f32 superchunk bounds (two-level culling)
     trf_ref,  # [14, T] f32 triangle table (v0, e1, e2, albedo, fuzz, ior)
     traabb_ref,  # [6, t_chunks] f32 triangle chunk bounds
+    tsaabb_ref,  # [6, t_super] f32 triangle superchunk bounds
     meta_ref,  # [4] u32: key0, key1, sample_start, n_valid
     row0_ref,  # [1] u32: first image row of this block invocation
     # outputs (VMEM):
@@ -426,8 +480,10 @@ def _trace_kernel(
         # winner's data — the separate fetch pass (measured ~30% of frame
         # time by tools/ablate.py) disappears.
         def run_hit(o, d):
-            def hit_body(si, hc):
-                t_best = hc[0]
+            def sphere_cand(si, with_record):
+                """Clamped candidate t (invalid → t_max) + winner-record
+                scalars for sphere ``si`` — independent of the sweep carry,
+                so W candidates can compute in parallel (SWEEP_WIDTH)."""
                 cx = sf_ref[0, si]
                 cy = sf_ref[1, si]
                 cz = sf_ref[2, si]
@@ -439,30 +495,131 @@ def _trace_kernel(
                 b_ = ocx * d.x + ocy * d.y + ocz * d.z
                 c_ = ocx * ocx + ocy * ocy + ocz * ocz - rsq
                 disc = b_ * b_ - c_
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                if SQRT_GUARD:
+                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                else:
+                    # sqrt(disc<0) = NaN; every comparison on a NaN t below
+                    # is false, so `valid` is false exactly as with the
+                    # guard — identical winners, ~3 fewer ops.
+                    sq = jnp.sqrt(disc)
                 t1 = -b_ - sq
                 t2 = -b_ + sq
                 t1_ok = (t1 >= t_minf) & (t1 < t_maxf)
                 t_cand = jnp.where(t1_ok, t1, t2)
-                valid = (disc >= 0.0) & (t_cand >= t_minf) & (t_cand < t_maxf)
+                valid = (t_cand >= t_minf) & (t_cand < t_maxf)
+                if SQRT_GUARD:
+                    valid = (disc >= 0.0) & valid
                 t_cand = jnp.where(valid, t_cand, t_maxf)
+                if not with_record:
+                    return t_cand, ()
+                # cx/cy/cz/r reuse the scalars the quadratic already read.
+                return t_cand, (
+                    cx, cy, cz, r_, *(sf_ref[k, si] for k in rec_rows)
+                )
+
+            n_rec = 4 + len(rec_rows)
+
+            def hit_body(si, hc):
+                t_best = hc[0]
+                t_cand, vals = sphere_cand(si, merged)
                 better = t_cand < t_best
                 t_best = jnp.where(better, t_cand, t_best)
                 if not merged:
                     i_best = jnp.where(better, si, hc[1])
                     return t_best, i_best
                 acc = hc[1:]
-                # cx/cy/cz/r reuse the scalars the quadratic already read.
                 new_acc = [
                     jnp.where(better, v, prev)
-                    for v, prev in zip((cx, cy, cz, r_), acc[:4])
+                    for v, prev in zip(vals, acc[:n_rec])
                 ]
-                new_acc.extend(
-                    jnp.where(better, sf_ref[k, si], prev)
-                    for k, prev in zip(rec_rows, acc[4:4 + len(rec_rows)])
-                )
-                new_acc.extend(acc[4 + len(rec_rows):])  # tri slots pass through
+                new_acc.extend(acc[n_rec:])  # tri slots pass through
                 return (t_best, *new_acc)
+
+            def hit_group(si_list, hc):
+                """Tree-combine sweep step over a group of spheres (merged
+                mode): candidates are mutually independent, pairwise
+                reduction uses strict < with the earlier sphere on the
+                left, so ties resolve to the lowest index — bitwise the
+                sequential sweep's result."""
+                cands = [sphere_cand(si, True) for si in si_list]
+                while len(cands) > 1:
+                    nxt = []
+                    for i in range(0, len(cands) - 1, 2):
+                        (ta, va), (tb, vb) = cands[i], cands[i + 1]
+                        pick = tb < ta
+                        nxt.append((
+                            jnp.where(pick, tb, ta),
+                            tuple(
+                                jnp.where(pick, y, x)
+                                for x, y in zip(va, vb)
+                            ),
+                        ))
+                    if len(cands) % 2:
+                        nxt.append(cands[-1])
+                    cands = nxt
+                t_g, v_g = cands[0]
+                t_best = hc[0]
+                better = t_g < t_best
+                new = [jnp.where(better, t_g, t_best)]
+                new.extend(
+                    jnp.where(better, v, prev)
+                    for v, prev in zip(v_g, hc[1:1 + n_rec])
+                )
+                new.extend(hc[1 + n_rec:])
+                return tuple(new)
+
+            def run_span(start, count, hc):
+                """Unrolled sweep over spheres [start, start+count)."""
+                if merged and SWEEP_WIDTH > 1:
+                    i = start
+                    while i < start + count:
+                        w = min(SWEEP_WIDTH, start + count - i)
+                        hc = hit_group(range(i, i + w), hc)
+                        i += w
+                    return hc
+                for si in range(start, start + count):
+                    hc = hit_body(si, hc)
+                return hc
+
+            def run_fori(start, count, hc):
+                """fori_loop sweep (giant scenes), SWEEP_WIDTH per step."""
+                w = SWEEP_WIDTH
+                if merged and w > 1 and count % w == 0:
+                    return jax.lax.fori_loop(
+                        0, count // w,
+                        lambda g, hc: hit_group(
+                            [start + g * w + j for j in range(w)], hc
+                        ),
+                        hc,
+                    )
+                return jax.lax.fori_loop(start, start + count, hit_body, hc)
+
+            # Slab test shared by the sphere- and triangle-chunk gates
+            # (unused pieces DCE away on ungated scenes).
+            eps = jnp.float32(1e-4)
+            tiny = jnp.float32(1e-30)
+            ivx = 1.0 / jnp.where(jnp.abs(d.x) < tiny, tiny, d.x)
+            ivy = 1.0 / jnp.where(jnp.abs(d.y) < tiny, tiny, d.y)
+            ivz = 1.0 / jnp.where(jnp.abs(d.z) < tiny, tiny, d.z)
+
+            def slab_enter(ref, c, t_best):
+                """Any live lane's ray enters box c of ``ref`` before its
+                current closest hit (conservative: eps-padded)."""
+                tx0 = (ref[0, c] - eps - o.x) * ivx
+                tx1 = (ref[3, c] + eps - o.x) * ivx
+                ty0 = (ref[1, c] - eps - o.y) * ivy
+                ty1 = (ref[4, c] + eps - o.y) * ivy
+                tz0 = (ref[2, c] - eps - o.z) * ivz
+                tz1 = (ref[5, c] + eps - o.z) * ivz
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                    jnp.maximum(jnp.minimum(tz0, tz1), t_minf),
+                )
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                    jnp.minimum(jnp.maximum(tz0, tz1), t_best),
+                )
+                return alive & (tn <= tf)
 
             t_best0 = jnp.full(shape, t_maxf, jnp.float32)
             izero = jnp.zeros(shape, jnp.int32)
@@ -477,74 +634,60 @@ def _trace_kernel(
             else:
                 hc0 = (t_best0, jnp.full(shape, -1, jnp.int32))
             if n_spheres <= UNROLL_MAX:
-                hc = hc0
-                for si in range(n_spheres):
-                    hc = hit_body(si, hc)
+                hc = run_span(0, n_spheres, hc0)
             elif not cull:
-                hc = jax.lax.fori_loop(0, n_spheres, hit_body, hc0)
+                hc = run_fori(0, n_spheres, hc0)
             else:
                 # Chunked sweep with per-chunk AABB culling: a slab test per
                 # lane against the chunk bounds; the 16-sphere sweep runs only
                 # when any live lane's ray can enter the box before its current
                 # closest hit. Conservative (AABBs padded by eps), so results
                 # match the plain sweep bit-for-bit.
-                eps = jnp.float32(1e-4)
-                tiny = jnp.float32(1e-30)
-                ivx = 1.0 / jnp.where(jnp.abs(d.x) < tiny, tiny, d.x)
-                ivy = 1.0 / jnp.where(jnp.abs(d.y) < tiny, tiny, d.y)
-                ivz = 1.0 / jnp.where(jnp.abs(d.z) < tiny, tiny, d.z)
                 n_chunks = (n_spheres - LEADERS) // CULL_CHUNK
 
                 def chunk_sweep(c, hc):
-                    t_best = hc[0]
-                    lox = aabb_ref[0, c] - eps
-                    loy = aabb_ref[1, c] - eps
-                    loz = aabb_ref[2, c] - eps
-                    hix = aabb_ref[3, c] + eps
-                    hiy = aabb_ref[4, c] + eps
-                    hiz = aabb_ref[5, c] + eps
-                    tx0 = (lox - o.x) * ivx
-                    tx1 = (hix - o.x) * ivx
-                    ty0 = (loy - o.y) * ivy
-                    ty1 = (hiy - o.y) * ivy
-                    tz0 = (loz - o.z) * ivz
-                    tz1 = (hiz - o.z) * ivz
-                    tn = jnp.maximum(
-                        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                        jnp.maximum(jnp.minimum(tz0, tz1), t_minf),
-                    )
-                    tf = jnp.minimum(
-                        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                        jnp.minimum(jnp.maximum(tz0, tz1), t_best),
-                    )
-                    enter = alive & (tn <= tf)
+                    enter = slab_enter(aabb_ref, c, hc[0])
 
                     def sweep():
                         base = LEADERS + c * CULL_CHUNK
                         if n_spheres <= UNROLL_TOTAL_MAX:
-                            hcc = hc
-                            for k in range(CULL_CHUNK):
-                                hcc = hit_body(base + k, hcc)
-                            return hcc
-                        return jax.lax.fori_loop(
-                            base, base + CULL_CHUNK, hit_body, hc
-                        )
+                            return run_span(base, CULL_CHUNK, hc)
+                        return run_fori(base, CULL_CHUNK, hc)
 
                     return jax.lax.cond(jnp.any(enter), sweep, lambda: hc)
 
                 # Leaders (the scene's largest spheres, hoisted up front by
                 # compile_scene) sweep unconditionally — their size would
                 # make any chunk AABB containing them always-entered.
-                hc = hc0
-                for si in range(LEADERS):
-                    hc = hit_body(si, hc)
-                for c in range(n_chunks):
-                    hc = chunk_sweep(c, hc)
+                hc = run_span(0, LEADERS, hc0)
+                if n_chunks >= SUPER_MIN:
+                    # Two-level gating (implicit BVH over the Morton order):
+                    # one outer gate per SUPER chunks skips the whole
+                    # group's slab tests + any() reductions.
+                    for sc in range(-(-n_chunks // SUPER)):
+                        enter_s = slab_enter(saabb_ref, sc, hc[0])
+
+                        def ssweep(hc=hc, sc=sc):
+                            out = hc
+                            for c in range(
+                                sc * SUPER, min((sc + 1) * SUPER, n_chunks)
+                            ):
+                                out = chunk_sweep(c, out)
+                            return out
+
+                        hc = jax.lax.cond(
+                            jnp.any(enter_s), ssweep, lambda hc=hc: hc
+                        )
+                else:
+                    for c in range(n_chunks):
+                        hc = chunk_sweep(c, hc)
             # --- triangle sweep (Möller-Trumbore, two-sided); winners are
             # encoded as i_best = n_spheres + ti ---------------------------------
             if n_tris:
-                def tri_body(ti, hc):
-                    t_best = hc[0]
+                def tri_cand(ti, with_record):
+                    """Clamped candidate t + winner-record values for
+                    triangle ``ti`` (Möller-Trumbore, two-sided) —
+                    carry-independent, so groups tree-combine."""
                     v0x = trf_ref[0, ti]
                     v0y = trf_ref[1, ti]
                     v0z = trf_ref[2, ti]
@@ -577,75 +720,128 @@ def _trace_kernel(
                         & (t_cand < t_maxf)
                     )
                     t_cand = jnp.where(valid, t_cand, t_maxf)
-                    better = t_cand < t_best
-                    t_best = jnp.where(better, t_cand, t_best)
-                    if not merged:
-                        i_best = jnp.where(better, n_spheres + ti, hc[1])
-                        return t_best, i_best
+                    if not with_record:
+                        return t_cand, ()
+                    # Record values + e1/e2 (the geometric normal source);
+                    # cx/cy/cz/r carry slots are NOT touched by triangle
+                    # winners (normal is overridden; r stays finite).
+                    return t_cand, (
+                        *(trf_ref[tri_row_of[k], ti] for k in rec_rows),
+                        e1x, e1y, e1z, e2x, e2y, e2z,
+                    )
+
+                def tri_apply(better, t_g, v_g, hc):
+                    """Merge a winning triangle candidate into the carry."""
                     acc = list(hc[1:])
-                    # cx/cy/cz/r accumulators stay (normal is overridden
-                    # for triangle winners; r stays finite for the divide).
-                    for pos, k in enumerate(rec_rows):
-                        acc[4 + pos] = jnp.where(
-                            better, trf_ref[tri_row_of[k], ti], acc[4 + pos]
-                        )
-                    base = 4 + len(rec_rows)
+                    new_t = jnp.where(better, t_g, hc[0])
+                    for pos in range(len(rec_rows)):
+                        acc[4 + pos] = jnp.where(better, v_g[pos], acc[4 + pos])
                     for j in range(6):
-                        acc[base + j] = jnp.where(
-                            better, trf_ref[3 + j, ti], acc[base + j]
+                        acc[n_rec + j] = jnp.where(
+                            better, v_g[len(rec_rows) + j], acc[n_rec + j]
                         )
                     # Spheres sweep strictly before triangles, so once any
                     # triangle improves the hit, the final winner is a
                     # triangle: OR of tri betters == winner-is-tri.
-                    acc[base + 6] = jnp.where(better, 1, acc[base + 6])
-                    return (t_best, *acc)
+                    acc[n_rec + 6] = jnp.where(better, 1, acc[n_rec + 6])
+                    return (new_t, *acc)
+
+                def tri_body(ti, hc):
+                    t_cand, vals = tri_cand(ti, merged)
+                    better = t_cand < hc[0]
+                    if not merged:
+                        t_best = jnp.where(better, t_cand, hc[0])
+                        i_best = jnp.where(better, n_spheres + ti, hc[1])
+                        return t_best, i_best
+                    return tri_apply(better, t_cand, vals, hc)
+
+                def tri_group(ti_list, hc):
+                    """Tree-combine over a triangle group (exact; ties →
+                    lowest index, as in the sequential sweep)."""
+                    cands = [tri_cand(ti, True) for ti in ti_list]
+                    while len(cands) > 1:
+                        nxt = []
+                        for i in range(0, len(cands) - 1, 2):
+                            (ta, va), (tb, vb) = cands[i], cands[i + 1]
+                            pick = tb < ta
+                            nxt.append((
+                                jnp.where(pick, tb, ta),
+                                tuple(
+                                    jnp.where(pick, y, x)
+                                    for x, y in zip(va, vb)
+                                ),
+                            ))
+                        if len(cands) % 2:
+                            nxt.append(cands[-1])
+                        cands = nxt
+                    t_g, v_g = cands[0]
+                    return tri_apply(t_g < hc[0], t_g, v_g, hc)
+
+                def run_tri_span(start, count, hc):
+                    if merged and SWEEP_WIDTH > 1:
+                        i = start
+                        while i < start + count:
+                            w = min(SWEEP_WIDTH, start + count - i)
+                            hc = tri_group(range(i, i + w), hc)
+                            i += w
+                        return hc
+                    for ti in range(start, start + count):
+                        hc = tri_body(ti, hc)
+                    return hc
+
+                def run_tri_fori(start, count, hc):
+                    w = SWEEP_WIDTH
+                    if merged and w > 1 and count % w == 0:
+                        return jax.lax.fori_loop(
+                            0, count // w,
+                            lambda g, hc: tri_group(
+                                [start + g * w + j for j in range(w)], hc
+                            ),
+                            hc,
+                        )
+                    return jax.lax.fori_loop(
+                        start, start + count, tri_body, hc
+                    )
 
                 if n_tris <= UNROLL_MAX:
-                    for ti in range(n_tris):
-                        hc = tri_body(ti, hc)
+                    hc = run_tri_span(0, n_tris, hc)
                 else:
-                    # Chunked sweep gated by chunk AABBs (same scheme as the
-                    # sphere culling; Morton-sorted triangles).
-                    eps_t = jnp.float32(1e-4)
-                    tiny_t = jnp.float32(1e-30)
-                    tivx = 1.0 / jnp.where(jnp.abs(d.x) < tiny_t, tiny_t, d.x)
-                    tivy = 1.0 / jnp.where(jnp.abs(d.y) < tiny_t, tiny_t, d.y)
-                    tivz = 1.0 / jnp.where(jnp.abs(d.z) < tiny_t, tiny_t, d.z)
-                    for c in range(n_tris // TRI_CHUNK):
-                        t_best_c = hc[0]
-                        lox = traabb_ref[0, c] - eps_t
-                        loy = traabb_ref[1, c] - eps_t
-                        loz = traabb_ref[2, c] - eps_t
-                        hix = traabb_ref[3, c] + eps_t
-                        hiy = traabb_ref[4, c] + eps_t
-                        hiz = traabb_ref[5, c] + eps_t
-                        tx0 = (lox - o.x) * tivx
-                        tx1 = (hix - o.x) * tivx
-                        ty0 = (loy - o.y) * tivy
-                        ty1 = (hiy - o.y) * tivy
-                        tz0 = (loz - o.z) * tivz
-                        tz1 = (hiz - o.z) * tivz
-                        tn = jnp.maximum(
-                            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                            jnp.maximum(jnp.minimum(tz0, tz1), t_minf),
-                        )
-                        tf = jnp.minimum(
-                            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                            jnp.minimum(jnp.maximum(tz0, tz1), t_best_c),
-                        )
-                        enter = alive & (tn <= tf)
+                    # Chunked sweep gated by chunk AABBs (same scheme as
+                    # the sphere culling; Morton-sorted triangles), with
+                    # the same two-level superchunk gating at scale.
+                    tn_chunks = n_tris // TRI_CHUNK
+
+                    def tri_chunk_sweep(c, hc):
+                        enter = slab_enter(traabb_ref, c, hc[0])
 
                         def tsweep(hc=hc, c=c):
                             if n_tris <= UNROLL_TOTAL_MAX:
-                                out = hc
-                                for k in range(TRI_CHUNK):
-                                    out = tri_body(c * TRI_CHUNK + k, out)
-                                return out
-                            return jax.lax.fori_loop(
-                                c * TRI_CHUNK, (c + 1) * TRI_CHUNK, tri_body, hc
-                            )
+                                return run_tri_span(c * TRI_CHUNK, TRI_CHUNK, hc)
+                            return run_tri_fori(c * TRI_CHUNK, TRI_CHUNK, hc)
 
-                        hc = jax.lax.cond(jnp.any(enter), tsweep, lambda hc=hc: hc)
+                        return jax.lax.cond(
+                            jnp.any(enter), tsweep, lambda hc=hc: hc
+                        )
+
+                    if tn_chunks >= SUPER_MIN:
+                        for sc in range(-(-tn_chunks // SUPER)):
+                            enter_s = slab_enter(tsaabb_ref, sc, hc[0])
+
+                            def tssweep(hc=hc, sc=sc):
+                                out = hc
+                                for c in range(
+                                    sc * SUPER,
+                                    min((sc + 1) * SUPER, tn_chunks),
+                                ):
+                                    out = tri_chunk_sweep(c, out)
+                                return out
+
+                            hc = jax.lax.cond(
+                                jnp.any(enter_s), tssweep, lambda hc=hc: hc
+                            )
+                    else:
+                        for c in range(tn_chunks):
+                            hc = tri_chunk_sweep(c, hc)
             return hc
 
         hres = run_hit(o, d)
@@ -1044,7 +1240,9 @@ def make_block_renderer(
     )
 
     def block(scene: CompiledScene, key, row0, sample_start, n_valid):
-        sf, aabb, trf, traabb = _scene_to_prefetch(scene, material_set)
+        sf, aabb, saabb, trf, traabb, tsaabb = _scene_to_prefetch(
+            scene, material_set
+        )
         n_spheres = int(sf.shape[1])
         n_tris = int(trf.shape[1]) if scene.has_triangles else 0
         kern = functools.partial(
@@ -1064,7 +1262,7 @@ def make_block_renderer(
         row0_arr = jnp.asarray(row0, jnp.uint32).reshape(1)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
+            num_scalar_prefetch=8,
             grid=(n_tiles,),
             in_specs=[],
             out_specs=[
@@ -1082,7 +1280,7 @@ def make_block_renderer(
             grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((out_rows, LANES), jnp.float32)] * 4,
             interpret=interpret,
-        )(sf, aabb, trf, traabb, meta, row0_arr)
+        )(sf, aabb, saabb, trf, traabb, tsaabb, meta, row0_arr)
 
         unscramble = lambda a: a.reshape(-1)[_lane_of_pixel]
         img_sum = jnp.stack(

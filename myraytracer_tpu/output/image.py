@@ -77,8 +77,8 @@ def _png_chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def write_png(path, u8: np.ndarray) -> None:
-    """Minimal RGB8 PNG writer (stdlib zlib; filter type 0 per scanline)."""
+def encode_png(u8: np.ndarray) -> bytes:
+    """Minimal RGB8 PNG encoder (stdlib zlib; filter type 0 per scanline)."""
     h, w, c = u8.shape
     assert c == 3 and u8.dtype == np.uint8
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
@@ -86,11 +86,18 @@ def write_png(path, u8: np.ndarray) -> None:
         [np.zeros((h, 1), np.uint8), u8.reshape(h, w * 3)], axis=1
     ).tobytes()
     idat = zlib.compress(raw, level=6)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def write_png(path, u8: np.ndarray) -> None:
+    """Minimal RGB8 PNG writer (see ``encode_png``)."""
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(_png_chunk(b"IHDR", ihdr))
-        f.write(_png_chunk(b"IDAT", idat))
-        f.write(_png_chunk(b"IEND", b""))
+        f.write(encode_png(u8))
 
 
 def read_png(path) -> np.ndarray:

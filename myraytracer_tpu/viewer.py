@@ -1,0 +1,133 @@
+"""Live progressive-render viewer over HTTP.
+
+The reference ships a browser runner: a wasm module driving the renderer
+into a full-window canvas served from a static page
+(``index.html:22-36``, ``wasm-runner/src/lib.rs:47-94``), with render
+parameters parseable from the URL query string. A TPU render is headless,
+so the TPU-native analog inverts the arrangement: the render loop stays on
+the host next to the chips, and the *viewer* is the browser — a tiny
+stdlib HTTP server that serves the progressively accumulating framebuffer
+as a PNG behind an auto-refreshing page. ``python -m myraytracer_tpu
+--serve PORT`` is the counterpart of opening the reference's deployed
+page.
+
+Endpoints:
+
+* ``/``           — viewer page (auto-refreshes the image; shows stats)
+* ``/frame.png``  — the latest accumulated frame, gamma-encoded PNG
+* ``/stats.json`` — frame count, accumulated spp, image size
+
+Thread-safety: ``update()`` swaps one attribute tuple under a lock; the
+request handler only reads it. The server runs on a daemon thread and
+never blocks the render loop.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from myraytracer_tpu.output.image import encode_png, to_u8
+
+log = logging.getLogger("myraytracer_tpu.viewer")
+
+_PAGE = b"""<!doctype html>
+<html>
+<head>
+<meta charset="utf-8">
+<title>myraytracer_tpu live view</title>
+<style>
+  body { margin: 0; background: #111; color: #ddd;
+         font: 13px/1.4 system-ui, sans-serif; }
+  img  { display: block; margin: 0 auto; image-rendering: pixelated;
+         max-width: 100vw; max-height: 92vh; }
+  #bar { padding: 6px 10px; }
+</style>
+</head>
+<body>
+<div id="bar">myraytracer_tpu &mdash; <span id="stats">connecting&hellip;</span></div>
+<img id="frame" src="/frame.png">
+<script>
+  const img = document.getElementById("frame");
+  const stats = document.getElementById("stats");
+  async function tick() {
+    try {
+      const s = await (await fetch("/stats.json")).json();
+      stats.textContent = `${s.width}x${s.height}  frame ${s.frame}  ` +
+                          `${s.spp} spp accumulated`;
+      img.src = "/frame.png?f=" + s.frame;  // cache-bust per frame
+    } catch (e) { stats.textContent = "render loop finished"; }
+  }
+  setInterval(tick, 500);
+  tick();
+</script>
+</body>
+</html>
+"""
+
+
+class LiveViewer:
+    """Serve the accumulating framebuffer at ``http://localhost:port/``."""
+
+    def __init__(self, port: int, gamma: float = 2.0):
+        self.gamma = float(gamma)
+        self._lock = threading.Lock()
+        self._png = encode_png(np.zeros((1, 1, 3), np.uint8))
+        self._stats = {"frame": 0, "spp": 0, "width": 0, "height": 0}
+
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 (stdlib API)
+                path = self.path.split("?", 1)[0]
+                if path == "/":
+                    body, ctype = _PAGE, "text/html; charset=utf-8"
+                elif path == "/frame.png":
+                    with viewer._lock:
+                        body = viewer._png
+                    ctype = "image/png"
+                elif path == "/stats.json":
+                    with viewer._lock:
+                        body = json.dumps(viewer._stats).encode()
+                    ctype = "application/json"
+                else:
+                    self.send_error(404)
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *args):  # quiet: the render log owns stdout
+                pass
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self.port = self._server.server_address[1]  # resolved if port was 0
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, name="live-viewer", daemon=True
+        )
+        self._thread.start()
+        log.info("live viewer at http://localhost:%d/", self.port)
+
+    def update(self, framebuffer, frame: int, spp: int) -> None:
+        """Publish a new accumulated frame (host float radiance array)."""
+        fb = np.asarray(framebuffer)
+        png = encode_png(to_u8(fb, self.gamma))
+        with self._lock:
+            self._png = png
+            self._stats = {
+                "frame": int(frame),
+                "spp": int(spp),
+                "width": int(fb.shape[1]),
+                "height": int(fb.shape[0]),
+            }
+
+    def close(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()

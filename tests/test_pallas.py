@@ -91,6 +91,73 @@ def test_mesh_culled_parity():
     assert sa == sb
 
 
+def test_superchunk_gating_bitwise():
+    """Two-level (superchunk) gating is conservative — bitwise-identical
+    to single-level chunk gating, for spheres and triangles."""
+    from myraytracer_tpu.kernels import trace
+
+    for world, sort in (
+        (presets.final_scene(seed=0), True),      # 15 sphere chunks
+        (presets.mesh_scene(subdivisions=1), False),  # 3 tri chunks
+    ):
+        scene = compile_scene(world, spatial_sort=sort)
+
+        def render():
+            r = make_pallas_renderer(
+                world.camera, W, H, 1, 4, tile_rows=8, interpret=True
+            )
+            img, segs = r(scene, KEY, 0)
+            return np.asarray(img), float(segs)
+
+        base_img, base_segs = render()
+        old = (trace.SUPER, trace.SUPER_MIN)
+        try:
+            trace.SUPER, trace.SUPER_MIN = 2, 2  # engage the outer gates
+            sup_img, sup_segs = render()
+        finally:
+            trace.SUPER, trace.SUPER_MIN = old
+        assert np.array_equal(sup_img, base_img)
+        assert sup_segs == base_segs
+
+
+def test_sweep_width_and_fori_bitwise():
+    """Tree-combine sweeps (SWEEP_WIDTH) are exact at every width, on the
+    unrolled, gated-unrolled, and grouped-fori (>UNROLL_TOTAL_MAX
+    spheres) interiors."""
+    from myraytracer_tpu.kernels import trace
+    from myraytracer_tpu.scene.api import Lambertian, Metal, Sphere, World
+
+    rng = np.random.RandomState(1)
+    spheres = [
+        Sphere(
+            tuple(c), 0.3,
+            Metal((0.7, 0.7, 0.7), 0.2) if i % 3 else Lambertian((0.5, 0.5, 0.5)),
+        )
+        for i, c in enumerate(rng.uniform(-6.0, 6.0, (1100, 3)))
+    ]
+    world = World(spheres=spheres)
+    scene = compile_scene(world, spatial_sort=True)
+    assert scene.padded_size > trace.UNROLL_TOTAL_MAX  # fori interiors
+
+    def render():
+        r = make_pallas_renderer(
+            world.camera, W, H, 1, 2, tile_rows=8, interpret=True
+        )
+        img, segs = r(scene, KEY, 0)
+        return np.asarray(img), float(segs)
+
+    old = trace.SWEEP_WIDTH
+    results = {}
+    try:
+        for w in (1, 4):
+            trace.SWEEP_WIDTH = w
+            results[w] = render()
+    finally:
+        trace.SWEEP_WIDTH = old
+    assert np.array_equal(results[1][0], results[4][0])
+    assert results[1][1] == results[4][1]
+
+
 def test_sample_window_masking():
     """n_valid masking: spp=3 renderer over a 2-sample window."""
     world = presets.reference_scene()

@@ -1,0 +1,54 @@
+"""Live-viewer HTTP surface (the analog of the reference's browser runner,
+index.html:22-36 / wasm-runner/src/lib.rs:47-94 — here the browser views a
+host-side render loop instead of hosting it)."""
+
+import json
+import urllib.request
+
+import numpy as np
+
+from myraytracer_tpu.output.image import read_png
+from myraytracer_tpu.viewer import LiveViewer
+
+
+def _get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+        return r.read(), r.headers.get("Content-Type")
+
+
+def test_viewer_serves_page_frame_and_stats(tmp_path):
+    viewer = LiveViewer(0, gamma=2.0)  # port 0: pick a free port
+    try:
+        fb = np.zeros((4, 6, 3), np.float32)
+        fb[..., 0] = 0.25  # gamma-2 encode -> 0.5 -> ~127
+        viewer.update(fb, frame=3, spp=12)
+
+        page, ctype = _get(viewer.port, "/")
+        assert b"frame.png" in page and ctype.startswith("text/html")
+
+        stats, ctype = _get(viewer.port, "/stats.json")
+        assert ctype == "application/json"
+        s = json.loads(stats)
+        assert s == {"frame": 3, "spp": 12, "width": 6, "height": 4}
+
+        png, ctype = _get(viewer.port, "/frame.png?f=3")
+        assert ctype == "image/png"
+        p = tmp_path / "frame.png"
+        p.write_bytes(png)
+        img = read_png(p)
+        assert img.shape == (4, 6, 3)
+        assert int(img[0, 0, 0]) in (127, 128) and img[0, 0, 1] == 0
+    finally:
+        viewer.close()
+
+
+def test_viewer_404():
+    viewer = LiveViewer(0)
+    try:
+        try:
+            _get(viewer.port, "/nope")
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        viewer.close()

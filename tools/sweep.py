@@ -24,6 +24,25 @@ import numpy as np
 # (name, {module attr: value})
 VARIANTS = [
     ("baseline", {}),
+    # Discriminant guard back on (pre-NaN-propagation quadratic):
+    ("guard", {"SQRT_GUARD": True}),
+    # Tree-combine sweep widths (exact; shorter carry select chains).
+    # Measured at spp 32 vs w1: w2 -9.9%, w4 -24.1%, w8 -23.5%; w4 is the
+    # default now.
+    ("w1", {"SWEEP_WIDTH": 1}),
+    ("w2", {"SWEEP_WIDTH": 2}),
+    ("w8", {"SWEEP_WIDTH": 8}),
+    ("w16", {"SWEEP_WIDTH": 16}),
+    ("w4-chunk64", {"CULL_CHUNK": 64}),
+    ("w4-chunk96", {"CULL_CHUNK": 96}),
+    ("w4-tile8", {"DEFAULT_TILE_ROWS": 8}),
+    ("w4-tile24", {"DEFAULT_TILE_ROWS": 24}),
+    # Two-level gating on the final scene: finer chunks cut entered-sweep
+    # work; the superchunk gate amortizes the extra gates.
+    ("chunk32-s4", {"SUPER": 4, "SUPER_MIN": 4}),
+    ("chunk16-s8", {"CULL_CHUNK": 16, "SUPER": 8, "SUPER_MIN": 8}),
+    ("chunk16-s4", {"CULL_CHUNK": 16, "SUPER": 4, "SUPER_MIN": 4}),
+    ("chunk8-s8", {"CULL_CHUNK": 8, "SUPER": 8, "SUPER_MIN": 8}),
     ("ungated-fetch", {"GATED_FETCH": False}),
     ("no-cull", {"_FORCE_CULL": False}),
     ("no-cull+ungated", {"_FORCE_CULL": False, "GATED_FETCH": False}),
@@ -107,7 +126,15 @@ def main() -> int:
             if base_img is None:
                 base_img = img_np
             elif not np.array_equal(img_np, base_img):
-                print(f"!! {name}: image differs from baseline", flush=True)
+                # Mosaic contracts FMAs differently for different static
+                # code shapes; ulp-of-zero discriminants can flip (the
+                # characterized envelope: ~1 px / 1e6 at 1 ulp, spp 500).
+                nd = int((img_np != base_img).any(axis=-1).sum())
+                print(
+                    f"!! {name}: differs from baseline on {nd} px "
+                    f"(maxdiff {float(np.abs(img_np - base_img).max()):.2e})",
+                    flush=True,
+                )
             print(f"built {name} (compile {compile_s:.0f}s)", flush=True)
             built.append((name, render, scene, [float("inf")]))
         finally:
