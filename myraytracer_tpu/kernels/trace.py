@@ -151,6 +151,15 @@ SWEEP_WIDTH = 4
 # NaN t is false, so `valid` is false exactly as before — identical
 # winners with ~3 fewer VPU ops per sphere per ray.
 SQRT_GUARD = False
+# Fused t-window tests (exact, ~4 fewer ops per sphere per ray):
+# the near root needs only the t1 >= t_min test (t1 >= t_max implies
+# t2 >= t_max, which the final compare rejects anyway), and the upper
+# window bound is redundant everywhere because the no-hit sentinel equals
+# t_max and t_best only decreases — t_cand < t_best subsumes
+# t_cand < t_max. Candidates above t_max flow unclamped through the pair
+# tree but can never win a carry merge. False = the spelled-out window
+# logic, kept for A/B verification.
+WINDOW_FUSE = True
 # Rays per tile = tile_rows * 128. Keep the live wavefront state near the
 # vector register file: measured on v5e, 16 rows (2 vregs per array — two
 # independent dependency chains to hide VPU latency) beats 8 by ~20%, and
@@ -169,6 +178,26 @@ _FORCE_CULL = None
 
 
 PAD_CENTER = 3e30  # pad-slot cx: the hit quadratic overflows → never valid
+
+# v5e SMEM is 1 MiB and every scalar-prefetch operand lives there; the
+# megakernel's scene tables therefore cap at ~25k spheres or ~18k
+# triangles. Beyond that the jnp oracle (flat skip-link BVH) renders the
+# scene — dispatch.make_session routes automatically in auto mode.
+SMEM_BUDGET = 1 << 20
+
+
+def estimated_prefetch_bytes(n_spheres: int, n_tris: int) -> int:
+    """Upper-bound bytes of the kernel's SMEM prefetch operands."""
+    sph = 9 * (n_spheres + LEADERS + CULL_CHUNK)
+    tri = 14 * (n_tris + TRI_CHUNK) if n_tris else 14
+    chunks = (n_spheres // CULL_CHUNK + 1) + (n_tris // TRI_CHUNK + 1)
+    supers = chunks // SUPER + 2
+    return 4 * (sph + tri + 6 * (chunks + supers) + 8)
+
+
+def fits_in_smem(n_spheres: int, n_tris: int) -> bool:
+    # Keep headroom for Mosaic's own SMEM use (control state, etc.).
+    return estimated_prefetch_bytes(n_spheres, n_tris) <= SMEM_BUDGET - 64 * 1024
 
 
 def _pack_mat_bits(values_x, fuzz, mat_ty, material_set):
@@ -504,12 +533,20 @@ def _trace_kernel(
                     sq = jnp.sqrt(disc)
                 t1 = -b_ - sq
                 t2 = -b_ + sq
-                t1_ok = (t1 >= t_minf) & (t1 < t_maxf)
-                t_cand = jnp.where(t1_ok, t1, t2)
-                valid = (t_cand >= t_minf) & (t_cand < t_maxf)
-                if SQRT_GUARD:
-                    valid = (disc >= 0.0) & valid
-                t_cand = jnp.where(valid, t_cand, t_maxf)
+                if WINDOW_FUSE:
+                    # t1 >= t_max ⇒ t2 >= t_max, which t_cand < t_best
+                    # rejects later (t_best <= t_max always), so the near
+                    # root needs only the lower-bound test; likewise the
+                    # upper bound is subsumed by the t_best compare.
+                    t_cand = jnp.where(t1 >= t_minf, t1, t2)
+                    t_cand = jnp.where(t_cand >= t_minf, t_cand, t_maxf)
+                else:
+                    t1_ok = (t1 >= t_minf) & (t1 < t_maxf)
+                    t_cand = jnp.where(t1_ok, t1, t2)
+                    valid = (t_cand >= t_minf) & (t_cand < t_maxf)
+                    if SQRT_GUARD:
+                        valid = (disc >= 0.0) & valid
+                    t_cand = jnp.where(valid, t_cand, t_maxf)
                 if not with_record:
                     return t_cand, ()
                 # cx/cy/cz/r reuse the scalars the quadratic already read.
@@ -717,8 +754,11 @@ def _trace_kernel(
                         & (v >= 0.0)
                         & (u + v <= 1.0)
                         & (t_cand >= t_minf)
-                        & (t_cand < t_maxf)
                     )
+                    if not WINDOW_FUSE:
+                        # The upper bound is subsumed by t_cand < t_best
+                        # (see WINDOW_FUSE) — only kept for A/B runs.
+                        valid = valid & (t_cand < t_maxf)
                     t_cand = jnp.where(valid, t_cand, t_maxf)
                     if not with_record:
                         return t_cand, ()
@@ -1240,6 +1280,15 @@ def make_block_renderer(
     )
 
     def block(scene: CompiledScene, key, row0, sample_start, n_valid):
+        n_t = scene.tris.v0.x.shape[0] if scene.has_triangles else 0
+        if not fits_in_smem(scene.padded_size, n_t):
+            raise ValueError(
+                f"scene exceeds the SMEM prefetch budget "
+                f"(~{estimated_prefetch_bytes(scene.padded_size, n_t)} bytes "
+                f"of {SMEM_BUDGET}): {scene.padded_size} spheres + {n_t} "
+                f"triangles. Use the jnp backend (flat-BVH oracle) for "
+                f"scenes this large."
+            )
         sf, aabb, saabb, trf, traabb, tsaabb = _scene_to_prefetch(
             scene, material_set
         )

@@ -49,4 +49,21 @@ def renderer_factory(config: RenderConfig):
 
 
 def make_session(world: api.World, config: RenderConfig) -> RenderSession:
-    return RenderSession(world, config, renderer_factory=renderer_factory(config))
+    cfg = config
+    if resolve_backend(config) == "pallas" and config.backend == "auto":
+        # The megakernel's scene tables live in SMEM (scalar prefetch);
+        # scenes past the budget (~25k spheres / ~18k triangles) route to
+        # the jnp oracle, whose flat skip-link BVH has no such cap.
+        from myraytracer_tpu.kernels.trace import fits_in_smem
+
+        if not fits_in_smem(len(world.spheres) + 64, world.triangle_count):
+            import dataclasses
+            import logging
+
+            logging.getLogger("myraytracer_tpu").warning(
+                "scene (%d spheres, %d triangles) exceeds the Pallas "
+                "kernel's SMEM budget; auto backend falls back to jnp",
+                len(world.spheres), world.triangle_count,
+            )
+            cfg = dataclasses.replace(config, backend="jnp")
+    return RenderSession(world, cfg, renderer_factory=renderer_factory(cfg))

@@ -158,6 +158,42 @@ def test_sweep_width_and_fori_bitwise():
     assert results[1][1] == results[4][1]
 
 
+def test_smem_budget_cap():
+    """Scenes past the SMEM prefetch budget raise clearly from the kernel
+    and route to the jnp oracle under backend=auto (dispatch)."""
+    import jax.numpy as jnp
+
+    from myraytracer_tpu.config import RenderConfig
+    from myraytracer_tpu.kernels import trace
+    from myraytracer_tpu.render import dispatch
+
+    assert trace.fits_in_smem(486, 0)          # the RTiOW final scene
+    assert trace.fits_in_smem(64, 6500)        # mesh_scene subdiv 4
+    assert not trace.fits_in_smem(0, 30000)    # mesh_scene subdiv 5
+    assert not trace.fits_in_smem(40000, 0)
+
+    world = presets.mesh_scene(subdivisions=5)  # ~25.6k triangles
+    scene = compile_scene(world)
+    block = trace.make_block_renderer(
+        world.camera, 16, 8, 8, 1, 2, tile_rows=8, interpret=True
+    )
+    with pytest.raises(ValueError, match="SMEM"):
+        block(scene, KEY, jnp.uint32(0), jnp.uint32(0), jnp.uint32(1))
+
+    # auto mode falls back to jnp for the same scene (force the "pallas"
+    # resolution CPU tests would never take).
+    orig = dispatch.resolve_backend
+    dispatch.resolve_backend = lambda config: "pallas"
+    try:
+        session = dispatch.make_session(world, RenderConfig(
+            width=16, height=8, samples_per_frame=1, ray_depth=2,
+            backend="auto",
+        ))
+        assert session.config.backend == "jnp"
+    finally:
+        dispatch.resolve_backend = orig
+
+
 def test_sample_window_masking():
     """n_valid masking: spp=3 renderer over a 2-sample window."""
     world = presets.reference_scene()

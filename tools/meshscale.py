@@ -41,9 +41,21 @@ def main() -> int:
     for sub in subdivs:
         world = mesh_scene(subdivisions=sub)
         n_tris = world.triangle_count
+        if not trace.fits_in_smem(len(world.spheres) + 64, n_tris):
+            print(
+                f"subdiv={sub} tris={n_tris}  exceeds the SMEM prefetch "
+                f"budget ({trace.estimated_prefetch_bytes(64, n_tris)} of "
+                f"{trace.SMEM_BUDGET} bytes) — jnp/BVH territory",
+                flush=True,
+            )
+            continue
         scene = compile_scene(world, spatial_sort=True)
         mats = tuple(sorted({m.material.type_id for m in world.meshes}))
         row = [f"subdiv={sub} tris={n_tris}"]
+        # Build both variants first, then time them interleaved: the TPU
+        # drifts between performance phases over minutes, so sequential
+        # per-variant timing is unreliable (see tools/sweep.py).
+        built = []
         base_img = None
         for label, super_min in (("super", None), ("flat", 10 ** 9)):
             old = trace.SUPER_MIN
@@ -62,19 +74,24 @@ def main() -> int:
                     base_img = img_np
                 elif not np.array_equal(img_np, base_img):
                     row.append(f"!! {label} image differs")
-                best = float("inf")
-                for _ in range(reps):
-                    t0 = time.perf_counter()
-                    img, segs = render(scene, key, 0)
-                    np.asarray(img)
-                    best = min(best, time.perf_counter() - t0)
-                segs_f = float(np.asarray(segs))
-                row.append(
-                    f"{label}: {best * 1e3:7.1f} ms {segs_f / best / 1e6:6.1f} "
-                    f"Mrays/s (compile {compile_s:.0f}s)"
-                )
+                built.append((label, render, float(np.asarray(segs)), compile_s))
             finally:
                 trace.SUPER_MIN = old
+        times = {label: [] for label, *_ in built}
+        for r in range(reps):
+            order = built if r % 2 == 0 else list(reversed(built))
+            for label, render, _, _ in order:
+                t0 = time.perf_counter()
+                img, _ = render(scene, key, 0)
+                np.asarray(img)
+                times[label].append(time.perf_counter() - t0)
+        for label, render, segs_f, compile_s in built:
+            ts = sorted(times[label])
+            med = ts[len(ts) // 2]
+            row.append(
+                f"{label}: {med * 1e3:7.1f} ms {segs_f / med / 1e6:6.1f} "
+                f"Mrays/s (compile {compile_s:.0f}s)"
+            )
         print("  ".join(row), flush=True)
     return 0
 

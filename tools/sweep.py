@@ -37,6 +37,8 @@ VARIANTS = [
     ("w4-chunk96", {"CULL_CHUNK": 96}),
     ("w4-tile8", {"DEFAULT_TILE_ROWS": 8}),
     ("w4-tile24", {"DEFAULT_TILE_ROWS": 24}),
+    # Spelled-out window logic back on (pre-fusion; exact transform pair):
+    ("window-old", {"WINDOW_FUSE": False}),
     # Two-level gating on the final scene: finer chunks cut entered-sweep
     # work; the superchunk gate amortizes the extra gates.
     ("chunk32-s4", {"SUPER": 4, "SUPER_MIN": 4}),
