@@ -175,6 +175,9 @@ _ABLATE: tuple = ()
 # Experiment hook (tools/sweep.py): None = cull iff n_spheres > CULL_MIN;
 # True/False forces the chunk-AABB culled sweep on/off.
 _FORCE_CULL = None
+# Experiment hook: bake the general camera into the compiled kernel (the
+# pre-runtime-camera path) instead of reading the packed SMEM operand.
+_STATIC_CAM = False
 
 
 PAD_CENTER = 3e30  # pad-slot cx: the hit quadratic overflows → never valid
@@ -368,6 +371,7 @@ def _trace_kernel(
     trf_ref,  # [14, T] f32 triangle table (v0, e1, e2, albedo, fuzz, ior)
     traabb_ref,  # [6, t_chunks] f32 triangle chunk bounds
     tsaabb_ref,  # [6, t_super] f32 triangle superchunk bounds
+    camf_ref,  # [19] f32 packed thin-lens camera ([1] dummy in ref mode)
     meta_ref,  # [4] u32: key0, key1, sample_start, n_valid
     row0_ref,  # [1] u32: first image row of this block invocation
     # outputs (VMEM):
@@ -384,13 +388,14 @@ def _trace_kernel(
     t_min: float,
     t_max: float,
     tile_rows: int,
-    ray_gen,
+    ray_gen_factory,
     material_set,
     cull: bool,
     rng_mode: str,
     static_ior=None,
 ):
     tile = pl.program_id(0)
+    ray_gen = ray_gen_factory(camf_ref)
 
     key = (meta_ref[0], meta_ref[1])
     sample_start = meta_ref[2]
@@ -1246,7 +1251,21 @@ def make_block_renderer(
     material_set = tuple(sorted(set(material_set)))
     if ray_depth > crng.MAX_DEPTH:
         raise ValueError(f"ray_depth {ray_depth} exceeds MAX_DEPTH {crng.MAX_DEPTH}")
-    ray_gen = cam_mod.make_ray_generator(cam, width, height)
+    # Reference-mode camera is fixed by contract (shader.wgsl:360-361) and
+    # stays baked in; the general thin-lens camera is read from the packed
+    # SMEM operand so camera motion re-uses the compiled kernel (the
+    # default operand reproduces the construction camera bit-for-bit).
+    if cam.reference_mode or _STATIC_CAM:
+        static_gen = cam_mod.make_ray_generator(cam, width, height)
+        ray_gen_factory = lambda ref: static_gen  # noqa: E731
+        default_cam = jnp.zeros((1,), jnp.float32)  # dummy operand
+    else:
+        ray_gen_factory = lambda ref: (  # noqa: E731
+            lambda ix, iy, u1, u2, l1, l2: cam_mod.rays_from_packed(
+                ref, width, height, ix, iy, u1, u2, l1, l2
+            )
+        )
+        default_cam = jnp.asarray(cam_mod.pack_camera(cam, width, height))
 
     n_pixels = n_rows * width
     tile_size = tile_rows * LANES
@@ -1275,7 +1294,7 @@ def make_block_renderer(
         t_min=float(t_min),
         t_max=float(t_max),
         tile_rows=tile_rows,
-        ray_gen=ray_gen,
+        ray_gen_factory=ray_gen_factory,
         static_ior=static_ior,
     )
 
@@ -1292,6 +1311,10 @@ def make_block_renderer(
         sf, aabb, saabb, trf, traabb, tsaabb = _scene_to_prefetch(
             scene, material_set
         )
+        if cam.reference_mode or _STATIC_CAM or scene.cam is None:
+            camf = default_cam
+        else:
+            camf = jnp.asarray(scene.cam, jnp.float32)
         n_spheres = int(sf.shape[1])
         n_tris = int(trf.shape[1]) if scene.has_triangles else 0
         kern = functools.partial(
@@ -1311,7 +1334,7 @@ def make_block_renderer(
         row0_arr = jnp.asarray(row0, jnp.uint32).reshape(1)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=8,
+            num_scalar_prefetch=9,
             grid=(n_tiles,),
             in_specs=[],
             out_specs=[
@@ -1329,7 +1352,7 @@ def make_block_renderer(
             grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((out_rows, LANES), jnp.float32)] * 4,
             interpret=interpret,
-        )(sf, aabb, saabb, trf, traabb, tsaabb, meta, row0_arr)
+        )(sf, aabb, saabb, trf, traabb, tsaabb, camf, meta, row0_arr)
 
         unscramble = lambda a: a.reshape(-1)[_lane_of_pixel]
         img_sum = jnp.stack(

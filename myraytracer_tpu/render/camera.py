@@ -151,3 +151,71 @@ def make_ray_generator(cam: Camera, width: int, height: int):
     return lambda ix, iy, u1, u2, l1, l2: general_rays(
         params, width, height, ix, iy, u1, u2, l1, l2
     )
+
+
+# ---------------------------------------------------------------------------
+# Packed (runtime) camera: the thin-lens basis as a 19-float vector, so the
+# Pallas kernel can take the camera as an SMEM operand instead of baking it
+# into the compiled artifact — camera motion (orbit, interactive viewing)
+# then costs zero recompiles. Values are the same f32 constants the closure
+# path would embed, and ``rays_from_packed`` evaluates the identical
+# expression tree, so images are bit-identical between the two modes.
+# Layout: lower_left[3] horizontal[3] vertical[3] origin[3] u[3] v[3]
+#         lens_radius[1]
+# ---------------------------------------------------------------------------
+
+PACKED_CAMERA_SIZE = 19
+
+
+def pack_camera(cam: Camera, width: int, height: int):
+    """Pack a general-mode camera into the [19] f32 runtime vector."""
+    import numpy as np
+
+    if cam.reference_mode:
+        raise ValueError("reference-mode camera is fixed; nothing to pack")
+    p = GeneralCameraParams(cam, width, height)
+    return np.asarray(
+        [*p.lower_left, *p.horizontal, *p.vertical, *p.origin,
+         *p.u, *p.v, p.lens_radius],
+        np.float32,
+    )
+
+
+def rays_from_packed(
+    cam_ref,
+    width: int,
+    height: int,
+    ix: jnp.ndarray,
+    iy: jnp.ndarray,
+    u1: jnp.ndarray,
+    u2: jnp.ndarray,
+    lens_u1: jnp.ndarray,
+    lens_u2: jnp.ndarray,
+) -> Tuple[V3, V3]:
+    """``general_rays`` reading the basis from a packed [19] f32 ref.
+
+    Same expression tree as ``general_rays`` (term order preserved), so a
+    packed camera reproduces the closure camera bit-for-bit.
+    """
+    s = (ix.astype(jnp.float32) + u1) * (1.0 / width)
+    t = 1.0 - (iy.astype(jnp.float32) + u2) * (1.0 / height)
+
+    dx, dy = crng.unit_disk_from_uniforms(lens_u1, lens_u2)
+    rdx = cam_ref[18] * dx
+    rdy = cam_ref[18] * dy
+    offset = V3(
+        cam_ref[12] * rdx + cam_ref[15] * rdy,
+        cam_ref[13] * rdx + cam_ref[16] * rdy,
+        cam_ref[14] * rdx + cam_ref[17] * rdy,
+    )
+    origin = V3(
+        offset.x + cam_ref[9],
+        offset.y + cam_ref[10],
+        offset.z + cam_ref[11],
+    )
+    direction = V3(
+        cam_ref[0] + s * cam_ref[3] + t * cam_ref[6] - origin.x,
+        cam_ref[1] + s * cam_ref[4] + t * cam_ref[7] - origin.y,
+        cam_ref[2] + s * cam_ref[5] + t * cam_ref[8] - origin.z,
+    ).normalize()
+    return origin, direction

@@ -171,10 +171,21 @@ def make_block_renderer(
     # the reference; static_ior is a Pallas-kernel specialization knob)
     b = max(1, min(int(sample_batch), int(max_samples)))
     n_batches = -(-int(max_samples) // b)
-    ray_gen = cam_mod.make_ray_generator(cam, width, height)
+    static_gen = cam_mod.make_ray_generator(cam, width, height)
     n_pixels = n_rows * width
 
     def block(scene: CompiledScene, key, row0, sample_start, n_valid):
+        # A packed runtime camera (scene.cam) overrides the construction
+        # camera — same contract as the Pallas kernel (general mode only;
+        # the reference camera is fixed by definition).
+        if scene.cam is not None and not cam.reference_mode:
+            ray_gen = lambda ix, iy, u1, u2, l1, l2: (  # noqa: E731
+                cam_mod.rays_from_packed(
+                    scene.cam, width, height, ix, iy, u1, u2, l1, l2
+                )
+            )
+        else:
+            ray_gen = static_gen
         row0 = jnp.asarray(row0, jnp.uint32)
         sample_start = jnp.asarray(sample_start, jnp.uint32)
         n_valid = jnp.asarray(n_valid, jnp.uint32)

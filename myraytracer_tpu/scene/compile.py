@@ -86,6 +86,11 @@ class CompiledScene(NamedTuple):
     ior: jnp.ndarray  # [N] f32 (Dielectric index; 1 otherwise)
     mat_ty: jnp.ndarray  # [N] i32 (0 pad, 1 lambertian, 2 metal, 3 dielectric)
     tris: Optional[CompiledTriangles] = None
+    # Optional packed runtime camera ([19] f32, render.camera.pack_camera):
+    # when set, the Pallas kernel reads the thin-lens basis from it at run
+    # time instead of the renderer's construction-time camera — camera
+    # motion then needs no recompile (same compiled kernel, new operand).
+    cam: Optional[jnp.ndarray] = None
 
     @property
     def padded_size(self) -> int:

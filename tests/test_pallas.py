@@ -158,6 +158,42 @@ def test_sweep_width_and_fori_bitwise():
     assert results[1][1] == results[4][1]
 
 
+def test_packed_runtime_camera():
+    """The packed camera operand (scene.cam) reproduces the closure
+    camera and lets one compiled renderer serve new cameras."""
+    from myraytracer_tpu.render import camera as cam_mod
+    from myraytracer_tpu.scene.api import Camera
+
+    world = presets.defocus_scene()
+    scene = compile_scene(world)
+    cam_b = Camera(
+        lookfrom=(4.0, 1.5, 2.0), lookat=(0.0, 0.0, -1.0),
+        vup=(0.0, 1.0, 0.0), vfov_degrees=30.0, aperture=0.4,
+        focus_dist=4.5,
+    )
+    pack = cam_mod.pack_camera(cam_b, W, H)
+
+    # Oracle: closure camera vs packed runtime camera (same math order).
+    jnp_a = make_jnp_renderer(cam_b, W, H, SPP, DEPTH, sample_batch=SPP)
+    jnp_b = make_jnp_renderer(world.camera, W, H, SPP, DEPTH, sample_batch=SPP)
+    a, _ = jnp_a(scene, KEY, 0)
+    b, _ = jnp_b(scene._replace(cam=pack), KEY, 0)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-7)
+
+    # Kernel: renderer built for the defocus camera, driven to camera B at
+    # run time — must match a renderer built for camera B outright.
+    pal_a = make_pallas_renderer(cam_b, W, H, SPP, DEPTH, tile_rows=8,
+                                 interpret=True)
+    pal_b = make_pallas_renderer(world.camera, W, H, SPP, DEPTH, tile_rows=8,
+                                 interpret=True)
+    ka, _ = pal_a(scene, KEY, 0)
+    kb, _ = pal_b(scene._replace(cam=pack), KEY, 0)
+    assert np.array_equal(np.asarray(ka), np.asarray(kb))
+    # and the kernel still matches the oracle on the new camera
+    np.testing.assert_allclose(np.asarray(kb), np.asarray(a), rtol=1e-5,
+                               atol=1e-6)
+
+
 def test_smem_budget_cap():
     """Scenes past the SMEM prefetch budget raise clearly from the kernel
     and route to the jnp oracle under backend=auto (dispatch)."""

@@ -39,6 +39,8 @@ VARIANTS = [
     ("w4-tile24", {"DEFAULT_TILE_ROWS": 24}),
     # Spelled-out window logic back on (pre-fusion; exact transform pair):
     ("window-old", {"WINDOW_FUSE": False}),
+    # Camera baked into the compiled kernel (pre-runtime-camera path):
+    ("static-cam", {"_STATIC_CAM": True}),
     # Two-level gating on the final scene: finer chunks cut entered-sweep
     # work; the superchunk gate amortizes the extra gates.
     ("chunk32-s4", {"SUPER": 4, "SUPER_MIN": 4}),
