@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="serve the accumulating frame at http://localhost:PORT/ "
         "(the TPU-native analog of the reference's browser runner)",
     )
+    p.add_argument(
+        "--interactive", action="store_true",
+        help="with --serve: drag/wheel in the browser orbits the camera "
+        "(runtime camera operand — no recompiles; general-mode scenes)",
+    )
     return p
 
 
@@ -147,6 +152,13 @@ def main(argv=None) -> int:
         from myraytracer_tpu.viewer import LiveViewer
 
         viewer = LiveViewer(args.serve, gamma=args.gamma)
+    if args.interactive and (
+        viewer is None or world.camera.reference_mode or args.shard != "none"
+    ):
+        raise SystemExit(
+            "--interactive needs --serve, a general-mode (positionable) "
+            "camera scene, and --shard none"
+        )
 
     with trace_cm:
         for i in range(args.frames):
@@ -166,6 +178,22 @@ def main(argv=None) -> int:
                     session.framebuffer, session.frame_count,
                     session.accumulated_spp,
                 )
+                if args.interactive:
+                    req = viewer.pending_camera()
+                    if req is not None:
+                        from myraytracer_tpu.render.camera import orbit_camera
+
+                        session.set_camera(orbit_camera(
+                            world.camera,
+                            req.get("yaw", 0.0), req.get("pitch", 0.0),
+                            req.get("dist", 1.0),
+                        ))
+                        log.info(
+                            "camera orbit yaw=%.2f pitch=%.2f dist=%.2f "
+                            "(accumulation reset, no recompile)",
+                            req.get("yaw", 0.0), req.get("pitch", 0.0),
+                            req.get("dist", 1.0),
+                        )
             if args.preview_every and session.frame_count % args.preview_every == 0:
                 write_image(args.out, session.framebuffer, gamma=args.gamma)
                 log.info("preview → %s", args.out)

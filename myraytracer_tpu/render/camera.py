@@ -167,6 +167,31 @@ def make_ray_generator(cam: Camera, width: int, height: int):
 PACKED_CAMERA_SIZE = 19
 
 
+def orbit_camera(base: Camera, yaw: float, pitch: float, dist_scale: float) -> Camera:
+    """Orbit ``base`` about its look-at point (interactive-viewer controls).
+
+    ``yaw``/``pitch`` are radians relative to the base azimuth/elevation;
+    ``dist_scale`` multiplies the base distance. Elevation is clamped
+    short of the poles so the vup basis stays well-defined.
+    """
+    import dataclasses
+
+    lf, la = base.lookfrom, base.lookat
+    dx, dy, dz = lf[0] - la[0], lf[1] - la[1], lf[2] - la[2]
+    r = math.sqrt(dx * dx + dy * dy + dz * dz) or 1.0
+    az = math.atan2(dz, dx) + yaw
+    el = max(-1.45, min(1.45, math.asin(dy / r) + pitch))
+    r2 = r * max(1e-3, dist_scale)
+    return dataclasses.replace(
+        base,
+        lookfrom=(
+            la[0] + r2 * math.cos(el) * math.cos(az),
+            la[1] + r2 * math.sin(el),
+            la[2] + r2 * math.cos(el) * math.sin(az),
+        ),
+    )
+
+
 def pack_camera(cam: Camera, width: int, height: int):
     """Pack a general-mode camera into the [19] f32 runtime vector."""
     import numpy as np

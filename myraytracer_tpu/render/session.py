@@ -109,6 +109,30 @@ class RenderSession:
         fb.block_until_ready()
         return self.framebuffer
 
+    def set_camera(self, cam: api.Camera) -> None:
+        """Move the camera without recompiling.
+
+        Packs the new thin-lens basis into ``scene.cam`` (the kernel's
+        runtime camera operand — render/camera.pack_camera) and resets the
+        accumulation state: progressive blending assumes a fixed view, so
+        a camera move starts a fresh frame stream (the sample stream
+        continues from the cursor — no draws are reused). The reference
+        cannot move its camera at all (shader.wgsl:360-361); here it is a
+        ~µs host-side repack on an already-compiled kernel.
+        """
+        if cam.reference_mode:
+            raise ValueError(
+                "the reference-mode camera is fixed by contract; "
+                "use a general (lookfrom/lookat) camera to move"
+            )
+        from myraytracer_tpu.render.camera import pack_camera
+
+        self.scene = self.scene._replace(
+            cam=jnp.asarray(pack_camera(cam, self.width, self.height))
+        )
+        self.framebuffer = jnp.zeros_like(self.framebuffer)
+        self.frame_count = 0
+
     # -- checkpoint / resume --------------------------------------------------
 
     def save_checkpoint(self, path) -> None:

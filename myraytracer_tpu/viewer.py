@@ -16,6 +16,13 @@ Endpoints:
 * ``/``           — viewer page (auto-refreshes the image; shows stats)
 * ``/frame.png``  — the latest accumulated frame, gamma-encoded PNG
 * ``/stats.json`` — frame count, accumulated spp, image size
+* ``/set``        — camera control (``?yaw=&pitch=&dist=`` radians/units);
+                    the page sends these on mouse drag / wheel, the render
+                    loop polls ``pending_camera()`` between frames and
+                    re-packs the runtime camera operand (zero recompiles —
+                    see render/camera.pack_camera). Going one better than
+                    the reference: its window has no camera controls at
+                    all (camera fixed, shader.wgsl:360-361).
 
 Thread-safety: ``update()`` swaps one attribute tuple under a lock; the
 request handler only reads it. The server runs on a daemon thread and
@@ -28,6 +35,7 @@ import json
 import logging
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs
 
 import numpy as np
 
@@ -49,8 +57,9 @@ _PAGE = b"""<!doctype html>
 </style>
 </head>
 <body>
-<div id="bar">myraytracer_tpu &mdash; <span id="stats">connecting&hellip;</span></div>
-<img id="frame" src="/frame.png">
+<div id="bar">myraytracer_tpu &mdash; <span id="stats">connecting&hellip;</span>
+  <span id="hint" style="color:#777"> &mdash; drag to orbit, wheel to zoom</span></div>
+<img id="frame" src="/frame.png" draggable="false">
 <script>
   const img = document.getElementById("frame");
   const stats = document.getElementById("stats");
@@ -64,6 +73,31 @@ _PAGE = b"""<!doctype html>
   }
   setInterval(tick, 500);
   tick();
+
+  // Camera controls: spherical orbit about the scene's look-at point.
+  // The render loop polls /set's latest value between frames and repacks
+  // the kernel's runtime camera operand (no recompile).
+  let yaw = 0.0, pitch = 0.0, dist = 1.0, dragging = false, px = 0, py = 0;
+  let dirty = false;
+  img.addEventListener("mousedown", e => { dragging = true; px = e.clientX; py = e.clientY; });
+  window.addEventListener("mouseup", () => { dragging = false; });
+  window.addEventListener("mousemove", e => {
+    if (!dragging) return;
+    yaw   += (e.clientX - px) * 0.01;
+    pitch += (e.clientY - py) * 0.01;
+    pitch = Math.max(-1.3, Math.min(1.3, pitch));
+    px = e.clientX; py = e.clientY; dirty = true;
+  });
+  img.addEventListener("wheel", e => {
+    e.preventDefault();
+    dist *= Math.exp(e.deltaY * 0.001);
+    dist = Math.max(0.05, Math.min(20.0, dist)); dirty = true;
+  }, { passive: false });
+  setInterval(() => {
+    if (!dirty) return;
+    dirty = false;
+    fetch(`/set?yaw=${yaw}&pitch=${pitch}&dist=${dist}`).catch(() => {});
+  }, 100);
 </script>
 </body>
 </html>
@@ -78,14 +112,28 @@ class LiveViewer:
         self._lock = threading.Lock()
         self._png = encode_png(np.zeros((1, 1, 3), np.uint8))
         self._stats = {"frame": 0, "spp": 0, "width": 0, "height": 0}
+        self._camera_request = None  # latest /set payload, consumed by poll
 
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):
             def do_GET(self):  # noqa: N802 (stdlib API)
-                path = self.path.split("?", 1)[0]
+                path, _, query = self.path.partition("?")
                 if path == "/":
                     body, ctype = _PAGE, "text/html; charset=utf-8"
+                elif path == "/set":
+                    q = parse_qs(query)
+                    try:
+                        req = {
+                            k: float(q[k][0])
+                            for k in ("yaw", "pitch", "dist") if k in q
+                        }
+                    except ValueError:
+                        self.send_error(400)
+                        return
+                    with viewer._lock:
+                        viewer._camera_request = req
+                    body, ctype = b"{}", "application/json"
                 elif path == "/frame.png":
                     with viewer._lock:
                         body = viewer._png
@@ -127,6 +175,18 @@ class LiveViewer:
                 "width": int(fb.shape[1]),
                 "height": int(fb.shape[0]),
             }
+
+    def pending_camera(self):
+        """Return-and-clear the latest camera request from the page.
+
+        ``{"yaw": r, "pitch": r, "dist": scale}`` (orbit angles in radians
+        about the scene's look-at point, distance as a multiplier of the
+        starting distance) or None. The render loop applies it via
+        ``RenderSession.set_camera`` — a repack, not a recompile.
+        """
+        with self._lock:
+            req, self._camera_request = self._camera_request, None
+        return req
 
     def close(self) -> None:
         self._server.shutdown()

@@ -81,3 +81,32 @@ def test_checkpoint_rejects_mismatched_config(tmp_path):
 
     with pytest.raises(ValueError):
         b.load_checkpoint(path)
+
+
+def test_set_camera_moves_without_rebuild():
+    """set_camera repacks scene.cam, resets accumulation, and produces the
+    image a fresh session at that camera/cursor would."""
+    import pytest
+
+    from myraytracer_tpu.scene.api import Camera
+
+    s = RenderSession(presets.defocus_scene(), CFG)
+    s.step()
+    cam_b = Camera(
+        lookfrom=(4.0, 1.5, 2.0), lookat=(0.0, 0.0, -1.0),
+        vup=(0.0, 1.0, 0.0), vfov_degrees=30.0, aperture=0.4,
+        focus_dist=4.5,
+    )
+    render = s._render  # same compiled renderer object
+    s.set_camera(cam_b)
+    assert s.frame_count == 0
+    assert float(np.abs(np.asarray(s.framebuffer)).max()) == 0.0
+    assert s._render is render  # no rebuild
+    fb = s.step()
+    want, _ = render(s.scene, s.key, np.uint32(CFG.samples_per_frame))
+    np.testing.assert_array_equal(np.asarray(fb), np.asarray(want))
+
+    # the reference camera is fixed by contract
+    ref = mk_session()
+    with pytest.raises(ValueError):
+        ref.set_camera(presets.reference_scene().camera)

@@ -52,3 +52,41 @@ def test_viewer_404():
             assert e.code == 404
     finally:
         viewer.close()
+
+
+def test_viewer_camera_controls():
+    viewer = LiveViewer(0)
+    try:
+        assert viewer.pending_camera() is None
+        _get(viewer.port, "/set?yaw=0.5&pitch=-0.25&dist=1.5")
+        _get(viewer.port, "/set?yaw=0.7&pitch=-0.25&dist=1.5")  # latest wins
+        req = viewer.pending_camera()
+        assert req == {"yaw": 0.7, "pitch": -0.25, "dist": 1.5}
+        assert viewer.pending_camera() is None  # consumed
+        try:
+            _get(viewer.port, "/set?yaw=bogus")
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        viewer.close()
+
+
+def test_orbit_camera():
+    import math
+
+    from myraytracer_tpu.render.camera import orbit_camera
+    from myraytracer_tpu.scene.api import Camera
+
+    base = Camera(lookfrom=(3.0, 0.0, 0.0), lookat=(0.0, 0.0, 0.0),
+                  vfov_degrees=40.0)
+    # half-turn in yaw lands on the opposite side, same radius
+    c = orbit_camera(base, math.pi, 0.0, 1.0)
+    np.testing.assert_allclose(c.lookfrom, (-3.0, 0.0, 0.0), atol=1e-12)
+    # distance scaling
+    c2 = orbit_camera(base, 0.0, 0.0, 2.0)
+    np.testing.assert_allclose(c2.lookfrom, (6.0, 0.0, 0.0), atol=1e-12)
+    # pitch clamps short of the pole
+    c3 = orbit_camera(base, 0.0, 10.0, 1.0)
+    assert abs(c3.lookfrom[1] - 3.0 * math.sin(1.45)) < 1e-9
+    assert c3.lookat == base.lookat and c3.vfov_degrees == base.vfov_degrees
