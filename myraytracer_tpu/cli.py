@@ -160,19 +160,36 @@ def main(argv=None) -> int:
             "camera scene, and --shard none"
         )
 
+    # With a live viewer, frames are NOT host-synced individually: small
+    # frames are dominated by the tunnel round-trip, and JAX pipelines
+    # dispatches — so sync (and push to the browser / poll the camera)
+    # on a wall-clock cadence instead. Headless runs keep per-frame
+    # forcing for honest per-frame timing logs.
+    sync_interval = 0.25 if viewer is not None else 0.0
+    t_sync = time.perf_counter()
+    segs_sync = session.segments_traced
+    frames_sync = 0
+
     with trace_cm:
         for i in range(args.frames):
-            t0 = time.perf_counter()
-            segs_before = session.segments_traced
             fb = session.step()
-            np.asarray(fb)  # force the frame (block_until_ready may not block
-            # on remote-tunnel backends)
-            dt = time.perf_counter() - t0
-            mrays = (session.segments_traced - segs_before) / dt / 1e6
+            frames_sync += 1
+            now = time.perf_counter()
+            if viewer is not None and now - t_sync < sync_interval and \
+                    i != args.frames - 1:
+                continue
+            np.asarray(fb)  # force the work (block_until_ready may not
+            # block on remote-tunnel backends)
+            dt = time.perf_counter() - t_sync
+            mrays = (session.segments_traced - segs_sync) / dt / 1e6
             log.info(
-                "frame=%d spp=%d ms=%.1f Mrays/s=%.1f",
-                session.frame_count, session.accumulated_spp, dt * 1e3, mrays,
+                "frame=%d spp=%d ms=%.1f (%d frame%s) Mrays/s=%.1f",
+                session.frame_count, session.accumulated_spp, dt * 1e3,
+                frames_sync, "s" if frames_sync != 1 else "", mrays,
             )
+            t_sync = time.perf_counter()
+            segs_sync = session.segments_traced
+            frames_sync = 0
             if viewer is not None:
                 viewer.update(
                     session.framebuffer, session.frame_count,
