@@ -32,6 +32,18 @@ def renderer_factory(config: RenderConfig):
         try:
             from myraytracer_tpu.kernels.trace import make_renderer as make_pallas
             factory = make_pallas
+            if jax.default_backend() != "tpu":
+                # Explicit pallas off-TPU: run the kernel in interpret
+                # mode (slow, but semantically the kernel — what the
+                # parity tests do) instead of failing at Mosaic compile.
+                import functools
+                import logging
+
+                logging.getLogger("myraytracer_tpu").warning(
+                    "pallas backend on %s: using interpret mode (slow)",
+                    jax.default_backend(),
+                )
+                factory = functools.partial(make_pallas, interpret=True)
         except (ImportError, NotImplementedError):
             if config.backend == "pallas":
                 raise

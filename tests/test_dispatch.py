@@ -64,3 +64,21 @@ def test_profiling_utils(tmp_path):
             jax.jit(lambda x: x / 0.0 * 0.0)(jnp.float32(1.0)).block_until_ready()
     finally:
         enable_debug_nans(False)
+
+
+def test_explicit_pallas_off_tpu_uses_interpret():
+    """--backend pallas on a non-TPU platform runs the kernel in
+    interpret mode instead of failing at Mosaic compile."""
+    import numpy as np
+
+    from myraytracer_tpu.config import RenderConfig
+    from myraytracer_tpu.render.dispatch import make_session
+    from myraytracer_tpu.scene import presets
+
+    s = make_session(
+        presets.reference_scene(),
+        RenderConfig(width=16, height=8, samples_per_frame=1, ray_depth=2,
+                     backend="pallas"),
+    )
+    fb = np.asarray(s.step())
+    assert np.isfinite(fb).all() and fb.mean() > 0.0
