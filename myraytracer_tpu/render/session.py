@@ -55,8 +55,17 @@ class RenderSession:
         self.width, self.height = config.resolve_size()
         # Morton-sort large scenes so the Pallas kernel's chunk culling has
         # spatial locality (affects only equal-t tie-breaking; see
-        # scene/compile.py).
-        self.scene = compile_scene(world, spatial_sort=len(world.spheres) > 64)
+        # scene/compile.py). Sessions on the jnp oracle build the flat
+        # skip-link BVH for large meshes (the path the Pallas SMEM-cap
+        # fallback relies on; the kernel has its own Morton-AABB gates
+        # and ignores it).
+        self.scene = compile_scene(
+            world,
+            spatial_sort=len(world.spheres) > 64,
+            triangle_bvh=(
+                config.backend == "jnp" and world.triangle_count > 512
+            ),
+        )
         self.key = crng.key_from_seed(config.seed)
 
         factory = renderer_factory or make_renderer

@@ -82,3 +82,25 @@ def test_explicit_pallas_off_tpu_uses_interpret():
     )
     fb = np.asarray(s.step())
     assert np.isfinite(fb).all() and fb.mean() > 0.0
+
+
+def test_smem_fallback_session_builds_bvh():
+    """The auto->jnp SMEM-cap fallback session really has the flat BVH
+    (the fast path its warning promises)."""
+    from myraytracer_tpu.config import RenderConfig
+    from myraytracer_tpu.render import dispatch
+    from myraytracer_tpu.scene import presets
+
+    world = presets.mesh_scene(subdivisions=5)  # ~25.6k triangles
+    orig = dispatch.resolve_backend
+    dispatch.resolve_backend = lambda config: "pallas"
+    try:
+        session = dispatch.make_session(world, RenderConfig(
+            width=16, height=8, samples_per_frame=1, ray_depth=2,
+            backend="auto",
+        ))
+    finally:
+        dispatch.resolve_backend = orig
+    assert session.config.backend == "jnp"
+    assert session.scene.tris is not None
+    assert session.scene.tris.bvh is not None
