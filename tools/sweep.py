@@ -41,6 +41,9 @@ VARIANTS = [
     ("window-old", {"WINDOW_FUSE": False}),
     # Camera baked into the compiled kernel (pre-runtime-camera path):
     ("static-cam", {"_STATIC_CAM": True}),
+    # Pixel-block aspect for the tile→pixel mapping (64x32 default):
+    ("block32", {"BLOCK_W": 32}),
+    ("block128", {"BLOCK_W": 128}),
     # Two-level gating on the final scene: finer chunks cut entered-sweep
     # work; the superchunk gate amortizes the extra gates.
     ("chunk32-s4", {"SUPER": 4, "SUPER_MIN": 4}),
