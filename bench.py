@@ -93,22 +93,41 @@ def main() -> int:
     np.asarray(img)
     log(f"bench: compile+first frame {time.perf_counter() - t0:.1f}s")
 
+    # Steady-state warmup: the chip ramps between performance phases under
+    # sustained load — frames timed straight after a long idle compile
+    # consistently measure ~8% low vs in-process steady state
+    # (tools/sweep.py medians). Default one extra warm frame.
+    for w in range(int(os.environ.get("BENCH_WARMUP", 1))):
+        t0 = time.perf_counter()
+        img, _ = render(scene, key, jnp.uint32((w + 1) * spp_timed))
+        np.asarray(img)
+        log(f"bench: warmup frame {time.perf_counter() - t0:.1f}s")
+
     # Timed frames (distinct sample windows — real progressive work).
-    n_frames = int(os.environ.get("BENCH_FRAMES", 2 if spp_timed >= 250 else 3))
-    t0 = time.perf_counter()
+    n_frames = int(os.environ.get("BENCH_FRAMES", 3))
+    warmed = 1 + int(os.environ.get("BENCH_WARMUP", 1))
+    rates = []
     total_segs = 0.0
-    for i in range(1, n_frames + 1):
+    dt_total = 0.0
+    for i in range(warmed, warmed + n_frames):
+        t0 = time.perf_counter()
         img, segs = render(scene, key, jnp.uint32(i * spp_timed))
         np.asarray(img)  # force real execution (see warmup note)
+        dt = time.perf_counter() - t0
+        rates.append(float(segs) / dt / 1e6)
         total_segs += float(segs)
-    dt = time.perf_counter() - t0
+        dt_total += dt
+        log(f"bench: frame {i - warmed}: {dt:.2f}s  {rates[-1]:.1f} Mrays/s")
 
-    mrays = total_segs / dt / 1e6
+    # Median per-frame rate: the shared TPU flips between performance
+    # phases (±10%, minutes apart); the median rejects a frame that
+    # straddles a flip, where a mean would be dragged.
+    mrays = sorted(rates)[len(rates) // 2]
     camera_rays = n_frames * spp_timed * width * height
     log(
-        f"bench: {dt:.2f}s for {n_frames} frames; "
+        f"bench: {dt_total:.2f}s for {n_frames} frames; "
         f"{total_segs / camera_rays:.2f} avg bounces/camera-ray; "
-        f"{camera_rays / dt / 1e6:.1f} Mcam-rays/s"
+        f"median of {rates}"
     )
 
     result = {
