@@ -195,7 +195,10 @@ def main(argv=None) -> int:
                     session.framebuffer, session.frame_count,
                     session.accumulated_spp,
                 )
-                if args.interactive:
+                # (Not on the last frame: a move would zero the
+                # accumulator with nothing left to refill it before the
+                # final image write.)
+                if args.interactive and i != args.frames - 1:
                     req = viewer.pending_camera()
                     if req is not None:
                         from myraytracer_tpu.render.camera import orbit_camera
@@ -211,7 +214,8 @@ def main(argv=None) -> int:
                             req.get("yaw", 0.0), req.get("pitch", 0.0),
                             req.get("dist", 1.0),
                         )
-            if args.preview_every and session.frame_count % args.preview_every == 0:
+            if args.preview_every and session.frame_count > 0 \
+                    and session.frame_count % args.preview_every == 0:
                 write_image(args.out, session.framebuffer, gamma=args.gamma)
                 log.info("preview → %s", args.out)
 

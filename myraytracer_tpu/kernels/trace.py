@@ -544,7 +544,13 @@ def _trace_kernel(
                     # root needs only the lower-bound test; likewise the
                     # upper bound is subsumed by the t_best compare.
                     t_cand = jnp.where(t1 >= t_minf, t1, t2)
-                    t_cand = jnp.where(t_cand >= t_minf, t_cand, t_maxf)
+                    ok = t_cand >= t_minf
+                    if SQRT_GUARD:
+                        # With the guard, disc<0 yields finite t1=t2=-b
+                        # (not NaN), so the miss must be rejected
+                        # explicitly here too.
+                        ok = ok & (disc >= 0.0)
+                    t_cand = jnp.where(ok, t_cand, t_maxf)
                 else:
                     t1_ok = (t1 >= t_minf) & (t1 < t_maxf)
                     t_cand = jnp.where(t1_ok, t1, t2)
@@ -577,13 +583,11 @@ def _trace_kernel(
                 new_acc.extend(acc[n_rec:])  # tri slots pass through
                 return (t_best, *new_acc)
 
-            def hit_group(si_list, hc):
-                """Tree-combine sweep step over a group of spheres (merged
-                mode): candidates are mutually independent, pairwise
-                reduction uses strict < with the earlier sphere on the
-                left, so ties resolve to the lowest index — bitwise the
-                sequential sweep's result."""
-                cands = [sphere_cand(si, True) for si in si_list]
+            def tree_reduce(cands):
+                """Pairwise-reduce (t, values) candidates with strict <,
+                earlier candidate on the left — ties resolve to the lowest
+                index, bitwise the sequential sweep's semantics. Shared by
+                the sphere and triangle groups."""
                 while len(cands) > 1:
                     nxt = []
                     for i in range(0, len(cands) - 1, 2):
@@ -599,7 +603,46 @@ def _trace_kernel(
                     if len(cands) % 2:
                         nxt.append(cands[-1])
                     cands = nxt
-                t_g, v_g = cands[0]
+                return cands[0]
+
+            def make_runners(body_fn, group_fn):
+                """Span (unrolled) and fori drivers over one primitive
+                kind, tree-combining SWEEP_WIDTH candidates per carry
+                merge in merged mode."""
+
+                def span(start, count, hc):
+                    if merged and SWEEP_WIDTH > 1:
+                        i = start
+                        while i < start + count:
+                            w = min(SWEEP_WIDTH, start + count - i)
+                            hc = group_fn(range(i, i + w), hc)
+                            i += w
+                        return hc
+                    for si in range(start, start + count):
+                        hc = body_fn(si, hc)
+                    return hc
+
+                def fori(start, count, hc):
+                    w = SWEEP_WIDTH
+                    if merged and w > 1 and count % w == 0:
+                        return jax.lax.fori_loop(
+                            0, count // w,
+                            lambda g, hc: group_fn(
+                                [start + g * w + j for j in range(w)], hc
+                            ),
+                            hc,
+                        )
+                    return jax.lax.fori_loop(
+                        start, start + count, body_fn, hc
+                    )
+
+                return span, fori
+
+            def hit_group(si_list, hc):
+                """Tree-combined sweep step over a group of spheres."""
+                t_g, v_g = tree_reduce(
+                    [sphere_cand(si, True) for si in si_list]
+                )
                 t_best = hc[0]
                 better = t_g < t_best
                 new = [jnp.where(better, t_g, t_best)]
@@ -610,31 +653,7 @@ def _trace_kernel(
                 new.extend(hc[1 + n_rec:])
                 return tuple(new)
 
-            def run_span(start, count, hc):
-                """Unrolled sweep over spheres [start, start+count)."""
-                if merged and SWEEP_WIDTH > 1:
-                    i = start
-                    while i < start + count:
-                        w = min(SWEEP_WIDTH, start + count - i)
-                        hc = hit_group(range(i, i + w), hc)
-                        i += w
-                    return hc
-                for si in range(start, start + count):
-                    hc = hit_body(si, hc)
-                return hc
-
-            def run_fori(start, count, hc):
-                """fori_loop sweep (giant scenes), SWEEP_WIDTH per step."""
-                w = SWEEP_WIDTH
-                if merged and w > 1 and count % w == 0:
-                    return jax.lax.fori_loop(
-                        0, count // w,
-                        lambda g, hc: hit_group(
-                            [start + g * w + j for j in range(w)], hc
-                        ),
-                        hc,
-                    )
-                return jax.lax.fori_loop(start, start + count, hit_body, hc)
+            run_span, run_fori = make_runners(hit_body, hit_group)
 
             # Slab test shared by the sphere- and triangle-chunk gates
             # (unused pieces DCE away on ungated scenes).
@@ -801,52 +820,13 @@ def _trace_kernel(
                     return tri_apply(better, t_cand, vals, hc)
 
                 def tri_group(ti_list, hc):
-                    """Tree-combine over a triangle group (exact; ties →
-                    lowest index, as in the sequential sweep)."""
-                    cands = [tri_cand(ti, True) for ti in ti_list]
-                    while len(cands) > 1:
-                        nxt = []
-                        for i in range(0, len(cands) - 1, 2):
-                            (ta, va), (tb, vb) = cands[i], cands[i + 1]
-                            pick = tb < ta
-                            nxt.append((
-                                jnp.where(pick, tb, ta),
-                                tuple(
-                                    jnp.where(pick, y, x)
-                                    for x, y in zip(va, vb)
-                                ),
-                            ))
-                        if len(cands) % 2:
-                            nxt.append(cands[-1])
-                        cands = nxt
-                    t_g, v_g = cands[0]
+                    """Tree-combined sweep step over a triangle group."""
+                    t_g, v_g = tree_reduce(
+                        [tri_cand(ti, True) for ti in ti_list]
+                    )
                     return tri_apply(t_g < hc[0], t_g, v_g, hc)
 
-                def run_tri_span(start, count, hc):
-                    if merged and SWEEP_WIDTH > 1:
-                        i = start
-                        while i < start + count:
-                            w = min(SWEEP_WIDTH, start + count - i)
-                            hc = tri_group(range(i, i + w), hc)
-                            i += w
-                        return hc
-                    for ti in range(start, start + count):
-                        hc = tri_body(ti, hc)
-                    return hc
-
-                def run_tri_fori(start, count, hc):
-                    w = SWEEP_WIDTH
-                    if merged and w > 1 and count % w == 0:
-                        return jax.lax.fori_loop(
-                            0, count // w,
-                            lambda g, hc: tri_group(
-                                [start + g * w + j for j in range(w)], hc
-                            ),
-                            hc,
-                        )
-                    return jax.lax.fori_loop(
-                        start, start + count, tri_body, hc
-                    )
+                run_tri_span, run_tri_fori = make_runners(tri_body, tri_group)
 
                 if n_tris <= UNROLL_MAX:
                     hc = run_tri_span(0, n_tris, hc)

@@ -66,9 +66,20 @@ def make_session(world: api.World, config: RenderConfig) -> RenderSession:
         # The megakernel's scene tables live in SMEM (scalar prefetch);
         # scenes past the budget (~25k spheres / ~18k triangles) route to
         # the jnp oracle, whose flat skip-link BVH has no such cap.
-        from myraytracer_tpu.kernels.trace import fits_in_smem
+        try:
+            from myraytracer_tpu.kernels.trace import fits_in_smem
+        except (ImportError, NotImplementedError):
+            # Pallas unavailable: renderer_factory degrades auto to jnp
+            # on its own; don't crash session creation here.
+            fits_in_smem = None
 
-        if not fits_in_smem(len(world.spheres) + 64, world.triangle_count):
+        # Margins cover the kernel's exact padded-table re-check (spheres
+        # pad to LEADERS + k*CULL_CHUNK, triangles to k*TRI_CHUNK): this
+        # check must be at least as strict, so auto mode never compiles
+        # into the kernel's ValueError at the boundary.
+        if fits_in_smem is not None and not fits_in_smem(
+            len(world.spheres) + 192, world.triangle_count + 128
+        ):
             import dataclasses
             import logging
 

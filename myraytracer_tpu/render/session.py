@@ -58,14 +58,30 @@ class RenderSession:
         # scene/compile.py). Sessions on the jnp oracle build the flat
         # skip-link BVH for large meshes (the path the Pallas SMEM-cap
         # fallback relies on; the kernel has its own Morton-AABB gates
-        # and ignores it).
+        # and ignores it). "auto" resolves like dispatch.resolve_backend
+        # (kept inline: dispatch imports this module).
+        resolved = config.backend
+        if resolved == "auto":
+            resolved = "pallas" if jax.default_backend() == "tpu" else "jnp"
         self.scene = compile_scene(
             world,
             spatial_sort=len(world.spheres) > 64,
             triangle_bvh=(
-                config.backend == "jnp" and world.triangle_count > 512
+                resolved == "jnp" and world.triangle_count > 512
             ),
         )
+        if not world.camera.reference_mode:
+            # Pre-populate the packed runtime-camera operand so the jitted
+            # pytree structure never changes: the first set_camera() is
+            # then an operand swap, not a recompile. Bit-identical to the
+            # baked camera (same f32 basis, same expression order).
+            from myraytracer_tpu.render.camera import pack_camera
+
+            self.scene = self.scene._replace(
+                cam=jnp.asarray(
+                    pack_camera(world.camera, self.width, self.height)
+                )
+            )
         self.key = crng.key_from_seed(config.seed)
 
         factory = renderer_factory or make_renderer
@@ -90,7 +106,14 @@ class RenderSession:
         self.framebuffer = jnp.zeros((self.height, self.width, 3), jnp.float32)
         self.frame_count = 0  # lib.rs:232 sample_count
         self.sample_cursor = 0  # global sample index (per pixel)
-        self.segments_traced = 0.0
+        # Lazy device scalar: forcing it per step would block the host on
+        # every frame and defeat dispatch pipelining (cli.py viewer mode).
+        self._segments = jnp.float32(0.0)
+
+    @property
+    def segments_traced(self) -> float:
+        """Total ray segments traced (forces pending device work)."""
+        return float(self._segments)
 
     @property
     def accumulated_spp(self) -> int:
@@ -109,7 +132,7 @@ class RenderSession:
         self.framebuffer = img * (1.0 - w) + self.framebuffer * w
         self.frame_count += 1
         self.sample_cursor += self.config.samples_per_frame
-        self.segments_traced += float(segs)
+        self._segments = self._segments + segs  # lazy: no host sync here
         return self.framebuffer
 
     def run(self, frames: int) -> jnp.ndarray:
@@ -129,10 +152,14 @@ class RenderSession:
         cannot move its camera at all (shader.wgsl:360-361); here it is a
         ~µs host-side repack on an already-compiled kernel.
         """
-        if cam.reference_mode:
+        if cam.reference_mode or self.world.camera.reference_mode:
+            # Both the new camera AND the one the renderer was built with
+            # must be general-mode: renderers compiled for the reference
+            # camera ignore scene.cam entirely (the move would silently
+            # no-op while resetting accumulation).
             raise ValueError(
                 "the reference-mode camera is fixed by contract; "
-                "use a general (lookfrom/lookat) camera to move"
+                "use a general (lookfrom/lookat) camera scene to move"
             )
         from myraytracer_tpu.render.camera import pack_camera
 
@@ -180,7 +207,7 @@ class RenderSession:
         self.framebuffer = jnp.asarray(data["framebuffer"])
         self.frame_count = int(data["frame_count"])
         self.sample_cursor = int(data["sample_cursor"])
-        self.segments_traced = float(data["segments_traced"])
+        self._segments = jnp.float32(float(data["segments_traced"]))
 
 
 def render(
