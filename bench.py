@@ -106,28 +106,49 @@ def main() -> int:
     # Timed frames (distinct sample windows — real progressive work).
     n_frames = int(os.environ.get("BENCH_FRAMES", 3))
     warmed = 1 + int(os.environ.get("BENCH_WARMUP", 1))
-    rates = []
-    total_segs = 0.0
-    dt_total = 0.0
-    for i in range(warmed, warmed + n_frames):
+    pipelined = os.environ.get("BENCH_PIPELINE", "1") != "0"
+    if pipelined:
+        # Sustained streaming throughput: progressive rendering is a
+        # pipeline — dispatch every frame, then force them in order, so
+        # host/dispatch overhead overlaps device compute exactly as the
+        # production accumulation loop does.
         t0 = time.perf_counter()
-        img, segs = render(scene, key, jnp.uint32(i * spp_timed))
-        np.asarray(img)  # force real execution (see warmup note)
-        dt = time.perf_counter() - t0
-        rates.append(float(segs) / dt / 1e6)
-        total_segs += float(segs)
-        dt_total += dt
-        log(f"bench: frame {i - warmed}: {dt:.2f}s  {rates[-1]:.1f} Mrays/s")
-
-    # Median per-frame rate: the shared TPU flips between performance
-    # phases (±10%, minutes apart); the median rejects a frame that
-    # straddles a flip, where a mean would be dragged.
-    mrays = sorted(rates)[len(rates) // 2]
+        frames = [
+            render(scene, key, jnp.uint32(i * spp_timed))
+            for i in range(warmed, warmed + n_frames)
+        ]
+        total_segs = 0.0
+        rates = []
+        t_prev = t0
+        for img, segs in frames:
+            np.asarray(img)  # force in order
+            now = time.perf_counter()
+            rates.append(float(segs) / (now - t_prev) / 1e6)
+            total_segs += float(segs)
+            t_prev = now
+        dt_total = time.perf_counter() - t0
+        mrays = total_segs / dt_total / 1e6
+    else:
+        # Per-frame forcing; median rejects a frame straddling one of the
+        # TPU's performance-phase flips.
+        rates = []
+        total_segs = 0.0
+        dt_total = 0.0
+        for i in range(warmed, warmed + n_frames):
+            t0 = time.perf_counter()
+            img, segs = render(scene, key, jnp.uint32(i * spp_timed))
+            np.asarray(img)
+            dt = time.perf_counter() - t0
+            rates.append(float(segs) / dt / 1e6)
+            total_segs += float(segs)
+            dt_total += dt
+        mrays = sorted(rates)[len(rates) // 2]
     camera_rays = n_frames * spp_timed * width * height
     log(
-        f"bench: {dt_total:.2f}s for {n_frames} frames; "
+        f"bench: {dt_total:.2f}s for {n_frames} frames "
+        f"({'pipelined' if pipelined else 'synced'}); "
         f"{total_segs / camera_rays:.2f} avg bounces/camera-ray; "
-        f"median of {rates}"
+        f"per-frame {[round(r, 1) for r in rates]}"
     )
 
     result = {
