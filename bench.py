@@ -153,7 +153,7 @@ def main() -> int:
 
     result = {
         "metric": (
-            f"Mrays/s/chip (RTiOW final scene {width}x{height}, "
+            f"Mrays/s/chip (scene={scene_name} {width}x{height}, "
             f"depth {depth}, backend={resolved}, platform={platform})"
         ),
         "value": round(mrays, 3),
