@@ -55,9 +55,9 @@ def main() -> int:
     radius = math.dist((lf[0], lf[2]), (la[0], la[2]))
     phi0 = math.atan2(lf[2] - la[2], lf[0] - la[0])
 
-    for i in range(frames):
+    def frame_camera(i):
         phi = phi0 + 2.0 * math.pi * i / frames
-        cam_i = Camera(
+        return Camera(
             lookfrom=(
                 la[0] + radius * math.cos(phi),
                 lf[1],
@@ -66,19 +66,36 @@ def main() -> int:
             lookat=la, vup=base.vup, vfov_degrees=base.vfov_degrees,
             aperture=base.aperture, focus_dist=base.focus_dist,
         )
-        pack = cam_mod.pack_camera(cam_i, width, height)
-        t0 = time.perf_counter()
-        img, segs = render(scene._replace(cam=pack), key, 0)
-        img_np = np.asarray(img)
-        dt = time.perf_counter() - t0
-        tag = "compile+frame" if i == 0 else "frame"
+
+    # Compile once (frame 0, forced) ...
+    pack0 = cam_mod.pack_camera(frame_camera(0), width, height)
+    t0 = time.perf_counter()
+    img0, segs0 = render(scene._replace(cam=pack0), key, 0)
+    np.asarray(img0)
+    print(f"compile+frame 0: {time.perf_counter() - t0:8.1f} ms-equivalent "
+          f"({time.perf_counter() - t0:.1f}s)", flush=True)
+
+    # ... then dispatch the whole animation pipelined (each frame a new
+    # camera, zero recompiles) and force at the end: the production
+    # pattern for batch animation rendering.
+    t0 = time.perf_counter()
+    handles = [(img0, segs0)]
+    for i in range(1, frames):
+        pack = cam_mod.pack_camera(frame_camera(i), width, height)
+        handles.append(render(scene._replace(cam=pack), key, 0))
+    frames_np = [np.asarray(img) for img, _ in handles]  # force in order
+    total_segs = sum(float(np.asarray(s)) for _, s in handles)
+    dt = time.perf_counter() - t0
+    if frames > 1:
         print(
-            f"{tag} {i}: {dt * 1e3:8.1f} ms  "
-            f"{float(np.asarray(segs)) / dt / 1e6:6.1f} Mrays/s",
+            f"{frames - 1} more frames pipelined: {dt * 1e3:.1f} ms total, "
+            f"{dt * 1e3 / (frames - 1):.1f} ms/frame, "
+            f"{total_segs / dt / 1e6:.1f} Mrays/s",
             flush=True,
         )
-        if out_dir:
-            pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
+    if out_dir:
+        pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
+        for i, img_np in enumerate(frames_np):
             write_png(
                 pathlib.Path(out_dir) / f"orbit_{i:03d}.png",
                 to_u8(img_np, 2.0),
