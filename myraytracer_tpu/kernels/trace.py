@@ -79,8 +79,9 @@ Mosaic portability notes (learned on real v5e):
 
 from __future__ import annotations
 
+import dataclasses
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -165,22 +166,52 @@ WINDOW_FUSE = True
 # independent dependency chains to hide VPU latency) beats 8 by ~20%, and
 # 24+ spills (32 rows measured 10-100x slower).
 DEFAULT_TILE_ROWS = 16
-# Ablation hook (tools/ablate.py): names of kernel-body components to
-# *duplicate* with an opaque runtime-zero perturbation; the duplicate's
-# outputs fold into the segment counter times an opaque 0.0, so Mosaic can
-# neither CSE nor DCE it and runtime results stay bit-identical. The
-# marginal frame time of a dup is that component's true in-situ cost.
-# Production default: empty.
-_ABLATE: tuple = ()
-# Experiment hook (tools/sweep.py): None = cull iff n_spheres > CULL_MIN;
-# True/False forces the chunk-AABB culled sweep on/off.
-_FORCE_CULL = None
-# Experiment hook: bake the general camera into the compiled kernel (the
-# pre-runtime-camera path) instead of reading the packed SMEM operand.
-_STATIC_CAM = False
-
-
 PAD_CENTER = 3e30  # pad-slot cx: the hit quadratic overflows → never valid
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelConfig:
+    """Explicit kernel tuning/experiment knobs.
+
+    Threaded through ``make_block_renderer``/``make_renderer`` so tools
+    and tests build variants instead of mutating module state (a forgotten
+    reset would silently leak config across runs). Field defaults are the
+    measured-best production values — the module constants documented
+    above. Uppercase names match the historical constant names so sweep
+    variant tables and BENCH.md stay readable.
+    """
+
+    BLOCK_W: int = BLOCK_W
+    UNROLL_MAX: int = UNROLL_MAX
+    CULL_MIN: int = CULL_MIN
+    CULL_CHUNK: int = CULL_CHUNK
+    TRI_CHUNK: int = TRI_CHUNK
+    SUPER: int = SUPER
+    SUPER_MIN: int = SUPER_MIN
+    GATED_FETCH: bool = GATED_FETCH
+    MERGED_FETCH: bool = MERGED_FETCH
+    UNROLL_TOTAL_MAX: int = UNROLL_TOTAL_MAX
+    SWEEP_WIDTH: int = SWEEP_WIDTH
+    SQRT_GUARD: bool = SQRT_GUARD
+    WINDOW_FUSE: bool = WINDOW_FUSE
+    # Ablation hook (tools/ablate.py): names of kernel-body components to
+    # *duplicate* with an opaque runtime-zero perturbation; the dup's
+    # outputs fold into the segment counter times an opaque 0.0, so Mosaic
+    # can neither CSE nor DCE it and runtime results stay bit-identical.
+    # The marginal frame time of a dup is that component's in-situ cost.
+    ABLATE: tuple = ()
+    # None = cull iff n_spheres > CULL_MIN; True/False forces the
+    # chunk-AABB culled sweep on/off (tools/sweep.py A/B).
+    FORCE_CULL: Optional[bool] = None
+    # Bake the general camera into the compiled kernel (the
+    # pre-runtime-camera path) instead of reading the packed SMEM operand.
+    STATIC_CAM: bool = False
+
+    def replace(self, **kw) -> "KernelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = KernelConfig()
 
 # v5e SMEM is 1 MiB and every scalar-prefetch operand lives there; the
 # megakernel's scene tables therefore cap at ~25k spheres or ~18k
@@ -189,18 +220,26 @@ PAD_CENTER = 3e30  # pad-slot cx: the hit quadratic overflows → never valid
 SMEM_BUDGET = 1 << 20
 
 
-def estimated_prefetch_bytes(n_spheres: int, n_tris: int) -> int:
+def estimated_prefetch_bytes(
+    n_spheres: int, n_tris: int, cfg: "KernelConfig" = None
+) -> int:
     """Upper-bound bytes of the kernel's SMEM prefetch operands."""
-    sph = 9 * (n_spheres + LEADERS + CULL_CHUNK)
-    tri = 14 * (n_tris + TRI_CHUNK) if n_tris else 14
-    chunks = (n_spheres // CULL_CHUNK + 1) + (n_tris // TRI_CHUNK + 1)
-    supers = chunks // SUPER + 2
-    return 4 * (sph + tri + 6 * (chunks + supers) + 8)
+    cfg = cfg or DEFAULT_CONFIG
+    sph = 9 * (n_spheres + LEADERS + cfg.CULL_CHUNK)
+    tri = 14 * (n_tris + cfg.TRI_CHUNK) if n_tris else 14
+    chunks = (n_spheres // cfg.CULL_CHUNK + 1) + (n_tris // cfg.TRI_CHUNK + 1)
+    supers = chunks // cfg.SUPER + 2
+    # Non-table operands: packed camera (19) + meta (4) + row0 (1).
+    other = cam_mod.PACKED_CAMERA_SIZE + 5
+    return 4 * (sph + tri + 6 * (chunks + supers) + other)
 
 
-def fits_in_smem(n_spheres: int, n_tris: int) -> bool:
+def fits_in_smem(n_spheres: int, n_tris: int, cfg: "KernelConfig" = None) -> bool:
     # Keep headroom for Mosaic's own SMEM use (control state, etc.).
-    return estimated_prefetch_bytes(n_spheres, n_tris) <= SMEM_BUDGET - 64 * 1024
+    return (
+        estimated_prefetch_bytes(n_spheres, n_tris, cfg)
+        <= SMEM_BUDGET - 64 * 1024
+    )
 
 
 def _pack_mat_bits(values_x, fuzz, mat_ty, material_set):
@@ -222,13 +261,14 @@ def _pack_mat_bits(values_x, fuzz, mat_ty, material_set):
     return vx, fz
 
 
-def _super_aabb(aabb):
+def _super_aabb(aabb, cfg: "KernelConfig"):
     """Group chunk AABBs into SUPER-wide outer bounds ([6, n_super]).
 
     Returns a dummy [6, 1] zero table when there are too few chunks for
     the two-level gating (the kernel statically skips it then; Mosaic
     rejects zero-sized prefetch operands).
     """
+    SUPER, SUPER_MIN = cfg.SUPER, cfg.SUPER_MIN
     n_chunks = aabb.shape[1]
     if n_chunks < SUPER_MIN:
         return jnp.zeros((6, 1), jnp.float32)
@@ -243,7 +283,8 @@ def _super_aabb(aabb):
     return jnp.concatenate([lo, hi], axis=0)
 
 
-def _tri_prefetch(scene: CompiledScene, material_set):
+def _tri_prefetch(scene: CompiledScene, material_set, cfg: "KernelConfig"):
+    TRI_CHUNK = cfg.TRI_CHUNK
     # Triangle tables: rows v0(3), e1(3), e2(3), albedo(3), fuzz, ior —
     # material type packed into albedo_r/fuzz signs exactly as for
     # spheres. A dummy degenerate row keeps the prefetch arity fixed for
@@ -286,10 +327,10 @@ def _tri_prefetch(scene: CompiledScene, material_set):
     else:
         trf = jnp.zeros((14, 1), jnp.float32)
         traabb = jnp.zeros((6, 1), jnp.float32)
-    return trf, traabb, _super_aabb(traabb)
+    return trf, traabb, _super_aabb(traabb, cfg)
 
 
-def _scene_to_prefetch(scene: CompiledScene, material_set):
+def _scene_to_prefetch(scene: CompiledScene, material_set, cfg: "KernelConfig"):
     """Pack the SoA scene into the SMEM prefetch layout.
 
     Rows of the f32 table: cx, cy, cz, r (signed radius), albedo_r,
@@ -308,6 +349,7 @@ def _scene_to_prefetch(scene: CompiledScene, material_set):
 
     Returns (f32 table, chunk AABBs, triangle table, triangle AABBs).
     """
+    CULL_CHUNK = cfg.CULL_CHUNK
     is_pad = scene.radius_sq < 0.0
     arx, fzp = _pack_mat_bits(
         scene.albedo.x, scene.fuzz, scene.mat_ty.astype(jnp.int32),
@@ -344,7 +386,7 @@ def _scene_to_prefetch(scene: CompiledScene, material_set):
             f32,
             jnp.zeros((6, 1), jnp.float32),
             jnp.zeros((6, 1), jnp.float32),
-            *_tri_prefetch(scene, material_set),
+            *_tri_prefetch(scene, material_set, cfg),
         )
     is_pad = ck[0] > jnp.float32(1e29)
     r_abs = jnp.abs(ck[3])
@@ -359,7 +401,10 @@ def _scene_to_prefetch(scene: CompiledScene, material_set):
     ])
     aabb = jnp.concatenate([lo, hi], axis=0)  # [6, n_chunks]
 
-    return f32, aabb, _super_aabb(aabb), *_tri_prefetch(scene, material_set)
+    return (
+        f32, aabb, _super_aabb(aabb, cfg),
+        *_tri_prefetch(scene, material_set, cfg),
+    )
 
 
 def _trace_kernel(
@@ -392,8 +437,24 @@ def _trace_kernel(
     material_set,
     cull: bool,
     rng_mode: str,
+    cfg: KernelConfig,
     static_ior=None,
 ):
+    # Shadow the module-level tuning constants with the threaded config:
+    # the kernel body (including every nested function) reads only these.
+    BLOCK_W = cfg.BLOCK_W
+    UNROLL_MAX = cfg.UNROLL_MAX
+    CULL_CHUNK = cfg.CULL_CHUNK
+    TRI_CHUNK = cfg.TRI_CHUNK
+    SUPER = cfg.SUPER
+    SUPER_MIN = cfg.SUPER_MIN
+    GATED_FETCH = cfg.GATED_FETCH
+    MERGED_FETCH = cfg.MERGED_FETCH
+    UNROLL_TOTAL_MAX = cfg.UNROLL_TOTAL_MAX
+    SWEEP_WIDTH = cfg.SWEEP_WIDTH
+    SQRT_GUARD = cfg.SQRT_GUARD
+    WINDOW_FUSE = cfg.WINDOW_FUSE
+
     tile = pl.program_id(0)
     ray_gen = ray_gen_factory(camf_ref)
 
@@ -402,7 +463,7 @@ def _trace_kernel(
     n_valid_i = meta_ref[3].astype(jnp.int32)
     row0 = row0_ref[0]
 
-    abl = frozenset(_ABLATE)
+    abl = frozenset(cfg.ABLATE)
     # Opaque runtime zeros (n_valid < 2^31): inputs perturbed by these are
     # not CSE-able, and outputs multiplied by them fold to exact 0.0.
     kill_i = (meta_ref[3] >> jnp.uint32(31)).astype(jnp.int32)
@@ -1211,6 +1272,7 @@ def make_block_renderer(
     material_set=None,
     rng_mode: str = "threefry",
     static_ior=None,
+    config: KernelConfig = None,
 ):
     """Pallas implementation of the block-renderer protocol.
 
@@ -1224,6 +1286,8 @@ def make_block_renderer(
     carried array per sweep step). Exact: the constant is the same f32.
     """
     del sample_batch, max_samples
+    kc = config or DEFAULT_CONFIG
+    BLOCK_W = kc.BLOCK_W
     if static_ior is not None:
         static_ior = float(static_ior)
     if material_set is None:
@@ -1235,7 +1299,7 @@ def make_block_renderer(
     # stays baked in; the general thin-lens camera is read from the packed
     # SMEM operand so camera motion re-uses the compiled kernel (the
     # default operand reproduces the construction camera bit-for-bit).
-    if cam.reference_mode or _STATIC_CAM:
+    if cam.reference_mode or kc.STATIC_CAM:
         static_gen = cam_mod.make_ray_generator(cam, width, height)
         ray_gen_factory = lambda ref: static_gen  # noqa: E731
         default_cam = jnp.zeros((1,), jnp.float32)  # dummy operand
@@ -1247,22 +1311,12 @@ def make_block_renderer(
         )
         default_cam = jnp.asarray(cam_mod.pack_camera(cam, width, height))
 
-    n_pixels = n_rows * width
     tile_size = tile_rows * LANES
     block_h = tile_size // BLOCK_W
     blocks_x = -(-width // BLOCK_W)
     blocks_y = -(-n_rows // block_h)
     n_tiles = blocks_x * blocks_y
     out_rows = n_tiles * tile_rows
-
-    # Static pixel → lane permutation for unscrambling the block layout.
-    import numpy as _np
-
-    _py = _np.arange(n_rows)[:, None]
-    _px = _np.arange(width)[None, :]
-    _tile = (_py // block_h) * blocks_x + (_px // BLOCK_W)
-    _local = (_py % block_h) * BLOCK_W + (_px % BLOCK_W)
-    _lane_of_pixel = (_tile * tile_size + _local).reshape(-1)
 
     kernel = functools.partial(
         _trace_kernel,
@@ -1276,22 +1330,23 @@ def make_block_renderer(
         tile_rows=tile_rows,
         ray_gen_factory=ray_gen_factory,
         static_ior=static_ior,
+        cfg=kc,
     )
 
     def block(scene: CompiledScene, key, row0, sample_start, n_valid):
         n_t = scene.tris.v0.x.shape[0] if scene.has_triangles else 0
-        if not fits_in_smem(scene.padded_size, n_t):
+        if not fits_in_smem(scene.padded_size, n_t, kc):
             raise ValueError(
                 f"scene exceeds the SMEM prefetch budget "
-                f"(~{estimated_prefetch_bytes(scene.padded_size, n_t)} bytes "
-                f"of {SMEM_BUDGET}): {scene.padded_size} spheres + {n_t} "
-                f"triangles. Use the jnp backend (flat-BVH oracle) for "
-                f"scenes this large."
+                f"(~{estimated_prefetch_bytes(scene.padded_size, n_t, kc)} "
+                f"bytes of {SMEM_BUDGET}): {scene.padded_size} spheres + "
+                f"{n_t} triangles. Use the jnp backend (flat-BVH oracle) "
+                f"for scenes this large."
             )
         sf, aabb, saabb, trf, traabb, tsaabb = _scene_to_prefetch(
-            scene, material_set
+            scene, material_set, kc
         )
-        if cam.reference_mode or _STATIC_CAM or scene.cam is None:
+        if cam.reference_mode or kc.STATIC_CAM or scene.cam is None:
             camf = default_cam
         else:
             camf = jnp.asarray(scene.cam, jnp.float32)
@@ -1299,8 +1354,8 @@ def make_block_renderer(
         n_tris = int(trf.shape[1]) if scene.has_triangles else 0
         kern = functools.partial(
             kernel, n_spheres=n_spheres, n_tris=n_tris,
-            cull=(_FORCE_CULL if _FORCE_CULL is not None
-                  else n_spheres > CULL_MIN),
+            cull=(kc.FORCE_CULL if kc.FORCE_CULL is not None
+                  else n_spheres > kc.CULL_MIN),
         )
 
         meta = jnp.stack(
@@ -1334,10 +1389,21 @@ def make_block_renderer(
             interpret=interpret,
         )(sf, aabb, saabb, trf, traabb, tsaabb, camf, meta, row0_arr)
 
-        unscramble = lambda a: a.reshape(-1)[_lane_of_pixel]
+        def unscramble(a):
+            # Output rows are tile-major and each tile's tile_rows×128
+            # lanes are a row-major block_h×BLOCK_W pixel block, with tiles
+            # row-major over the padded block grid — the inverse map is a
+            # pure reshape/transpose (a 960k-element gather here measured
+            # ~hundreds of ms *per call* on TPU, the dominant fixed cost
+            # of small-spp frames).
+            a = a.reshape(blocks_y, blocks_x, block_h, BLOCK_W)
+            a = a.transpose(0, 2, 1, 3)
+            a = a.reshape(blocks_y * block_h, blocks_x * BLOCK_W)
+            return a[:n_rows, :width]
+
         img_sum = jnp.stack(
             [unscramble(r), unscramble(g), unscramble(b)], axis=-1
-        ).reshape(n_rows, width, 3)
+        )
         return img_sum, jnp.sum(segs)
 
     return block
@@ -1357,6 +1423,7 @@ def make_renderer(
     material_set=None,
     rng_mode: str = "threefry",
     static_ior=None,
+    config: KernelConfig = None,
 ):
     """Jitted single-device frame renderer on the Pallas megakernel.
 
@@ -1367,6 +1434,7 @@ def make_renderer(
         cam, width, height, height, spp, ray_depth,
         t_min=t_min, t_max=t_max, tile_rows=tile_rows, interpret=interpret,
         material_set=material_set, rng_mode=rng_mode, static_ior=static_ior,
+        config=config,
     )
 
     @jax.jit

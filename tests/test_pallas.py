@@ -94,7 +94,7 @@ def test_mesh_culled_parity():
 def test_superchunk_gating_bitwise():
     """Two-level (superchunk) gating is conservative — bitwise-identical
     to single-level chunk gating, for spheres and triangles."""
-    from myraytracer_tpu.kernels import trace
+    from myraytracer_tpu.kernels.trace import KernelConfig
 
     for world, sort in (
         (presets.final_scene(seed=0), True),      # 15 sphere chunks
@@ -102,20 +102,17 @@ def test_superchunk_gating_bitwise():
     ):
         scene = compile_scene(world, spatial_sort=sort)
 
-        def render():
+        def render(config=None):
             r = make_pallas_renderer(
-                world.camera, W, H, 1, 4, tile_rows=8, interpret=True
+                world.camera, W, H, 1, 4, tile_rows=8, interpret=True,
+                config=config,
             )
             img, segs = r(scene, KEY, 0)
             return np.asarray(img), float(segs)
 
         base_img, base_segs = render()
-        old = (trace.SUPER, trace.SUPER_MIN)
-        try:
-            trace.SUPER, trace.SUPER_MIN = 2, 2  # engage the outer gates
-            sup_img, sup_segs = render()
-        finally:
-            trace.SUPER, trace.SUPER_MIN = old
+        # Engage the outer gates via an explicit config (no module state).
+        sup_img, sup_segs = render(KernelConfig(SUPER=2, SUPER_MIN=2))
         assert np.array_equal(sup_img, base_img)
         assert sup_segs == base_segs
 
@@ -139,21 +136,15 @@ def test_sweep_width_and_fori_bitwise():
     scene = compile_scene(world, spatial_sort=True)
     assert scene.padded_size > trace.UNROLL_TOTAL_MAX  # fori interiors
 
-    def render():
+    def render(width):
         r = make_pallas_renderer(
-            world.camera, W, H, 1, 2, tile_rows=8, interpret=True
+            world.camera, W, H, 1, 2, tile_rows=8, interpret=True,
+            config=trace.KernelConfig(SWEEP_WIDTH=width),
         )
         img, segs = r(scene, KEY, 0)
         return np.asarray(img), float(segs)
 
-    old = trace.SWEEP_WIDTH
-    results = {}
-    try:
-        for w in (1, 4):
-            trace.SWEEP_WIDTH = w
-            results[w] = render()
-    finally:
-        trace.SWEEP_WIDTH = old
+    results = {w: render(w) for w in (1, 4)}
     assert np.array_equal(results[1][0], results[4][0])
     assert results[1][1] == results[4][1]
 

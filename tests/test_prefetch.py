@@ -61,7 +61,7 @@ def test_pack_mat_bits_roundtrip_exact():
 def test_prefetch_layout_invariants():
     world = _world()
     scene = compile_scene(world, spatial_sort=True)
-    sf, aabb, saabb, trf, traabb, tsaabb = trace._scene_to_prefetch(scene, (1, 2, 3))
+    sf, aabb, saabb, trf, traabb, tsaabb = trace._scene_to_prefetch(scene, (1, 2, 3), trace.DEFAULT_CONFIG)
     sf = np.asarray(sf)
     aabb = np.asarray(aabb)
 
@@ -98,7 +98,7 @@ def test_prefetch_layout_invariants():
 def test_prefetch_small_scene_has_dummy_aabb():
     world = get_scene("three-sphere", seed=0)
     scene = compile_scene(world)
-    sf, aabb, saabb, trf, traabb, tsaabb = trace._scene_to_prefetch(scene, (1, 2, 3))
+    sf, aabb, saabb, trf, traabb, tsaabb = trace._scene_to_prefetch(scene, (1, 2, 3), trace.DEFAULT_CONFIG)
     # sub-chunk scene: no chunks, but a nonzero-sized dummy AABB operand
     # (Mosaic rejects f32[6,0] prefetch operands)
     assert np.asarray(aabb).shape == (6, 1)

@@ -2,8 +2,8 @@
 
 tools/microbench.py measures primitive costs in isolation; this tool
 measures each megakernel body component *in place*: it rebuilds the
-final-scene renderer with ``kernels.trace._ABLATE`` set to duplicate one
-component per run. The duplicate's inputs are perturbed by an opaque
+final-scene renderer with ``KernelConfig(ABLATE=...)`` set to duplicate
+one component per run. The duplicate's inputs are perturbed by an opaque
 runtime-zero (so Mosaic cannot CSE it with the real computation) and its
 outputs fold into ``segs * 0.0`` (so it cannot be DCE'd). Runtime
 behavior — iteration counts, gate branch decisions, the image — is
@@ -64,10 +64,10 @@ def main() -> int:
     key = crng.key_from_seed(0)
 
     def measure(ablate: tuple) -> tuple:
-        trace._ABLATE = ablate
         render = trace.make_renderer(
             world.camera, width, height, spp, 50,
             material_set=tuple(sorted(mats)),
+            config=trace.KernelConfig(ABLATE=ablate),
         )
         t0 = time.perf_counter()
         img, segs = render(scene, key, 0)
@@ -79,7 +79,6 @@ def main() -> int:
             img2, segs2 = render(scene, key, 0)
             np.asarray(img2)
             times.append(time.perf_counter() - t0)
-        trace._ABLATE = ()
         return min(times), float(np.asarray(segs)), compile_s, img
 
     print(f"scene=final {width}x{height} spp={spp} depth=50 reps={reps}",
@@ -93,7 +92,7 @@ def main() -> int:
           f"{base_segs/base_t/1e6:.1f} Mrays/s; compile {cs:.0f}s)", flush=True)
 
     rows = []
-    if trace.MERGED_FETCH:
+    if trace.DEFAULT_CONFIG.MERGED_FETCH:
         comps = tuple(c for c in comps if c != "fetch")
     prev_base = base_t
     for comp in comps:

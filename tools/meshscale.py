@@ -58,25 +58,21 @@ def main() -> int:
         built = []
         base_img = None
         for label, super_min in (("super", None), ("flat", 10 ** 9)):
-            old = trace.SUPER_MIN
-            if super_min is not None:
-                trace.SUPER_MIN = super_min
-            try:
-                render = trace.make_renderer(
-                    world.camera, width, height, spp, depth,
-                    material_set=mats, static_ior=1.5,
-                )
-                t0 = time.perf_counter()
-                img, segs = render(scene, key, 0)
-                img_np = np.asarray(img)
-                compile_s = time.perf_counter() - t0
-                if base_img is None:
-                    base_img = img_np
-                elif not np.array_equal(img_np, base_img):
-                    row.append(f"!! {label} image differs")
-                built.append((label, render, float(np.asarray(segs)), compile_s))
-            finally:
-                trace.SUPER_MIN = old
+            config = (trace.KernelConfig() if super_min is None
+                      else trace.KernelConfig(SUPER_MIN=super_min))
+            render = trace.make_renderer(
+                world.camera, width, height, spp, depth,
+                material_set=mats, static_ior=1.5, config=config,
+            )
+            t0 = time.perf_counter()
+            img, segs = render(scene, key, 0)
+            img_np = np.asarray(img)
+            compile_s = time.perf_counter() - t0
+            if base_img is None:
+                base_img = img_np
+            elif not np.array_equal(img_np, base_img):
+                row.append(f"!! {label} image differs")
+            built.append((label, render, float(np.asarray(segs)), compile_s))
         times = {label: [] for label, *_ in built}
         for r in range(reps):
             order = built if r % 2 == 0 else list(reversed(built))

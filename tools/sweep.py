@@ -1,10 +1,11 @@
 """Kernel-config sweep on the real final scene (run on the TPU).
 
-Measures frame time for a list of kernel-constant overrides (module
-globals in kernels/trace.py), restoring defaults between runs. Used to
-re-test tuning decisions after structural changes (e.g. the 7x
-in-situ-vs-isolated sweep throughput gap measured by tools/ablate.py,
-suspected to be register pressure around the lax.cond chunk gates).
+Measures frame time for a list of KernelConfig overrides
+(kernels/trace.py), each built as an explicit config object (no module
+state is mutated). Used to re-test tuning decisions after structural
+changes (e.g. the 7x in-situ-vs-isolated sweep throughput gap measured by
+tools/ablate.py, suspected to be register pressure around the lax.cond
+chunk gates).
 
 Usage: python tools/sweep.py          (TPU; one Mosaic compile per variant)
 Env:   SWEEP_SPP (32), SWEEP_REPS (3)
@@ -21,7 +22,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import numpy as np
 
-# (name, {module attr: value})
+# (name, {KernelConfig field: value}); DEFAULT_TILE_ROWS and _NO_* keys
+# are sweep-local switches handled outside the config.
 VARIANTS = [
     ("baseline", {}),
     # Discriminant guard back on (pre-NaN-propagation quadratic):
@@ -40,7 +42,7 @@ VARIANTS = [
     # Spelled-out window logic back on (pre-fusion; exact transform pair):
     ("window-old", {"WINDOW_FUSE": False}),
     # Camera baked into the compiled kernel (pre-runtime-camera path):
-    ("static-cam", {"_STATIC_CAM": True}),
+    ("static-cam", {"STATIC_CAM": True}),
     # Pixel-block aspect for the tile→pixel mapping (64x32 default):
     ("block32", {"BLOCK_W": 32}),
     ("block128", {"BLOCK_W": 128}),
@@ -51,20 +53,20 @@ VARIANTS = [
     ("chunk16-s4", {"CULL_CHUNK": 16, "SUPER": 4, "SUPER_MIN": 4}),
     ("chunk8-s8", {"CULL_CHUNK": 8, "SUPER": 8, "SUPER_MIN": 8}),
     ("ungated-fetch", {"GATED_FETCH": False}),
-    ("no-cull", {"_FORCE_CULL": False}),
-    ("no-cull+ungated", {"_FORCE_CULL": False, "GATED_FETCH": False}),
+    ("no-cull", {"FORCE_CULL": False}),
+    ("no-cull+ungated", {"FORCE_CULL": False, "GATED_FETCH": False}),
     ("chunk128", {"CULL_CHUNK": 128}),
     ("chunk32", {"CULL_CHUNK": 32}),
     ("tile8", {"DEFAULT_TILE_ROWS": 8}),
     # Full 486-sphere hit+fetch sweeps, fully unrolled, zero gates: the
     # "sweeps at isolated VPU throughput" hypothesis test.
-    ("no-cull-unrolled", {"_FORCE_CULL": False, "UNROLL_MAX": 512}),
+    ("no-cull-unrolled", {"FORCE_CULL": False, "UNROLL_MAX": 512}),
     ("chunk16", {"CULL_CHUNK": 16}),
     ("chunk24", {"CULL_CHUNK": 24}),
     ("chunk48", {"CULL_CHUNK": 48}),
     # Winner record carried through the hit sweep; no separate fetch pass.
     ("merged", {"MERGED_FETCH": True}),
-    ("merged-unrolled", {"MERGED_FETCH": True, "_FORCE_CULL": False,
+    ("merged-unrolled", {"MERGED_FETCH": True, "FORCE_CULL": False,
                          "UNROLL_MAX": 512}),
     ("merged-chunk32", {"MERGED_FETCH": True, "CULL_CHUNK": 32}),
     ("unmerged", {"MERGED_FETCH": False}),
@@ -99,7 +101,6 @@ def main() -> int:
     static_ior = iors.pop() if len(iors) == 1 else None
     key = crng.key_from_seed(0)
 
-    defaults = {}
     print(f"scene={scene_name} {width}x{height} spp={spp} depth=50 reps={reps}",
           flush=True)
 
@@ -110,43 +111,39 @@ def main() -> int:
     built = []
     base_img = None
     for name, overrides in variants:
-        for k, v in overrides.items():
-            if k.startswith("_NO_"):  # sweep-local switch, not a trace attr
-                continue
-            defaults.setdefault(k, getattr(trace, k))
-            setattr(trace, k, v)
-        try:
-            scene = compile_scene(world, spatial_sort=True)
-            render = trace.make_renderer(
-                world.camera, width, height, spp, 50,
-                material_set=mats,
-                tile_rows=trace.DEFAULT_TILE_ROWS,
-                static_ior=(None if overrides.get("_NO_STATIC_IOR")
-                            else static_ior),
+        cfg_kw = {k: v for k, v in overrides.items()
+                  if not k.startswith("_NO_") and k != "DEFAULT_TILE_ROWS"}
+        config = trace.KernelConfig(**cfg_kw)
+        scene = compile_scene(world, spatial_sort=True)
+        render = trace.make_renderer(
+            world.camera, width, height, spp, 50,
+            material_set=mats,
+            tile_rows=overrides.get("DEFAULT_TILE_ROWS",
+                                    trace.DEFAULT_TILE_ROWS),
+            static_ior=(None if overrides.get("_NO_STATIC_IOR")
+                        else static_ior),
+            config=config,
+        )
+        t0 = time.perf_counter()
+        img, segs = render(scene, key, 0)
+        img_np = np.asarray(img)
+        compile_s = time.perf_counter() - t0
+        # Every variant here is an exact transform (same winners, same
+        # draws): images must match the first variant bit-for-bit.
+        if base_img is None:
+            base_img = img_np
+        elif not np.array_equal(img_np, base_img):
+            # Mosaic contracts FMAs differently for different static
+            # code shapes; ulp-of-zero discriminants can flip (the
+            # characterized envelope: ~1 px / 1e6 at 1 ulp, spp 500).
+            nd = int((img_np != base_img).any(axis=-1).sum())
+            print(
+                f"!! {name}: differs from baseline on {nd} px "
+                f"(maxdiff {float(np.abs(img_np - base_img).max()):.2e})",
+                flush=True,
             )
-            t0 = time.perf_counter()
-            img, segs = render(scene, key, 0)
-            img_np = np.asarray(img)
-            compile_s = time.perf_counter() - t0
-            # Every variant here is an exact transform (same winners, same
-            # draws): images must match the first variant bit-for-bit.
-            if base_img is None:
-                base_img = img_np
-            elif not np.array_equal(img_np, base_img):
-                # Mosaic contracts FMAs differently for different static
-                # code shapes; ulp-of-zero discriminants can flip (the
-                # characterized envelope: ~1 px / 1e6 at 1 ulp, spp 500).
-                nd = int((img_np != base_img).any(axis=-1).sum())
-                print(
-                    f"!! {name}: differs from baseline on {nd} px "
-                    f"(maxdiff {float(np.abs(img_np - base_img).max()):.2e})",
-                    flush=True,
-                )
-            print(f"built {name} (compile {compile_s:.0f}s)", flush=True)
-            built.append((name, render, scene, [float("inf")]))
-        finally:
-            for k, v in defaults.items():
-                setattr(trace, k, v)
+        print(f"built {name} (compile {compile_s:.0f}s)", flush=True)
+        built.append((name, render, scene, [float("inf")]))
 
     # Per-round ratios to the first variant, median across rounds: the
     # TPU flips between performance phases lasting minutes, so even
