@@ -173,6 +173,11 @@ def orbit_camera(base: Camera, yaw: float, pitch: float, dist_scale: float) -> C
     ``yaw``/``pitch`` are radians relative to the base azimuth/elevation;
     ``dist_scale`` multiplies the base distance. Elevation is clamped
     short of the poles so the vup basis stays well-defined.
+
+    An explicit ``focus_dist`` is shifted by the zoom delta so the world
+    depth it focuses (e.g. the look-at subject on aperture scenes) stays
+    in focus while the camera moves along the view ray; a ``None`` focus
+    re-resolves to the new distance automatically.
     """
     import dataclasses
 
@@ -182,6 +187,9 @@ def orbit_camera(base: Camera, yaw: float, pitch: float, dist_scale: float) -> C
     az = math.atan2(dz, dx) + yaw
     el = max(-1.45, min(1.45, math.asin(dy / r) + pitch))
     r2 = r * max(1e-3, dist_scale)
+    focus = base.focus_dist
+    if focus is not None:
+        focus = max(1e-3, focus + (r2 - r))
     return dataclasses.replace(
         base,
         lookfrom=(
@@ -189,6 +197,7 @@ def orbit_camera(base: Camera, yaw: float, pitch: float, dist_scale: float) -> C
             la[1] + r2 * math.sin(el),
             la[2] + r2 * math.cos(el) * math.sin(az),
         ),
+        focus_dist=focus,
     )
 
 

@@ -38,7 +38,27 @@ from myraytracer_tpu.render.integrator import make_renderer
 from myraytracer_tpu.scene import api
 from myraytracer_tpu.scene.compile import compile_scene
 
-CHECKPOINT_VERSION = 1
+CHECKPOINT_VERSION = 2
+
+
+def scene_fingerprint(scene) -> str:
+    """Content hash of the compiled scene geometry/materials (not camera).
+
+    Resuming a checkpoint against a different world would silently blend
+    two different images; the fingerprint in the npz meta makes that a
+    loud error. The runtime camera (``scene.cam``) is excluded — it is
+    checkpointed and restored as data instead (a moved camera must resume
+    *as moved*, not invalidate the checkpoint).
+    """
+    import hashlib
+
+    h = hashlib.sha256()
+    for leaf in jax.tree_util.tree_leaves(scene._replace(cam=None)):
+        arr = np.asarray(leaf)
+        h.update(str(arr.dtype).encode())
+        h.update(str(arr.shape).encode())
+        h.update(arr.tobytes())
+    return h.hexdigest()[:16]
 
 
 class RenderSession:
@@ -63,6 +83,10 @@ class RenderSession:
         resolved = config.backend
         if resolved == "auto":
             resolved = "pallas" if jax.default_backend() == "tpu" else "jnp"
+        # Checkpoint provenance: cross-compiler images agree only
+        # statistically (kernels/trace.py determinism contract), so a
+        # resume must stay on the backend that produced the stream.
+        self.backend_resolved = resolved
         self.scene = compile_scene(
             world,
             spatial_sort=len(world.spheres) > 64,
@@ -106,14 +130,22 @@ class RenderSession:
         self.framebuffer = jnp.zeros((self.height, self.width, 3), jnp.float32)
         self.frame_count = 0  # lib.rs:232 sample_count
         self.sample_cursor = 0  # global sample index (per pixel)
-        # Lazy device scalar: forcing it per step would block the host on
-        # every frame and defeat dispatch pipelining (cli.py viewer mode).
-        self._segments = jnp.float32(0.0)
+        # Per-step device scalars queue here unforced (forcing per step
+        # would block the host every frame and defeat dispatch pipelining,
+        # cli.py viewer mode) and fold into a host float64 total at sync
+        # points — an f32 running sum would lose precision over very long
+        # sessions.
+        self._segs_total = 0.0
+        self._segs_pending = []
+        self._fingerprint = None  # computed lazily (host sync)
 
     @property
     def segments_traced(self) -> float:
         """Total ray segments traced (forces pending device work)."""
-        return float(self._segments)
+        if self._segs_pending:
+            pending, self._segs_pending = self._segs_pending, []
+            self._segs_total += float(sum(float(s) for s in pending))
+        return self._segs_total
 
     @property
     def accumulated_spp(self) -> int:
@@ -132,7 +164,7 @@ class RenderSession:
         self.framebuffer = img * (1.0 - w) + self.framebuffer * w
         self.frame_count += 1
         self.sample_cursor += self.config.samples_per_frame
-        self._segments = self._segments + segs  # lazy: no host sync here
+        self._segs_pending.append(segs)  # lazy: no host sync here
         return self.framebuffer
 
     def run(self, frames: int) -> jnp.ndarray:
@@ -171,6 +203,13 @@ class RenderSession:
 
     # -- checkpoint / resume --------------------------------------------------
 
+    @property
+    def scene_fingerprint(self) -> str:
+        """Content hash of the compiled scene (cached; excludes camera)."""
+        if self._fingerprint is None:
+            self._fingerprint = scene_fingerprint(self.scene)
+        return self._fingerprint
+
     def save_checkpoint(self, path) -> None:
         path = pathlib.Path(path)
         meta = {
@@ -181,22 +220,35 @@ class RenderSession:
             "ray_depth": self.config.ray_depth,
             "max_framebuffer_weight": self.config.max_framebuffer_weight,
             "seed": self.config.seed,
+            # Exact-continuation provenance: the scene content, the compute
+            # path that produced the stream, and the sharding mode.
+            "scene": self.scene_fingerprint,
+            "backend": self.backend_resolved,
+            "shard": self.config.shard,
         }
-        np.savez(
-            path,
+        arrays = dict(
             framebuffer=np.asarray(self.framebuffer),
             frame_count=np.int64(self.frame_count),
             sample_cursor=np.int64(self.sample_cursor),
             segments_traced=np.float64(self.segments_traced),
             meta=json.dumps(meta),
         )
+        if self.scene.cam is not None:
+            # The runtime camera (set_camera / interactive orbit) is part
+            # of the accumulation state: resuming under a different view
+            # would silently blend two different images.
+            arrays["camera"] = np.asarray(self.scene.cam)
+        np.savez(path, **arrays)
 
     def load_checkpoint(self, path) -> None:
         data = np.load(pathlib.Path(path), allow_pickle=False)
         meta = json.loads(str(data["meta"]))
         if meta["version"] != CHECKPOINT_VERSION:
             raise ValueError(f"checkpoint version {meta['version']} unsupported")
-        for field in ("width", "height", "samples_per_frame", "ray_depth", "seed"):
+        for field in (
+            "width", "height", "samples_per_frame", "ray_depth", "seed",
+            "max_framebuffer_weight",
+        ):
             have = getattr(self, field, None)
             if have is None:
                 have = getattr(self.config, field)
@@ -204,10 +256,36 @@ class RenderSession:
                 raise ValueError(
                     f"checkpoint {field}={meta[field]} != session {have}"
                 )
+        if meta["scene"] != self.scene_fingerprint:
+            raise ValueError(
+                f"checkpoint scene fingerprint {meta['scene']} != session "
+                f"{self.scene_fingerprint}: refusing to blend frames from "
+                f"a different world"
+            )
+        if meta["backend"] != self.backend_resolved:
+            raise ValueError(
+                f"checkpoint backend={meta['backend']} != session "
+                f"{self.backend_resolved}: cross-compiler streams agree "
+                f"only statistically (see kernels/trace.py), so an exact "
+                f"resume must stay on the producing backend"
+            )
+        if meta["shard"] != self.config.shard:
+            raise ValueError(
+                f"checkpoint shard={meta['shard']} != session "
+                f"{self.config.shard}"
+            )
+        if "camera" in data:
+            if self.scene.cam is None:
+                raise ValueError(
+                    "checkpoint carries a runtime camera but this session "
+                    "was built for the fixed reference camera"
+                )
+            self.scene = self.scene._replace(cam=jnp.asarray(data["camera"]))
         self.framebuffer = jnp.asarray(data["framebuffer"])
         self.frame_count = int(data["frame_count"])
         self.sample_cursor = int(data["sample_cursor"])
-        self._segments = jnp.float32(float(data["segments_traced"]))
+        self._segs_total = float(data["segments_traced"])
+        self._segs_pending = []
 
 
 def render(

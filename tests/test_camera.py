@@ -110,3 +110,30 @@ def test_aperture_zero_is_pinhole():
     np.testing.assert_allclose(
         [float(o.x[0]), float(o.y[0]), float(o.z[0])], [3, 3, 2], atol=1e-6
     )
+
+
+def test_orbit_zoom_keeps_subject_in_focus():
+    """Wheel zoom (dist_scale) shifts an explicit focus_dist by the zoom
+    delta, so the focused world depth (e.g. the look-at subject) stays in
+    focus; None focus re-resolves automatically."""
+    from myraytracer_tpu.render.camera import orbit_camera
+
+    base = Camera(
+        lookfrom=(3.0, 0.0, 0.0), lookat=(0.0, 0.0, 0.0),
+        aperture=0.5, focus_dist=3.0,
+    )
+    zoomed = orbit_camera(base, 0.0, 0.0, 2.0)
+    np.testing.assert_allclose(zoomed.resolved_focus_dist(), 6.0, atol=1e-6)
+    # yaw-only orbit: distance unchanged → focus unchanged
+    turned = orbit_camera(base, 0.7, 0.0, 1.0)
+    np.testing.assert_allclose(turned.resolved_focus_dist(), 3.0, atol=1e-6)
+    # focus anchored off the subject keeps its world depth under zoom
+    import dataclasses
+
+    near = orbit_camera(dataclasses.replace(base, focus_dist=2.0),
+                        0.0, 0.0, 2.0)
+    np.testing.assert_allclose(near.resolved_focus_dist(), 5.0, atol=1e-6)
+    auto = orbit_camera(
+        Camera(lookfrom=(3.0, 0.0, 0.0), lookat=(0.0, 0.0, 0.0)), 0.0, 0.0, 2.0
+    )
+    np.testing.assert_allclose(auto.resolved_focus_dist(), 6.0, atol=1e-6)

@@ -110,3 +110,68 @@ def test_set_camera_moves_without_rebuild():
     ref = mk_session()
     with pytest.raises(ValueError):
         ref.set_camera(presets.reference_scene().camera)
+
+
+def test_checkpoint_rejects_different_scene(tmp_path):
+    """The scene fingerprint refuses a resume against a different world."""
+    import pytest
+
+    path = tmp_path / "ckpt.npz"
+    a = mk_session()
+    a.step()
+    a.save_checkpoint(path)
+    b = RenderSession(presets.three_sphere_scene(), CFG)
+    with pytest.raises(ValueError, match="fingerprint"):
+        b.load_checkpoint(path)
+
+
+def test_checkpoint_rejects_backend_mismatch(tmp_path):
+    import pytest
+
+    path = tmp_path / "ckpt.npz"
+    a = mk_session()
+    a.step()
+    a.save_checkpoint(path)
+    b = RenderSession(presets.reference_scene(), CFG.replace(backend="pallas"))
+    with pytest.raises(ValueError, match="backend"):
+        b.load_checkpoint(path)
+
+
+def test_checkpoint_restores_runtime_camera(tmp_path):
+    """A checkpoint taken after set_camera resumes under the moved camera,
+    not the construction camera (the blend would otherwise silently mix
+    two views)."""
+    from myraytracer_tpu.scene.api import Camera
+
+    path = tmp_path / "ckpt.npz"
+    world = presets.defocus_scene()
+    a = RenderSession(world, CFG)
+    cam_b = Camera(
+        lookfrom=(4.0, 1.5, 2.0), lookat=(0.0, 0.0, -1.0),
+        vup=(0.0, 1.0, 0.0), vfov_degrees=30.0, aperture=0.4,
+        focus_dist=4.5,
+    )
+    a.set_camera(cam_b)
+    a.step()
+    a.save_checkpoint(path)
+    a.step()
+
+    b = RenderSession(world, CFG)  # construction camera ≠ cam_b
+    b.load_checkpoint(path)
+    np.testing.assert_array_equal(np.asarray(b.scene.cam), np.asarray(a.scene.cam))
+    b.step()
+    np.testing.assert_array_equal(
+        np.asarray(a.framebuffer), np.asarray(b.framebuffer)
+    )
+
+
+def test_segments_accumulate_float64():
+    """Totals fold into a host float64 (no f32 running-sum degradation)."""
+    s = mk_session()
+    s._segs_total = 1e9  # large prior total: f32 would round each add away
+    s.step()
+    s.step()
+    total = s.segments_traced
+    assert total > 1e9  # per-step counts (~hundreds) survived the fold
+    assert s.segments_traced == total  # folding is idempotent
+    assert not s._segs_pending
