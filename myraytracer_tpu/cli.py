@@ -39,7 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ray-depth", type=int, default=50)
     p.add_argument("--max-framebuffer-weight", type=float, default=1.0)
     # Extensions.
-    p.add_argument("--frames", type=int, default=1, help="progressive frames to run")
+    p.add_argument(
+        "--frames", type=int, default=1,
+        help="progressive frames to run; 0 = accumulate until interrupted "
+        "(the reference's unbounded redraw loop, lib.rs:187-196 — Ctrl-C "
+        "writes the final image)",
+    )
     p.add_argument(
         "--scene", choices=sorted(SCENES), default="reference",
         help="built-in scene (the reference hard-codes 'reference')",
@@ -53,11 +58,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gamma", type=float, default=2.0)
     p.add_argument(
         "--backend", choices=["auto", "jnp", "pallas"], default="auto",
-        help="integrator backend: pure-jnp oracle or fused Pallas kernel",
+        help="integrator backend: pure-jnp oracle or fused Pallas kernel; "
+        "when 'auto', the MYRT_BACKEND env var overrides (the analog of "
+        "the reference's WGPU_BACKEND override, lib.rs:322)",
     )
     p.add_argument(
         "--shard", choices=["none", "tiles", "samples", "hybrid"], default="none",
         help="multi-chip sharding mode (image tiles or sample-parallel)",
+    )
+    p.add_argument(
+        "--multihost", nargs="?", const="", default=None,
+        metavar="HOST:PORT[,NPROCS,PID]",
+        help="initialize jax.distributed for a process-spanning mesh "
+        "(pod-scale; run one process per host). With no value, "
+        "coordination autodetects from the TPU runtime environment. "
+        "Combine with --shard; only process 0 writes output.",
     )
     p.add_argument("--sample-batch", type=int, default=0)
     p.add_argument("--checkpoint", default=None, help="save checkpoint here")
@@ -95,41 +110,68 @@ def main(argv=None) -> int:
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
     )
 
-    config = RenderConfig(
-        width=args.width,
-        height=args.height,
-        samples_per_frame=args.samples_per_frame,
-        ray_depth=args.ray_depth,
-        max_framebuffer_weight=args.max_framebuffer_weight,
-        seed=args.seed,
-        gamma=args.gamma,
-        sample_batch=args.sample_batch,
-        backend=args.backend,
-        shard=args.shard,
-    )
-    if args.obj:
-        from myraytracer_tpu.scene.presets import obj_scene
+    # Backend override via environment when the flag is left at auto — the
+    # reference honors a WGPU_BACKEND-style env override (lib.rs:322).
+    import os
 
-        world = obj_scene(args.obj)
-    else:
-        world = get_scene(args.scene, seed=args.seed)
+    backend = args.backend
+    if backend == "auto" and os.environ.get("MYRT_BACKEND"):
+        backend = os.environ["MYRT_BACKEND"]
+        if backend not in ("auto", "jnp", "pallas"):
+            raise SystemExit(f"MYRT_BACKEND={backend!r}: not auto|jnp|pallas")
+
+    if args.multihost is not None:
+        # Before any backend use: after this, jax.devices() is the global
+        # (all-host) set and the sharded renderers span the pod.
+        from myraytracer_tpu.parallel.sharding import initialize_multihost
+
+        initialize_multihost(args.multihost)
+
+    def make_config(**over) -> RenderConfig:
+        base = dict(
+            width=args.width,
+            height=args.height,
+            samples_per_frame=args.samples_per_frame,
+            ray_depth=args.ray_depth,
+            max_framebuffer_weight=args.max_framebuffer_weight,
+            seed=args.seed,
+            gamma=args.gamma,
+            sample_batch=args.sample_batch,
+            backend=backend,
+            shard=args.shard,
+        )
+        base.update(over)
+        return RenderConfig(**base)
 
     from myraytracer_tpu.render.dispatch import make_session
 
-    session = make_session(world, config)
+    def build_session(scene_name: str, config: RenderConfig):
+        if args.obj:
+            from myraytracer_tpu.scene.presets import obj_scene
+
+            world = obj_scene(args.obj)
+        else:
+            world = get_scene(scene_name, seed=config.seed)
+        session = make_session(world, config)
+        log.info(
+            "rendering scene=%s %dx%d spp/frame=%d depth=%d frames=%s "
+            "backend=%s shard=%s",
+            scene_name, session.width, session.height,
+            config.samples_per_frame, config.ray_depth,
+            args.frames if args.frames else "unbounded",
+            config.backend, config.shard,
+        )
+        return world, session
+
+    scene_name = args.scene
+    config = make_config()
+    world, session = build_session(scene_name, config)
     if args.resume:
         session.load_checkpoint(args.resume)
         log.info(
             "resumed from %s at frame %d (%d spp)",
             args.resume, session.frame_count, session.accumulated_spp,
         )
-
-    w, h = session.width, session.height
-    log.info(
-        "rendering scene=%s %dx%d spp/frame=%d depth=%d frames=%d backend=%s shard=%s",
-        args.scene, w, h, config.samples_per_frame, config.ray_depth,
-        args.frames, config.backend, config.shard,
-    )
 
     if args.debug_nans:
         from myraytracer_tpu.utils.profiling import enable_debug_nans
@@ -145,10 +187,16 @@ def main(argv=None) -> int:
     else:
         trace_cm = contextlib.nullcontext()
 
-    import numpy as np
+    from myraytracer_tpu.parallel.sharding import fetch_array
+
+    proc0 = True
+    if args.multihost is not None:
+        import jax
+
+        proc0 = jax.process_index() == 0
 
     viewer = None
-    if args.serve is not None:
+    if args.serve is not None and proc0:
         from myraytracer_tpu.viewer import LiveViewer
 
         viewer = LiveViewer(args.serve, gamma=args.gamma)
@@ -170,61 +218,97 @@ def main(argv=None) -> int:
     segs_sync = session.segments_traced
     frames_sync = 0
 
+    import itertools
+
+    frame_iter = itertools.count() if args.frames == 0 else range(args.frames)
+
     with trace_cm:
-        for i in range(args.frames):
-            fb = session.step()
-            frames_sync += 1
-            now = time.perf_counter()
-            if viewer is not None and now - t_sync < sync_interval and \
-                    i != args.frames - 1:
-                continue
-            np.asarray(fb)  # force the work (block_until_ready may not
-            # block on remote-tunnel backends)
-            dt = time.perf_counter() - t_sync
-            mrays = (session.segments_traced - segs_sync) / dt / 1e6
-            log.info(
-                "frame=%d spp=%d ms=%.1f (%d frame%s) Mrays/s=%.1f",
-                session.frame_count, session.accumulated_spp, dt * 1e3,
-                frames_sync, "s" if frames_sync != 1 else "", mrays,
-            )
-            t_sync = time.perf_counter()
-            segs_sync = session.segments_traced
-            frames_sync = 0
-            if viewer is not None:
-                viewer.update(
-                    session.framebuffer, session.frame_count,
-                    session.accumulated_spp,
+        try:
+            for i in frame_iter:
+                last = args.frames != 0 and i == args.frames - 1
+                if viewer is not None and not last:
+                    sreq = viewer.pending_session()
+                    if sreq is not None:
+                        # URL-query render parameters (the reference web
+                        # runner's Args-from-query, lib.rs:72-94): rebuild
+                        # the session with the merged config. A size/spp/
+                        # scene change recompiles, like reloading the
+                        # reference page with a new query string. Polled
+                        # every frame (a lock peek) — not just on the
+                        # sync cadence — so requests apply promptly.
+                        scene_name = sreq.pop("scene", scene_name)
+                        config = make_config(**sreq)
+                        world, session = build_session(scene_name, config)
+                        t_sync = time.perf_counter()
+                        segs_sync = session.segments_traced
+                        frames_sync = 0
+                fb = session.step()
+                frames_sync += 1
+                now = time.perf_counter()
+                if viewer is not None and now - t_sync < sync_interval \
+                        and not last:
+                    continue
+                fetch_array(fb)  # force the work (block_until_ready may
+                # not block on remote-tunnel backends; multi-process
+                # shards assemble via allgather — sharding.fetch_array)
+                dt = time.perf_counter() - t_sync
+                mrays = (session.segments_traced - segs_sync) / dt / 1e6
+                log.info(
+                    "frame=%d spp=%d ms=%.1f (%d frame%s) Mrays/s=%.1f",
+                    session.frame_count, session.accumulated_spp, dt * 1e3,
+                    frames_sync, "s" if frames_sync != 1 else "", mrays,
                 )
-                # (Not on the last frame: a move would zero the
-                # accumulator with nothing left to refill it before the
-                # final image write.)
-                if args.interactive and i != args.frames - 1:
-                    req = viewer.pending_camera()
-                    if req is not None:
-                        from myraytracer_tpu.render.camera import orbit_camera
+                t_sync = time.perf_counter()
+                segs_sync = session.segments_traced
+                frames_sync = 0
+                if viewer is not None:
+                    viewer.update(
+                        session.framebuffer, session.frame_count,
+                        session.accumulated_spp,
+                    )
+                    # (Not on the last frame: a move would zero the
+                    # accumulator with nothing left to refill it before
+                    # the final image write.)
+                    if args.interactive and not last:
+                        req = viewer.pending_camera()
+                        if req is not None and not world.camera.reference_mode:
+                            from myraytracer_tpu.render.camera import (
+                                orbit_camera,
+                            )
 
-                        session.set_camera(orbit_camera(
-                            world.camera,
-                            req.get("yaw", 0.0), req.get("pitch", 0.0),
-                            req.get("dist", 1.0),
-                        ))
-                        log.info(
-                            "camera orbit yaw=%.2f pitch=%.2f dist=%.2f "
-                            "(accumulation reset, no recompile)",
-                            req.get("yaw", 0.0), req.get("pitch", 0.0),
-                            req.get("dist", 1.0),
-                        )
-            if args.preview_every and session.frame_count > 0 \
-                    and session.frame_count % args.preview_every == 0:
-                write_image(args.out, session.framebuffer, gamma=args.gamma)
-                log.info("preview → %s", args.out)
+                            session.set_camera(orbit_camera(
+                                world.camera,
+                                req.get("yaw", 0.0), req.get("pitch", 0.0),
+                                req.get("dist", 1.0),
+                            ))
+                            log.info(
+                                "camera orbit yaw=%.2f pitch=%.2f dist=%.2f "
+                                "(accumulation reset, no recompile)",
+                                req.get("yaw", 0.0), req.get("pitch", 0.0),
+                                req.get("dist", 1.0),
+                            )
+                if args.preview_every and session.frame_count > 0 \
+                        and session.frame_count % args.preview_every == 0:
+                    write_image(args.out, session.framebuffer, gamma=args.gamma)
+                    log.info("preview → %s", args.out)
+        except KeyboardInterrupt:
+            # Graceful exit for the run-forever mode (and any long run):
+            # fall through to the checkpoint + final image write below.
+            fetch_array(session.framebuffer)
+            log.info(
+                "interrupted at frame %d (%d spp) — writing final image",
+                session.frame_count, session.accumulated_spp,
+            )
 
-    if args.checkpoint:
+    if args.checkpoint and proc0:
         session.save_checkpoint(args.checkpoint)
         log.info("checkpoint saved to %s", args.checkpoint)
 
-    write_image(args.out, session.framebuffer, gamma=args.gamma)
-    log.info("wrote %s", args.out)
+    if proc0:
+        write_image(
+            args.out, fetch_array(session.framebuffer), gamma=args.gamma
+        )
+        log.info("wrote %s", args.out)
     return 0
 
 

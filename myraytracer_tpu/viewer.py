@@ -13,7 +13,15 @@ page.
 
 Endpoints:
 
-* ``/``           — viewer page (auto-refreshes the image; shows stats)
+* ``/``           — viewer page (auto-refreshes the image; shows stats).
+                    Render parameters parse from the URL query exactly
+                    like the reference's web runner
+                    (``wasm-runner/src/lib.rs:72-77,87-94``):
+                    ``?width=&height=&samples_per_frame=&ray_depth=&``
+                    ``max_framebuffer_weight=&scene=&seed=`` queue a
+                    session rebuild (the render loop polls
+                    ``pending_session()``), and ``?log_level=`` adjusts
+                    the process log level (``lib.rs:49-67``).
 * ``/frame.png``  — the latest accumulated frame, gamma-encoded PNG
 * ``/stats.json`` — frame count, accumulated spp, image size
 * ``/set``        — camera control (``?yaw=&pitch=&dist=`` radians/units);
@@ -42,6 +50,19 @@ import numpy as np
 from myraytracer_tpu.output.image import encode_png, to_u8
 
 log = logging.getLogger("myraytracer_tpu.viewer")
+
+# URL-query render parameters (name → parser), mirroring the reference's
+# Args-from-query-string (wasm-runner/src/lib.rs:7-15,72-77): the five
+# reference knobs plus the scene/seed extensions.
+SESSION_PARAMS = {
+    "width": int,
+    "height": int,
+    "samples_per_frame": int,
+    "ray_depth": int,
+    "max_framebuffer_weight": float,
+    "scene": str,
+    "seed": int,
+}
 
 _PAGE = b"""<!doctype html>
 <html>
@@ -113,6 +134,7 @@ class LiveViewer:
         self._png = encode_png(np.zeros((1, 1, 3), np.uint8))
         self._stats = {"frame": 0, "spp": 0, "width": 0, "height": 0}
         self._camera_request = None  # latest /set payload, consumed by poll
+        self._session_request = None  # latest /?param= payload, ditto
 
         viewer = self
 
@@ -120,6 +142,26 @@ class LiveViewer:
             def do_GET(self):  # noqa: N802 (stdlib API)
                 path, _, query = self.path.partition("?")
                 if path == "/":
+                    if query:
+                        q = parse_qs(query)
+                        if "log_level" in q:
+                            # ?log_level= parity (wasm-runner lib.rs:49-67)
+                            lv = getattr(
+                                logging, q["log_level"][0].upper(), None
+                            )
+                            if isinstance(lv, int):
+                                logging.getLogger("myraytracer_tpu").setLevel(lv)
+                        req = {}
+                        for k, conv in SESSION_PARAMS.items():
+                            if k in q:
+                                try:
+                                    req[k] = conv(q[k][0])
+                                except ValueError:
+                                    self.send_error(400, f"bad {k}")
+                                    return
+                        if req:
+                            with viewer._lock:
+                                viewer._session_request = req
                     body, ctype = _PAGE, "text/html; charset=utf-8"
                 elif path == "/set":
                     q = parse_qs(query)
@@ -186,6 +228,18 @@ class LiveViewer:
         """
         with self._lock:
             req, self._camera_request = self._camera_request, None
+        return req
+
+    def pending_session(self):
+        """Return-and-clear the latest render-parameter request.
+
+        A dict of ``SESSION_PARAMS`` values from the last ``/?param=``
+        page load, or None. The render loop rebuilds the session with the
+        merged config (the reference's analog: reloading the page with a
+        new query string restarts the wasm app with those Args).
+        """
+        with self._lock:
+            req, self._session_request = self._session_request, None
         return req
 
     def close(self) -> None:

@@ -1,65 +1,108 @@
-"""CLI end-to-end: flags parse (reference parity) and files get written."""
+"""CLI surface: reference flag semantics plus the run-forever mode and
+the env backend override (native-runner/src/main.rs:4-43; lib.rs:187-196,
+322)."""
 
 import numpy as np
+import pytest
 
-from myraytracer_tpu.cli import build_parser, main
-from myraytracer_tpu.output.image import read_ppm
-
-
-def test_reference_flag_defaults():
-    """Defaults match native-runner/src/main.rs:20-31."""
-    args = build_parser().parse_args([])
-    assert args.width == 0
-    assert args.height == 0
-    assert args.samples_per_frame == 1
-    assert args.ray_depth == 50
-    assert args.max_framebuffer_weight == 1.0
+from myraytracer_tpu import cli
+from myraytracer_tpu.output.image import read_png
+from myraytracer_tpu.render.session import RenderSession
 
 
-def test_size_inference_rules():
-    from myraytracer_tpu.config import RenderConfig
-
-    assert RenderConfig(width=0, height=0).resolve_size() == (640, 360)
-    assert RenderConfig(width=0, height=7).resolve_size() == (7, 7)
-    assert RenderConfig(width=9, height=0).resolve_size() == (9, 9)
-    assert RenderConfig(width=9, height=7).resolve_size() == (9, 7)
+BASE = ["--width", "16", "--height", "8", "--samples-per-frame", "1",
+        "--ray-depth", "2", "--scene", "reference", "--backend", "jnp"]
 
 
-def test_cli_end_to_end(tmp_path):
-    out = tmp_path / "img.ppm"
-    ckpt = tmp_path / "c.npz"
-    rc = main(
-        [
-            "--width", "16", "--height", "8",
-            "--samples-per-frame", "2",
-            "--ray-depth", "4",
-            "--frames", "2",
-            "--scene", "reference",
-            "--backend", "jnp",
-            "--sample-batch", "2",
-            "--out", str(out),
-            "--checkpoint", str(ckpt),
-        ]
-    )
+def test_cli_renders_and_writes(tmp_path):
+    out = tmp_path / "out.png"
+    rc = cli.main(BASE + ["--frames", "2", "--out", str(out)])
     assert rc == 0
-    img = read_ppm(out)
+    img = read_png(out)
     assert img.shape == (8, 16, 3)
     assert img.max() > 0
-    assert ckpt.exists()
 
-    # Resume and continue.
-    out2 = tmp_path / "img2.ppm"
-    rc = main(
-        [
-            "--width", "16", "--height", "8",
-            "--samples-per-frame", "2",
-            "--ray-depth", "4",
-            "--frames", "1",
-            "--backend", "jnp",
-            "--sample-batch", "2",
-            "--resume", str(ckpt),
-            "--out", str(out2),
-        ]
-    )
+
+def test_cli_run_forever_interrupt_writes(tmp_path, monkeypatch):
+    """--frames 0 accumulates until interrupted (lib.rs:187-196), then the
+    final image still lands in --out."""
+    out = tmp_path / "forever.png"
+    real_step = RenderSession.step
+    calls = {"n": 0}
+
+    def step(self):
+        calls["n"] += 1
+        if calls["n"] > 3:
+            raise KeyboardInterrupt
+        return real_step(self)
+
+    monkeypatch.setattr(RenderSession, "step", step)
+    rc = cli.main(BASE + ["--frames", "0", "--out", str(out)])
     assert rc == 0
-    assert read_ppm(out2).shape == (8, 16, 3)
+    assert calls["n"] == 4
+    assert read_png(out).shape == (8, 16, 3)
+
+
+def test_cli_env_backend_override(tmp_path, monkeypatch):
+    out = tmp_path / "env.png"
+    argv = [a for a in BASE if a not in ("--backend", "jnp")]
+    monkeypatch.setenv("MYRT_BACKEND", "jnp")
+    assert cli.main(argv + ["--frames", "1", "--out", str(out)]) == 0
+    assert read_png(out).shape == (8, 16, 3)
+
+    monkeypatch.setenv("MYRT_BACKEND", "bogus")
+    with pytest.raises(SystemExit):
+        cli.main(argv + ["--frames", "1", "--out", str(out)])
+
+    # an explicit --backend flag wins over the env (only auto defers)
+    monkeypatch.setenv("MYRT_BACKEND", "bogus")
+    assert cli.main(BASE + ["--frames", "1", "--out", str(out)]) == 0
+
+
+def test_cli_url_query_rebuilds_session(tmp_path):
+    """A /?param= page load rebuilds the session mid-run with the merged
+    config (the reference web runner's Args-from-query, lib.rs:72-94)."""
+    import json
+    import urllib.request
+
+    out = tmp_path / "served.png"
+
+    # Drive the viewer from a thread: grab the viewer instance via the
+    # LiveViewer constructor, push a session request after frame 1.
+    from myraytracer_tpu import viewer as viewer_mod
+
+    captured = {}
+    real_init = viewer_mod.LiveViewer.__init__
+
+    def init(self, port, gamma=2.0):
+        real_init(self, port, gamma)
+        captured["viewer"] = self
+
+    viewer_mod.LiveViewer.__init__ = init
+    try:
+        real_step = RenderSession.step
+        calls = {"n": 0}
+
+        def step(self):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                # simulate /?width=24&height=12 between frames
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{captured['viewer'].port}"
+                    f"/?width=24&height=12&samples_per_frame=2"
+                ) as r:
+                    r.read()
+            return real_step(self)
+
+        RenderSession.step = step
+        try:
+            rc = cli.main(BASE + [
+                "--frames", "4", "--serve", "0", "--out", str(out),
+            ])
+        finally:
+            RenderSession.step = real_step
+        assert rc == 0
+        # the rebuilt session rendered at the requested size
+        assert read_png(out).shape == (12, 24, 3)
+    finally:
+        viewer_mod.LiveViewer.__init__ = real_init

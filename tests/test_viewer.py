@@ -90,3 +90,45 @@ def test_orbit_camera():
     c3 = orbit_camera(base, 0.0, 10.0, 1.0)
     assert abs(c3.lookfrom[1] - 3.0 * math.sin(1.45)) < 1e-9
     assert c3.lookat == base.lookat and c3.vfov_degrees == base.vfov_degrees
+
+
+def test_viewer_url_query_session_params():
+    """Render parameters parse from the URL query like the reference web
+    runner (wasm-runner/src/lib.rs:72-77,87-94)."""
+    viewer = LiveViewer(0)
+    try:
+        assert viewer.pending_session() is None
+        _get(viewer.port, "/?width=320&height=180&samples_per_frame=4"
+                          "&scene=final&seed=7")
+        req = viewer.pending_session()
+        assert req == {"width": 320, "height": 180, "samples_per_frame": 4,
+                       "scene": "final", "seed": 7}
+        assert viewer.pending_session() is None  # consumed
+        # a plain page load queues nothing
+        _get(viewer.port, "/")
+        assert viewer.pending_session() is None
+        # malformed values are a 400, not a crash
+        try:
+            _get(viewer.port, "/?width=bogus")
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        viewer.close()
+
+
+def test_viewer_log_level_query():
+    """?log_level= adjusts the process log level (lib.rs:49-67 parity)."""
+    import logging
+
+    logger = logging.getLogger("myraytracer_tpu")
+    old = logger.level
+    viewer = LiveViewer(0)
+    try:
+        _get(viewer.port, "/?log_level=debug")
+        assert logger.level == logging.DEBUG
+        _get(viewer.port, "/?log_level=warning")
+        assert logger.level == logging.WARNING
+    finally:
+        logger.setLevel(old)
+        viewer.close()
