@@ -78,6 +78,76 @@ def default_mesh(devices: Optional[Sequence] = None, axis: str = "tiles") -> Mes
     return Mesh(np.asarray(devices), (axis,))
 
 
+def hybrid_mesh(
+    devices: Optional[Sequence] = None, samples: Optional[int] = None
+) -> Mesh:
+    """2-D (tiles × samples) mesh over ``devices`` (default: all global
+    devices — in a multi-process run that spans every host's chips).
+
+    ``samples=None`` picks 2 when the device count is even (rows stay the
+    long axis — tile sharding needs no communication, the sample axis
+    psum-reduces over ICI), else 1.
+    """
+    devs = np.asarray(list(devices if devices is not None else jax.devices()))
+    n = devs.size
+    if samples is None:
+        samples = 2 if n % 2 == 0 and n > 1 else 1
+    if samples < 1 or n % samples:
+        raise ValueError(f"samples axis {samples} must divide {n} devices")
+    return Mesh(devs.reshape(n // samples, samples), ("tiles", "samples"))
+
+
+# -- multi-host ---------------------------------------------------------------
+
+
+def parse_multihost_spec(spec: str) -> dict:
+    """Parse ``coordinator:port[,num_processes,process_id]`` into
+    ``jax.distributed.initialize`` kwargs ({} = autodetect everything —
+    TPU pod runtimes supply coordination via their own environment)."""
+    if not spec:
+        return {}
+    parts = spec.split(",")
+    if len(parts) == 1:
+        return {"coordinator_address": parts[0]}
+    if len(parts) == 3:
+        return {
+            "coordinator_address": parts[0],
+            "num_processes": int(parts[1]),
+            "process_id": int(parts[2]),
+        }
+    raise ValueError(
+        f"multihost spec {spec!r}: want 'host:port' or 'host:port,nprocs,pid'"
+    )
+
+
+def initialize_multihost(spec: str = "") -> None:
+    """``jax.distributed.initialize`` for process-spanning meshes.
+
+    Must run before the first JAX backend use. After it, ``jax.devices()``
+    returns the *global* device set, ``default_mesh``/``hybrid_mesh`` span
+    processes, and the jitted sharded renderers run SPMD across hosts —
+    collectives ride ICI within a slice, DCN between them, both inserted
+    by XLA (no custom transport; SURVEY.md §5 distributed backend row).
+    """
+    jax.distributed.initialize(**parse_multihost_spec(spec))
+
+
+def fetch_array(x) -> np.ndarray:
+    """Materialize a (possibly process-sharded) device array on this host.
+
+    Single-process (and fully-addressable) arrays take the plain
+    ``jax.device_get`` path; under multi-process semantics a jitted
+    output's shards live on other hosts' devices, where ``np.asarray``
+    would throw — ``process_allgather`` assembles the global array from
+    each host's addressable shards instead.
+    """
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(jax.device_get(x))
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def _ceil_div(a: int, b: int) -> int:
     return -(-a // b)
 
@@ -210,9 +280,7 @@ def make_hybrid_sharded_renderer(
     cases, kept separate for clarity.
     """
     if mesh is None:
-        devs = np.asarray(jax.devices())
-        ns = 2 if devs.size % 2 == 0 and devs.size > 1 else 1
-        mesh = Mesh(devs.reshape(devs.size // ns, ns), ("tiles", "samples"))
+        mesh = hybrid_mesh()
     nd_t = mesh.shape["tiles"]
     nd_s = mesh.shape["samples"]
     spp = int(samples_per_frame)

@@ -82,3 +82,126 @@ def test_sample_sharded_uneven_spp(scene):
 def test_default_mesh_shape():
     mesh = default_mesh()
     assert mesh.devices.size == 8
+
+
+# ---------------------------------------------------------------------------
+# Pallas megakernel under shard_map (interpret mode): the sharded paths
+# must be exercised with the production block too, not just the jnp
+# oracle — prefetch operands and the static output layout must partition
+# cleanly. Contract: tile sharding is bitwise vs single-device pallas;
+# psum modes are fp-tolerant (reduction order).
+# ---------------------------------------------------------------------------
+
+import functools
+
+from myraytracer_tpu.kernels import trace as ktrace
+from myraytracer_tpu.parallel.sharding import make_hybrid_sharded_renderer
+
+PALLAS_BLOCK = functools.partial(
+    ktrace.make_block_renderer, tile_rows=8, interpret=True
+)
+
+
+@pytest.fixture(scope="module")
+def single_pallas(scene):
+    cam = presets.reference_scene().camera
+    render = ktrace.make_renderer(
+        cam, W, H, SPP, DEPTH, tile_rows=8, interpret=True
+    )
+    img, segs = render(scene, KEY, 0)
+    return np.asarray(img), float(segs)
+
+
+def test_pallas_tile_sharded_bitwise(scene, single_pallas):
+    cam = presets.reference_scene().camera
+    render = make_tile_sharded_renderer(
+        cam, W, H, SPP, DEPTH, block_factory=PALLAS_BLOCK
+    )
+    img, segs = render(scene, KEY, 0)
+    np.testing.assert_array_equal(np.asarray(img), single_pallas[0])
+    assert float(segs) >= single_pallas[1]  # padded rows traced, cropped
+
+
+def test_pallas_sample_sharded(scene, single_pallas):
+    cam = presets.reference_scene().camera
+    render = make_sample_sharded_renderer(
+        cam, W, H, SPP, DEPTH, block_factory=PALLAS_BLOCK
+    )
+    img, segs = render(scene, KEY, 0)
+    np.testing.assert_allclose(
+        np.asarray(img), single_pallas[0], rtol=1e-5, atol=1e-6
+    )
+    assert abs(float(segs) - single_pallas[1]) < 1.0
+
+
+def test_pallas_hybrid_sharded(scene, single_pallas):
+    cam = presets.reference_scene().camera
+    render = make_hybrid_sharded_renderer(
+        cam, W, H, SPP, DEPTH, block_factory=PALLAS_BLOCK
+    )
+    img, segs = render(scene, KEY, 0)
+    np.testing.assert_allclose(
+        np.asarray(img), single_pallas[0], rtol=1e-5, atol=1e-6
+    )
+
+
+def test_hybrid_jnp_matches_single(scene, single):
+    cam = presets.reference_scene().camera
+    render = make_hybrid_sharded_renderer(
+        cam, W, H, SPP, DEPTH, sample_batch=1
+    )
+    img, _ = render(scene, KEY, 0)
+    np.testing.assert_allclose(
+        np.asarray(img), single[0], rtol=1e-5, atol=1e-6
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-host wiring (pod-scale). Only one process exists in CI, so these
+# exercise the mesh-construction / spec-parsing / gather logic — the parts
+# that differ under multi-process semantics.
+# ---------------------------------------------------------------------------
+
+from myraytracer_tpu.parallel.sharding import (
+    fetch_array,
+    hybrid_mesh,
+    parse_multihost_spec,
+)
+
+
+def test_hybrid_mesh_shapes():
+    mesh = hybrid_mesh()
+    assert mesh.shape == {"tiles": 4, "samples": 2}
+    mesh4 = hybrid_mesh(samples=4)
+    assert mesh4.shape == {"tiles": 2, "samples": 4}
+    mesh1 = hybrid_mesh(jax.devices()[:3])
+    assert mesh1.shape == {"tiles": 3, "samples": 1}
+    with pytest.raises(ValueError):
+        hybrid_mesh(samples=3)  # 3 does not divide 8
+
+
+def test_parse_multihost_spec():
+    assert parse_multihost_spec("") == {}
+    assert parse_multihost_spec("10.0.0.1:8476") == {
+        "coordinator_address": "10.0.0.1:8476"
+    }
+    assert parse_multihost_spec("10.0.0.1:8476,16,3") == {
+        "coordinator_address": "10.0.0.1:8476",
+        "num_processes": 16,
+        "process_id": 3,
+    }
+    with pytest.raises(ValueError):
+        parse_multihost_spec("a,b")
+
+
+def test_fetch_array_assembles_sharded_output(scene, single):
+    """fetch_array materializes a mesh-sharded jit output (the multihost
+    gather path degenerates to device_get when all shards are local)."""
+    cam = presets.reference_scene().camera
+    render = make_tile_sharded_renderer(cam, W, H, SPP, DEPTH, sample_batch=2)
+    img, _ = render(scene, KEY, 0)
+    got = fetch_array(img)
+    assert isinstance(got, np.ndarray)
+    np.testing.assert_array_equal(got, single[0])
+    # plain numpy passes through
+    np.testing.assert_array_equal(fetch_array(single[0]), single[0])
