@@ -75,6 +75,14 @@ def build_parser() -> argparse.ArgumentParser:
         "Combine with --shard; only process 0 writes output.",
     )
     p.add_argument("--sample-batch", type=int, default=0)
+    p.add_argument(
+        "--frame-batch", type=int, default=0, metavar="K",
+        help="progressive frames rendered per kernel call (bitwise "
+        "identical to K separate frames; amortizes the in-kernel "
+        "regeneration tail — the small-spp throughput fix). 0 = auto: "
+        "~64-sample windows on the Pallas path, 1 with --serve (keeps "
+        "viewer/orbit latency low)",
+    )
     p.add_argument("--checkpoint", default=None, help="save checkpoint here")
     p.add_argument("--resume", default=None, help="resume from checkpoint")
     p.add_argument("--log-level", default="info")
@@ -127,6 +135,12 @@ def main(argv=None) -> int:
 
         initialize_multihost(args.multihost)
 
+    # A live viewer wants per-frame latency, not batched throughput:
+    # auto frame batching drops to 1 under --serve unless overridden.
+    frame_batch = args.frame_batch
+    if frame_batch == 0 and args.serve is not None:
+        frame_batch = 1
+
     def make_config(**over) -> RenderConfig:
         base = dict(
             width=args.width,
@@ -139,6 +153,7 @@ def main(argv=None) -> int:
             sample_batch=args.sample_batch,
             backend=backend,
             shard=args.shard,
+            frame_batch=frame_batch,
         )
         base.update(over)
         return RenderConfig(**base)
@@ -220,12 +235,15 @@ def main(argv=None) -> int:
 
     import itertools
 
-    frame_iter = itertools.count() if args.frames == 0 else range(args.frames)
+    # One loop step = frame_batch progressive frames; --frames counts
+    # frames, rounded up to a whole number of steps.
+    n_steps = -(-args.frames // session.frame_batch)
+    frame_iter = itertools.count() if args.frames == 0 else range(n_steps)
 
     with trace_cm:
         try:
             for i in frame_iter:
-                last = args.frames != 0 and i == args.frames - 1
+                last = args.frames != 0 and i == n_steps - 1
                 if viewer is not None and not last:
                     sreq = viewer.pending_session()
                     if sreq is not None:

@@ -37,6 +37,13 @@ class RenderConfig:
     sample_batch: int = 0  # samples traced per vectorized pass; 0 = auto
     backend: str = "auto"  # "jnp" | "pallas" | "auto"
     shard: str = "none"  # "none" | "tiles" | "samples"
+    # Progressive frames rendered per device call (0 = auto). K > 1
+    # batches K frames into one kernel invocation with per-frame outputs —
+    # bitwise identical to K separate frames, but the whole K*spp sample
+    # window shares one regeneration tail, which is what makes small-spp
+    # progressive rendering fast on the Pallas kernel (BENCH.md): measured
+    # 3.8 → 122 Mrays/s at spp=1, 1200x800 final scene.
+    frame_batch: int = 0
 
     def resolve_size(self) -> Tuple[int, int]:
         """Apply the reference's 0-means-derive rule (lib.rs:113-134)."""
@@ -62,6 +69,17 @@ class RenderConfig:
         lanes_budget = 4 << 20  # ~4M lanes ≈ 260MB of wavefront state
         per_pass = max(1, lanes_budget // max(1, w * h))
         return max(1, min(per_pass, self.samples_per_frame))
+
+    def resolve_frame_batch(self, backend: str) -> int:
+        """Frames per device call. Auto (0) batches toward a ~64-sample
+        window on the unsharded Pallas path — the regime where the
+        regeneration tail dominates single frames — and stays classic
+        everywhere else."""
+        if self.frame_batch > 0:
+            return self.frame_batch
+        if backend != "pallas" or self.shard != "none":
+            return 1
+        return min(64, max(1, 64 // max(1, self.samples_per_frame)))
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

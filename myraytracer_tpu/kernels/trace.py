@@ -424,7 +424,8 @@ def _trace_kernel(
     g_ref,
     b_ref,
     segs_ref,
-    *,
+    # frame-bucket scratch refs follow (multi-frame mode only):
+    *scratch_refs,
     width: int,
     n_rows: int,
     n_spheres: int,
@@ -439,6 +440,8 @@ def _trace_kernel(
     rng_mode: str,
     cfg: KernelConfig,
     static_ior=None,
+    frames: int = 1,
+    spp: int = 0,
 ):
     # Shadow the module-level tuning constants with the threaded config:
     # the kernel body (including every nested function) reads only these.
@@ -471,6 +474,22 @@ def _trace_kernel(
 
     shape = (tile_rows, LANES)
     tile_size = tile_rows * LANES
+
+    # Multi-frame mode: one call renders `frames` progressive frames of
+    # `spp` samples each (n_valid = frames*spp). Lanes regenerate straight
+    # across frame boundaries — the whole window shares ONE regeneration
+    # tail instead of paying max-lane-path-length per frame, which is what
+    # makes small-spp progressive rendering throughput-bound rather than
+    # tail-bound. Per-sample radiance flushes into per-frame VMEM buckets
+    # at regeneration, so each frame's image is bitwise identical to a
+    # separate single-frame call (same draws, same per-lane sum order).
+    multi = frames > 1
+    if multi:
+        sc_r, sc_g, sc_b = scratch_refs
+        zero_buckets = jnp.zeros((frames, tile_rows, LANES), jnp.float32)
+        sc_r[...] = zero_buckets  # scratch persists across grid steps
+        sc_g[...] = zero_buckets
+        sc_b[...] = zero_buckets
 
     # Lane → global pixel coordinates (int32 math; u32 only at the RNG).
     # Tiles map to compact BLOCK_W × block_h pixel blocks, not scanline
@@ -1217,6 +1236,21 @@ def _trace_kernel(
         # "waves" measured 15-20% slower — idle lanes cost more than the
         # frustum coherence they buy.)
         regen = (~alive) & (s + 1 < n_valid_i) & in_image
+        if multi:
+            # Flush the finished sample's radiance into its frame bucket
+            # (bucket = s // spp), then reset the per-sample radiance.
+            # Branchless: every bucket takes a masked add each iteration —
+            # ~12 vreg ops per bucket. (A pl.when gate per bucket measured
+            # ~50x slower: each branch in the while body pays carry
+            # save/restore traffic that dwarfs the masked update.)
+            sdiv = s // jnp.int32(spp)
+            fzero = jnp.zeros(shape, jnp.float32)
+            for k in range(frames):
+                m = regen & (sdiv == jnp.int32(k))
+                sc_r[k] = sc_r[k] + jnp.where(m, rad.x, fzero)
+                sc_g[k] = sc_g[k] + jnp.where(m, rad.y, fzero)
+                sc_b[k] = sc_b[k] + jnp.where(m, rad.z, fzero)
+            rad = V3.where(regen, V3(fzero, fzero, fzero), rad)
         s = jnp.where(regen, s + 1, s)
         no, nd2 = camera_ray(s)
         if "regen" in abl:
@@ -1251,9 +1285,20 @@ def _trace_kernel(
     rad, segs = out[3], out[7]
 
     w = in_image.astype(jnp.float32)
-    r_ref[...] = rad.x * w
-    g_ref[...] = rad.y * w
-    b_ref[...] = rad.z * w
+    if multi:
+        # Every in-image lane ends holding its LAST sample's radiance
+        # (the final sample has no regeneration to flush it); it belongs
+        # to the last bucket. Out-of-image lanes never accumulate.
+        sc_r[frames - 1] = sc_r[frames - 1] + rad.x * w
+        sc_g[frames - 1] = sc_g[frames - 1] + rad.y * w
+        sc_b[frames - 1] = sc_b[frames - 1] + rad.z * w
+        r_ref[...] = sc_r[...]
+        g_ref[...] = sc_g[...]
+        b_ref[...] = sc_b[...]
+    else:
+        r_ref[...] = rad.x * w
+        g_ref[...] = rad.y * w
+        b_ref[...] = rad.z * w
     segs_ref[...] = segs * w
 
 
@@ -1273,6 +1318,7 @@ def make_block_renderer(
     rng_mode: str = "threefry",
     static_ior=None,
     config: KernelConfig = None,
+    frames: int = 1,
 ):
     """Pallas implementation of the block-renderer protocol.
 
@@ -1284,8 +1330,20 @@ def make_block_renderer(
     refraction, pass it here — the kernel bakes it in and drops the IOR
     row from the winner-record sweep (one fewer SMEM read + select +
     carried array per sweep step). Exact: the constant is the same f32.
+
+    ``frames > 1`` renders that many progressive frames of ``max_samples``
+    samples each in ONE kernel call (callers must pass
+    ``n_valid = frames * max_samples``); the radiance sum becomes
+    ``[frames, 3, n_rows, width]`` (channels-first — a trailing 3 would
+    pad to 128 under TPU tiling). Each frame is bitwise identical to a
+    separate single-frame call, but the whole window shares one in-kernel
+    regeneration tail — the small-spp progressive fix (BENCH.md).
     """
-    del sample_batch, max_samples
+    del sample_batch
+    frames = int(frames)
+    spp_static = int(max_samples) if max_samples else 0
+    if frames > 1 and spp_static < 1:
+        raise ValueError("frames > 1 requires a positive max_samples (spp)")
     kc = config or DEFAULT_CONFIG
     BLOCK_W = kc.BLOCK_W
     if static_ior is not None:
@@ -1331,6 +1389,8 @@ def make_block_renderer(
         ray_gen_factory=ray_gen_factory,
         static_ior=static_ior,
         cfg=kc,
+        frames=frames,
+        spp=spp_static,
     )
 
     def block(scene: CompiledScene, key, row0, sample_start, n_valid):
@@ -1368,24 +1428,36 @@ def make_block_renderer(
         )
         row0_arr = jnp.asarray(row0, jnp.uint32).reshape(1)
 
+        seg_spec = pl.BlockSpec(
+            (tile_rows, LANES), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+        )
+        if frames > 1:
+            img_spec = pl.BlockSpec(
+                (frames, tile_rows, LANES),
+                lambda t, *_: (0, t, 0),
+                memory_space=pltpu.VMEM,
+            )
+            img_shape = jax.ShapeDtypeStruct(
+                (frames, out_rows, LANES), jnp.float32
+            )
+            scratch = [pltpu.VMEM((frames, tile_rows, LANES), jnp.float32)] * 3
+        else:
+            img_spec = seg_spec
+            img_shape = jax.ShapeDtypeStruct((out_rows, LANES), jnp.float32)
+            scratch = []
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=9,
             grid=(n_tiles,),
             in_specs=[],
-            out_specs=[
-                pl.BlockSpec(
-                    (tile_rows, LANES),
-                    lambda t, *_: (t, 0),
-                    memory_space=pltpu.VMEM,
-                )
-            ]
-            * 4,
+            out_specs=[img_spec] * 3 + [seg_spec],
+            scratch_shapes=scratch,
         )
 
         r, g, b, segs = pl.pallas_call(
             kern,
             grid_spec=grid_spec,
-            out_shape=[jax.ShapeDtypeStruct((out_rows, LANES), jnp.float32)] * 4,
+            out_shape=[img_shape] * 3
+            + [jax.ShapeDtypeStruct((out_rows, LANES), jnp.float32)],
             interpret=interpret,
         )(sf, aabb, saabb, trf, traabb, tsaabb, camf, meta, row0_arr)
 
@@ -1396,13 +1468,21 @@ def make_block_renderer(
             # pure reshape/transpose (a 960k-element gather here measured
             # ~hundreds of ms *per call* on TPU, the dominant fixed cost
             # of small-spp frames).
-            a = a.reshape(blocks_y, blocks_x, block_h, BLOCK_W)
-            a = a.transpose(0, 2, 1, 3)
-            a = a.reshape(blocks_y * block_h, blocks_x * BLOCK_W)
-            return a[:n_rows, :width]
+            lead = a.shape[:-2]
+            a = a.reshape(*lead, blocks_y, blocks_x, block_h, BLOCK_W)
+            a = a.transpose(
+                *range(len(lead)),
+                len(lead), len(lead) + 2, len(lead) + 1, len(lead) + 3,
+            )
+            a = a.reshape(*lead, blocks_y * block_h, blocks_x * BLOCK_W)
+            return a[..., :n_rows, :width]
 
+        # Multi-frame stacks channels FIRST: a [K,H,W,3] device array tiles
+        # T(8,128) over its last two dims, padding the trailing 3 to 128 —
+        # 42x the memory (31 GB at K=64, 1200x800: compile-time OOM).
         img_sum = jnp.stack(
-            [unscramble(r), unscramble(g), unscramble(b)], axis=-1
+            [unscramble(r), unscramble(g), unscramble(b)],
+            axis=(1 if frames > 1 else -1),
         )
         return img_sum, jnp.sum(segs)
 
@@ -1424,24 +1504,28 @@ def make_renderer(
     rng_mode: str = "threefry",
     static_ior=None,
     config: KernelConfig = None,
+    frames: int = 1,
 ):
     """Jitted single-device frame renderer on the Pallas megakernel.
 
-    Contract matches ``render.integrator.make_renderer``.
+    Contract matches ``render.integrator.make_renderer``. With
+    ``frames=K > 1`` the render returns K per-frame mean images
+    ``[K, 3, H, W]`` from one kernel call (see ``make_block_renderer``).
     """
     spp = int(samples_per_frame)
+    frames = int(frames)
     block = make_block_renderer(
         cam, width, height, height, spp, ray_depth,
         t_min=t_min, t_max=t_max, tile_rows=tile_rows, interpret=interpret,
         material_set=material_set, rng_mode=rng_mode, static_ior=static_ior,
-        config=config,
+        config=config, frames=frames,
     )
 
     @jax.jit
     def render(scene: CompiledScene, key, sample_base):
         img_sum, segs = block(
             scene, key, jnp.uint32(0), jnp.asarray(sample_base, jnp.uint32),
-            jnp.uint32(spp),
+            jnp.uint32(frames * spp),
         )
         return img_sum * jnp.float32(1.0 / spp), segs
 

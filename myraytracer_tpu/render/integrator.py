@@ -247,6 +247,7 @@ def make_renderer(
     sample_batch: int = 1,
     material_set=None,
     static_ior=None,
+    frames: int = 1,
 ):
     """Build a jitted single-device frame renderer.
 
@@ -256,13 +257,41 @@ def make_renderer(
     analog of one ``State::redraw`` trace pass (``lib.rs:241-307``) without
     the accumulation blend (which belongs to the session, as in the
     reference).
+
+    ``frames=K > 1`` returns K per-frame mean images ``[K, 3, H, W]``
+    (channels-first — a trailing 3 would pad to 128 under TPU tiling)
+    from one jit call (a scan of per-frame blocks — bitwise identical to
+    K separate calls; same contract as the Pallas multi-frame renderer,
+    where it amortizes the in-kernel regeneration tail).
     """
     spp = int(samples_per_frame)
+    frames = int(frames)
     block = make_block_renderer(
         cam, width, height, height, spp, ray_depth,
         t_min=t_min, t_max=t_max, sample_batch=sample_batch,
         material_set=material_set, static_ior=static_ior,
     )
+
+    if frames > 1:
+
+        @jax.jit
+        def render_multi(scene: CompiledScene, key, sample_base):
+            base = jnp.asarray(sample_base, jnp.uint32)
+
+            def one(segs_total, f):
+                img_sum, segs = block(
+                    scene, key, jnp.uint32(0),
+                    base + f * jnp.uint32(spp), jnp.uint32(spp),
+                )
+                img = img_sum * jnp.float32(1.0 / spp)
+                return segs_total + segs, jnp.transpose(img, (2, 0, 1))
+
+            segs_total, imgs = jax.lax.scan(
+                one, jnp.float32(0.0), jnp.arange(frames, dtype=jnp.uint32)
+            )
+            return imgs, segs_total
+
+        return render_multi
 
     @jax.jit
     def render(scene: CompiledScene, key, sample_base):

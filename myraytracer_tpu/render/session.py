@@ -41,6 +41,25 @@ from myraytracer_tpu.scene.compile import compile_scene
 CHECKPOINT_VERSION = 2
 
 
+@jax.jit
+def _blend_chain(fb_hwc, imgs_kchw, weights):
+    """Sequentially blend K per-frame images into the framebuffer with
+    per-frame weights. Both batch sizes route through this one jit so the
+    compiled arithmetic is identical — a frame-batched step is bitwise
+    the framebuffer K single steps produce. Images arrive channels-first
+    ([K,3,H,W]; a trailing 3 would pad to 128 under TPU tiling) and the
+    transposes are value-exact."""
+
+    def body(fb, iw):
+        img, w = iw
+        return img * (1.0 - w) + fb * w, None
+
+    fb, _ = jax.lax.scan(
+        body, jnp.transpose(fb_hwc, (2, 0, 1)), (imgs_kchw, weights)
+    )
+    return jnp.transpose(fb, (1, 2, 0))
+
+
 def scene_fingerprint(scene) -> str:
     """Content hash of the compiled scene geometry/materials (not camera).
 
@@ -114,6 +133,10 @@ class RenderSession:
         # Scene-uniform dielectric IOR → static kernel constant (exact).
         iors = {s.material.ior for s in world.spheres if s.material.type_id == 3}
         iors |= {m.material.ior for m in world.meshes if m.material.type_id == 3}
+        self.frame_batch = config.resolve_frame_batch(resolved)
+        if self.frame_batch > 1 and config.shard != "none":
+            raise ValueError("frame_batch > 1 requires shard='none'")
+        extra = {"frames": self.frame_batch} if self.frame_batch > 1 else {}
         self._render = factory(
             world.camera,
             self.width,
@@ -125,6 +148,7 @@ class RenderSession:
             sample_batch=config.resolve_sample_batch(),
             material_set=tuple(sorted(materials)) or None,
             static_ior=(iors.pop() if len(iors) == 1 else None),
+            **extra,
         )
 
         self.framebuffer = jnp.zeros((self.height, self.width, 3), jnp.float32)
@@ -152,23 +176,43 @@ class RenderSession:
         return self.frame_count * self.config.samples_per_frame
 
     def step(self) -> jnp.ndarray:
-        """Render one frame and blend it in; returns the new framebuffer."""
+        """Render one step and blend it in; returns the new framebuffer.
+
+        One step is ``frame_batch`` progressive frames (default 1): the
+        batched call produces per-frame images and the blend chain applies
+        the exact per-frame weights, so the framebuffer is bitwise the one
+        K single-frame steps would produce.
+        """
         img, segs = self._render(
             self.scene, self.key, jnp.uint32(self.sample_cursor)
         )
-        # Weight for blending THIS frame is derived from the count of
+        # Weight for blending each frame is derived from the count of
         # previously completed frames (0 for the first frame, lib.rs:424).
-        n = self.frame_count
-        w = min(self.config.max_framebuffer_weight, n / (n + 1)) if n else 0.0
-        w = jnp.float32(w)
-        self.framebuffer = img * (1.0 - w) + self.framebuffer * w
-        self.frame_count += 1
-        self.sample_cursor += self.config.samples_per_frame
+        # Both batch sizes route through the same jitted blend chain so the
+        # compiled arithmetic (FMA contraction included) is identical —
+        # frame batching stays bitwise-equal to single stepping.
+        cap = self.config.max_framebuffer_weight
+        ws = jnp.asarray(
+            [
+                min(cap, n / (n + 1)) if n else 0.0
+                for n in range(
+                    self.frame_count, self.frame_count + self.frame_batch
+                )
+            ],
+            jnp.float32,
+        )
+        if self.frame_batch == 1:
+            img = jnp.transpose(img, (2, 0, 1))[None]
+        self.framebuffer = _blend_chain(self.framebuffer, img, ws)
+        self.frame_count += self.frame_batch
+        self.sample_cursor += self.config.samples_per_frame * self.frame_batch
         self._segs_pending.append(segs)  # lazy: no host sync here
         return self.framebuffer
 
     def run(self, frames: int) -> jnp.ndarray:
-        for _ in range(frames):
+        """Run at least ``frames`` progressive frames (rounded up to a
+        multiple of ``frame_batch``)."""
+        for _ in range(-(-frames // self.frame_batch)):
             fb = self.step()
         fb.block_until_ready()
         return self.framebuffer

@@ -11,7 +11,9 @@ final scene, where per-call fixed costs dominate if unfixed
 Usage: python tools/stream.py
 Env:   STREAM_SPPS (1,4,8,32,125), STREAM_WH (1200x800), STREAM_SCENE
        (final), STREAM_DEPTH (50), STREAM_MIN_SAMPLES (256: frames per
-       run = max(4, MIN_SAMPLES/spp)), STREAM_BACKEND (pallas)
+       run = max(4, MIN_SAMPLES/spp)), STREAM_BACKEND (pallas),
+       STREAM_BATCH (frame batch K: int, or "auto" = window of ~128
+       samples per call, or "1")
 """
 
 from __future__ import annotations
@@ -41,6 +43,7 @@ def main() -> int:
     scene_name = os.environ.get("STREAM_SCENE", "final")
     min_samples = int(os.environ.get("STREAM_MIN_SAMPLES", "256"))
     backend = os.environ.get("STREAM_BACKEND", "pallas")
+    batch_env = os.environ.get("STREAM_BATCH", "1")
 
     world = get_scene(scene_name, seed=0)
     scene = compile_scene(world, spatial_sort=len(world.spheres) > 64)
@@ -61,40 +64,56 @@ def main() -> int:
 
     rows = []
     for spp in spps:
+        if batch_env == "auto":
+            # ~128-sample windows; K caps at 64 (K=128 kernels hit
+            # pathological Mosaic compile times, measured 2026-08-17)
+            K = max(1, min(64, -(-128 // spp)))
+        else:
+            K = max(1, int(batch_env))
         render = make_renderer(
             world.camera, width, height, spp, depth,
             material_set=mats, static_ior=static_ior,
+            **({"frames": K} if K > 1 else {}),
         )
-        n_frames = max(4, -(-min_samples // spp))
+        # Force with a tiny lazy slice: device_get of the full K-frame
+        # stack (~740 MB at K=64, 1200x800) would make the measurement
+        # tunnel-transfer-bound; production (RenderSession) blends the
+        # frames on device and only ever fetches the final framebuffer.
+        force = lambda a: np.asarray(a.ravel()[-4:])  # noqa: E731
+
+        n_calls = max(2, -(-min_samples // (spp * K)))
         t0 = time.perf_counter()
         img, segs = render(scene, key, jnp.uint32(0))
-        np.asarray(img)
+        force(img)
         compile_s = time.perf_counter() - t0
-        # one forced steady-state warm frame
-        img, _ = render(scene, key, jnp.uint32(spp))
-        np.asarray(img)
+        # one forced steady-state warm call
+        img, _ = render(scene, key, jnp.uint32(K * spp))
+        force(img)
 
         t0 = time.perf_counter()
-        frames = [
-            render(scene, key, jnp.uint32((i + 2) * spp))
-            for i in range(n_frames)
+        calls = [
+            render(scene, key, jnp.uint32((i + 2) * K * spp))
+            for i in range(n_calls)
         ]
         total = 0.0
-        for img, segs in frames:
-            np.asarray(img)  # force in order
+        for j, (img, segs) in enumerate(calls):
+            force(img)  # force in order
             total += float(segs)
+            calls[j] = None  # free the K-frame stack on device
         dt = time.perf_counter() - t0
+        n_frames = n_calls * K
         mrays = total / dt / 1e6
         ms_frame = dt / n_frames * 1e3
-        rows.append((spp, ms_frame, mrays))
-        print(f"spp={spp:4d}  {n_frames:4d} frames  {ms_frame:8.1f} ms/frame"
-              f"  {mrays:7.1f} Mrays/s  (compile {compile_s:.0f}s)",
-              flush=True)
+        rows.append((spp, K, ms_frame, mrays))
+        print(f"spp={spp:4d} K={K:3d}  {n_frames:4d} frames "
+              f"{ms_frame:8.1f} ms/frame  {mrays:7.1f} Mrays/s "
+              f"(compile {compile_s:.0f}s)", flush=True)
 
-    print("\n| samples/frame | ms/frame | Mrays/s/chip |", flush=True)
-    print("|---|---|---|", flush=True)
-    for spp, ms, mr in rows:
-        print(f"| {spp} | {ms:.0f} | {mr:.1f} |", flush=True)
+    print("\n| samples/frame | frame batch | ms/frame | Mrays/s/chip |",
+          flush=True)
+    print("|---|---|---|---|", flush=True)
+    for spp, K, ms, mr in rows:
+        print(f"| {spp} | {K} | {ms:.1f} | {mr:.1f} |", flush=True)
     return 0
 
 
