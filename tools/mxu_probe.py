@@ -45,14 +45,14 @@ from jax.experimental.pallas import tpu as pltpu
 R_ROWS = 16  # rays tile: [16, 128] = 2048 rays
 LANES = 128
 R = R_ROWS * LANES
-T_MIN = jnp.float32(1e-3)
-T_MAX = jnp.float32(1e4)
+T_MIN = 1e-3  # plain floats: jnp scalars at module scope would be
+T_MAX = 1e4   # captured tracer constants inside pallas kernels
 
 
-def _run(kernel, args, out_shape, num_prefetch):
-    """One pallas call; first ``num_prefetch`` args ride SMEM, the rest
-    VMEM. Returns mean seconds over 3 forced reps (after compile+warm)."""
-    f = lambda: pl.pallas_call(
+def _build(kernel, args, out_shape, num_prefetch):
+    """Build a callable pallas invocation; first ``num_prefetch`` args
+    ride SMEM, the rest VMEM."""
+    return lambda: pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=num_prefetch,
@@ -68,21 +68,28 @@ def _run(kernel, args, out_shape, num_prefetch):
         ),
         out_shape=[jax.ShapeDtypeStruct(out_shape, jnp.float32)],
     )(*args)
-    chk = np.asarray(f()[0])  # compile + warm
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        np.asarray(f()[0])
-    return (time.perf_counter() - t0) / reps, chk
 
 
 def time_pair(make_kernel, iters, args, out_shape, pairs_per_iter,
               num_prefetch):
-    """Difference two iteration counts to cancel dispatch+fixed cost."""
-    t_lo, chk = _run(make_kernel(iters), args, out_shape, num_prefetch)
-    t_hi, _ = _run(make_kernel(iters * 2), args, out_shape, num_prefetch)
-    per_iter = (t_hi - t_lo) / iters
-    return per_iter / pairs_per_iter * 1e12, chk  # ps per pair
+    """Difference two iteration counts to cancel dispatch+fixed cost.
+    Lo/hi calls are timed INTERLEAVED (min of 5 rounds each) so the
+    TPU's multi-minute performance phases cannot flip the sign."""
+    f_lo = _build(make_kernel(iters), args, out_shape, num_prefetch)
+    f_hi = _build(make_kernel(iters * 2), args, out_shape, num_prefetch)
+    np.asarray(f_lo()[0])  # compile + warm
+    np.asarray(f_hi()[0])
+    t_lo = []
+    t_hi = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(f_lo()[0])
+        t_lo.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(f_hi()[0])
+        t_hi.append(time.perf_counter() - t0)
+    per_iter = (min(t_hi) - min(t_lo)) / iters
+    return per_iter / pairs_per_iter * 1e12, min(t_lo)  # ps/pair, lo secs
 
 
 def main() -> int:
@@ -258,21 +265,25 @@ def main() -> int:
 
     pairs = R * S
     print(f"R={R} rays x S={S} spheres = {pairs} pairs/iter, "
-          f"{iters} iters", flush=True)
+          f"base iters {iters}", flush=True)
 
-    ps, _ = time_pair(make_sweep, iters, (sph,), (R_ROWS, LANES), pairs, 1)
-    print(f"sweep  (SMEM scalars, w4, merged record): {ps:8.2f} ps/pair "
-          f"→ {1e6 / ps:7.1f} Gpairs/s", flush=True)
+    def report(name, ps, lo, it):
+        print(f"{name}: {ps:8.2f} ps/pair → {1e3 / ps:7.1f} Gpairs/s "
+              f"(lo run {lo * 1e3:.0f} ms @ {it} iters)", flush=True)
 
-    ps_m, _ = time_pair(
+    # The sweep runs far fewer pairs/s than the matrix forms; scale its
+    # iteration count down so lo/hi runs stay seconds, not minutes.
+    it_s = max(1000, iters // 8)
+    ps, lo = time_pair(make_sweep, it_s, (sph,), (R_ROWS, LANES), pairs, 1)
+    report("sweep  (SMEM scalars, w4, merged record)", ps, lo, it_s)
+
+    ps_m, lo = time_pair(
         make_mxu, iters, (a0_j, panel_j), (R, LANES), pairs, 0)
-    print(f"mxu    (dot [R,16]x[16,2S] + VPU post):   {ps_m:8.2f} ps/pair "
-          f"→ {1e6 / ps_m:7.1f} Gpairs/s", flush=True)
+    report("mxu    (dot [R,16]x[16,2S] + VPU post)  ", ps_m, lo, iters)
 
-    ps_v, _ = time_pair(
+    ps_v, lo = time_pair(
         make_vbcast, iters, (rows_j, colsrc), (R, LANES), pairs, 0)
-    print(f"vbcast (VPU row-broadcast matrix):        {ps_v:8.2f} ps/pair "
-          f"→ {1e6 / ps_v:7.1f} Gpairs/s", flush=True)
+    report("vbcast (VPU row-broadcast matrix)       ", ps_v, lo, iters)
     return 0
 
 
