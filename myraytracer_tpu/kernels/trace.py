@@ -194,6 +194,16 @@ class KernelConfig:
     SWEEP_WIDTH: int = SWEEP_WIDTH
     SQRT_GUARD: bool = SQRT_GUARD
     WINDOW_FUSE: bool = WINDOW_FUSE
+    # Triangle table placement: None = auto (SMEM while it fits, else
+    # VMEM), True/False forces. The VMEM path lifts the SMEM prefetch cap
+    # (~16k triangles) to the VMEM budget (millions) at the price of
+    # vector-memory scalar reads in the sweep; chunk/super AABB gates stay
+    # in SMEM either way.
+    TRI_VMEM: Optional[bool] = None
+    # Chunk gates are python-unrolled (one lax.cond each) up to this many
+    # chunks; beyond, the gate scan runs as a fori_loop with dynamic
+    # chunk indices so compile time stays bounded at 100k+ triangles.
+    CHUNK_UNROLL_MAX: int = 96
     # Ablation hook (tools/ablate.py): names of kernel-body components to
     # *duplicate* with an opaque runtime-zero perturbation; the dup's
     # outputs fold into the segment counter times an opaque 0.0, so Mosaic
@@ -221,12 +231,18 @@ SMEM_BUDGET = 1 << 20
 
 
 def estimated_prefetch_bytes(
-    n_spheres: int, n_tris: int, cfg: "KernelConfig" = None
+    n_spheres: int, n_tris: int, cfg: "KernelConfig" = None,
+    tri_table_in_smem: bool = True,
 ) -> int:
-    """Upper-bound bytes of the kernel's SMEM prefetch operands."""
+    """Upper-bound bytes of the kernel's SMEM prefetch operands.
+
+    With ``tri_table_in_smem=False`` the 14-row triangle table rides VMEM
+    (KernelConfig.TRI_VMEM) and only its chunk/super AABB gate tables
+    count against SMEM.
+    """
     cfg = cfg or DEFAULT_CONFIG
     sph = 9 * (n_spheres + LEADERS + cfg.CULL_CHUNK)
-    tri = 14 * (n_tris + cfg.TRI_CHUNK) if n_tris else 14
+    tri = 14 * (n_tris + cfg.TRI_CHUNK) if (n_tris and tri_table_in_smem) else 14
     chunks = (n_spheres // cfg.CULL_CHUNK + 1) + (n_tris // cfg.TRI_CHUNK + 1)
     supers = chunks // cfg.SUPER + 2
     # Non-table operands: packed camera (19) + meta (4) + row0 (1).
@@ -234,10 +250,13 @@ def estimated_prefetch_bytes(
     return 4 * (sph + tri + 6 * (chunks + supers) + other)
 
 
-def fits_in_smem(n_spheres: int, n_tris: int, cfg: "KernelConfig" = None) -> bool:
+def fits_in_smem(
+    n_spheres: int, n_tris: int, cfg: "KernelConfig" = None,
+    tri_table_in_smem: bool = True,
+) -> bool:
     # Keep headroom for Mosaic's own SMEM use (control state, etc.).
     return (
-        estimated_prefetch_bytes(n_spheres, n_tris, cfg)
+        estimated_prefetch_bytes(n_spheres, n_tris, cfg, tri_table_in_smem)
         <= SMEM_BUDGET - 64 * 1024
     )
 
@@ -413,19 +432,16 @@ def _trace_kernel(
     #          _scene_to_prefetch — material type in ar/fz sign bits)
     aabb_ref,  # [6, n_chunks] f32 chunk bounds (culled sweeps only)
     saabb_ref,  # [6, n_super] f32 superchunk bounds (two-level culling)
-    trf_ref,  # [14, T] f32 triangle table (v0, e1, e2, albedo, fuzz, ior)
+    trf_smem_ref,  # [14, T] f32 triangle table (v0, e1, e2, albedo, fuzz,
+    #                ior) — [14, 1] dummy when the table rides VMEM
     traabb_ref,  # [6, t_chunks] f32 triangle chunk bounds
     tsaabb_ref,  # [6, t_super] f32 triangle superchunk bounds
     camf_ref,  # [19] f32 packed thin-lens camera ([1] dummy in ref mode)
     meta_ref,  # [4] u32: key0, key1, sample_start, n_valid
     row0_ref,  # [1] u32: first image row of this block invocation
-    # outputs (VMEM):
-    r_ref,
-    g_ref,
-    b_ref,
-    segs_ref,
-    # frame-bucket scratch refs follow (multi-frame mode only):
-    *scratch_refs,
+    # then: optional VMEM triangle table (tri_vmem), the 4 outputs
+    # (r, g, b, segs), and the frame-bucket scratch (multi-frame mode):
+    *rest,
     width: int,
     n_rows: int,
     n_spheres: int,
@@ -442,7 +458,24 @@ def _trace_kernel(
     static_ior=None,
     frames: int = 1,
     spp: int = 0,
+    tri_vmem: bool = False,
 ):
+    if tri_vmem:
+        trf_ref, rest = rest[0], rest[1:]
+
+        def tread(row, ti):
+            # VMEM table is [T, 14] (triangle on the SUBLANE dim): Mosaic
+            # cannot scalar-load at a dynamic LANE index ("index in
+            # dimension 1 must be a multiple of 128"), but dynamic
+            # sublane indexing lowers fine.
+            return trf_ref[ti, row]
+    else:
+        trf_ref = trf_smem_ref
+
+        def tread(row, ti):
+            return trf_ref[row, ti]
+    r_ref, g_ref, b_ref, segs_ref = rest[:4]
+    scratch_refs = rest[4:]
     # Shadow the module-level tuning constants with the threaded config:
     # the kernel body (including every nested function) reads only these.
     BLOCK_W = cfg.BLOCK_W
@@ -797,11 +830,52 @@ def _trace_kernel(
 
                     return jax.lax.cond(jnp.any(enter), sweep, lambda: hc)
 
+                def chunk_sweep_dyn(c, hc):
+                    # fori-body variant: c is a tracer (dynamic SMEM
+                    # indexing of bounds + tables), for chunk counts past
+                    # CHUNK_UNROLL_MAX where unrolled gates would blow up
+                    # compile time.
+                    enter = slab_enter(aabb_ref, c, hc[0])
+
+                    def sweep(hc=hc, c=c):
+                        return run_fori(
+                            jnp.int32(LEADERS) + c * jnp.int32(CULL_CHUNK),
+                            CULL_CHUNK, hc,
+                        )
+
+                    return jax.lax.cond(
+                        jnp.any(enter), sweep, lambda hc=hc: hc
+                    )
+
+                dyn_gates = n_chunks > cfg.CHUNK_UNROLL_MAX
                 # Leaders (the scene's largest spheres, hoisted up front by
                 # compile_scene) sweep unconditionally — their size would
                 # make any chunk AABB containing them always-entered.
                 hc = run_span(0, LEADERS, hc0)
-                if n_chunks >= SUPER_MIN:
+                if n_chunks >= SUPER_MIN and dyn_gates:
+                    # Dynamic two-level gating: fori over superchunks,
+                    # inner fori over each super's chunks.
+                    def super_body(sc, hc):
+                        enter_s = slab_enter(saabb_ref, sc, hc[0])
+
+                        def ssweep(hc=hc, sc=sc):
+                            return jax.lax.fori_loop(
+                                sc * jnp.int32(SUPER),
+                                jnp.minimum(
+                                    (sc + 1) * jnp.int32(SUPER),
+                                    jnp.int32(n_chunks),
+                                ),
+                                chunk_sweep_dyn, hc,
+                            )
+
+                        return jax.lax.cond(
+                            jnp.any(enter_s), ssweep, lambda hc=hc: hc
+                        )
+
+                    hc = jax.lax.fori_loop(
+                        0, -(-n_chunks // SUPER), super_body, hc
+                    )
+                elif n_chunks >= SUPER_MIN:
                     # Two-level gating (implicit BVH over the Morton order):
                     # one outer gate per SUPER chunks skips the whole
                     # group's slab tests + any() reductions.
@@ -819,6 +893,8 @@ def _trace_kernel(
                         hc = jax.lax.cond(
                             jnp.any(enter_s), ssweep, lambda hc=hc: hc
                         )
+                elif dyn_gates:
+                    hc = jax.lax.fori_loop(0, n_chunks, chunk_sweep_dyn, hc)
                 else:
                     for c in range(n_chunks):
                         hc = chunk_sweep(c, hc)
@@ -829,15 +905,15 @@ def _trace_kernel(
                     """Clamped candidate t + winner-record values for
                     triangle ``ti`` (Möller-Trumbore, two-sided) —
                     carry-independent, so groups tree-combine."""
-                    v0x = trf_ref[0, ti]
-                    v0y = trf_ref[1, ti]
-                    v0z = trf_ref[2, ti]
-                    e1x = trf_ref[3, ti]
-                    e1y = trf_ref[4, ti]
-                    e1z = trf_ref[5, ti]
-                    e2x = trf_ref[6, ti]
-                    e2y = trf_ref[7, ti]
-                    e2z = trf_ref[8, ti]
+                    v0x = tread(0, ti)
+                    v0y = tread(1, ti)
+                    v0z = tread(2, ti)
+                    e1x = tread(3, ti)
+                    e1y = tread(4, ti)
+                    e1z = tread(5, ti)
+                    e2x = tread(6, ti)
+                    e2y = tread(7, ti)
+                    e2z = tread(8, ti)
                     px = d.y * e2z - d.z * e2y
                     py = d.z * e2x - d.x * e2z
                     pz = d.x * e2y - d.y * e2x
@@ -870,7 +946,7 @@ def _trace_kernel(
                     # cx/cy/cz/r carry slots are NOT touched by triangle
                     # winners (normal is overridden; r stays finite).
                     return t_cand, (
-                        *(trf_ref[tri_row_of[k], ti] for k in rec_rows),
+                        *(tread(tri_row_of[k], ti) for k in rec_rows),
                         e1x, e1y, e1z, e2x, e2y, e2z,
                     )
 
@@ -928,7 +1004,41 @@ def _trace_kernel(
                             jnp.any(enter), tsweep, lambda hc=hc: hc
                         )
 
-                    if tn_chunks >= SUPER_MIN:
+                    def tri_chunk_sweep_dyn(c, hc):
+                        enter = slab_enter(traabb_ref, c, hc[0])
+
+                        def tsweep(hc=hc, c=c):
+                            return run_tri_fori(
+                                c * jnp.int32(TRI_CHUNK), TRI_CHUNK, hc
+                            )
+
+                        return jax.lax.cond(
+                            jnp.any(enter), tsweep, lambda hc=hc: hc
+                        )
+
+                    tdyn = tn_chunks > cfg.CHUNK_UNROLL_MAX
+                    if tn_chunks >= SUPER_MIN and tdyn:
+                        def tsuper_body(sc, hc):
+                            enter_s = slab_enter(tsaabb_ref, sc, hc[0])
+
+                            def tssweep(hc=hc, sc=sc):
+                                return jax.lax.fori_loop(
+                                    sc * jnp.int32(SUPER),
+                                    jnp.minimum(
+                                        (sc + 1) * jnp.int32(SUPER),
+                                        jnp.int32(tn_chunks),
+                                    ),
+                                    tri_chunk_sweep_dyn, hc,
+                                )
+
+                            return jax.lax.cond(
+                                jnp.any(enter_s), tssweep, lambda hc=hc: hc
+                            )
+
+                        hc = jax.lax.fori_loop(
+                            0, -(-tn_chunks // SUPER), tsuper_body, hc
+                        )
+                    elif tn_chunks >= SUPER_MIN:
                         for sc in range(-(-tn_chunks // SUPER)):
                             enter_s = slab_enter(tsaabb_ref, sc, hc[0])
 
@@ -944,6 +1054,10 @@ def _trace_kernel(
                             hc = jax.lax.cond(
                                 jnp.any(enter_s), tssweep, lambda hc=hc: hc
                             )
+                    elif tdyn:
+                        hc = jax.lax.fori_loop(
+                            0, tn_chunks, tri_chunk_sweep_dyn, hc
+                        )
                     else:
                         for c in range(tn_chunks):
                             hc = tri_chunk_sweep(c, hc)
@@ -1075,11 +1189,11 @@ def _trace_kernel(
             def tri_fetch(ti, fc):
                 sel = i_best == (n_spheres + ti)
                 new_e = tuple(
-                    jnp.where(sel, trf_ref[3 + j, ti], v)
+                    jnp.where(sel, tread(3 + j, ti), v)
                     for j, v in enumerate(fc[:6])
                 )
                 new_r = tuple(
-                    jnp.where(sel, trf_ref[tri_row_of[k], ti], v)
+                    jnp.where(sel, tread(tri_row_of[k], ti), v)
                     for k, v in zip(rec_rows, fc[6:])
                 )
                 return (*new_e, *new_r)
@@ -1395,10 +1509,21 @@ def make_block_renderer(
 
     def block(scene: CompiledScene, key, row0, sample_start, n_valid):
         n_t = scene.tris.v0.x.shape[0] if scene.has_triangles else 0
-        if not fits_in_smem(scene.padded_size, n_t, kc):
+        # Triangle-table placement: SMEM (scalar prefetch, fastest) while
+        # the whole prefetch set fits; else the 14-row table moves to
+        # VMEM (no practical size cap) and only its AABB gate tables stay
+        # in SMEM. KernelConfig.TRI_VMEM forces either way.
+        tri_vmem = kc.TRI_VMEM
+        if tri_vmem is None:
+            tri_vmem = bool(n_t) and not fits_in_smem(
+                scene.padded_size, n_t, kc
+            )
+        if not fits_in_smem(scene.padded_size, n_t, kc,
+                            tri_table_in_smem=not tri_vmem):
             raise ValueError(
-                f"scene exceeds the SMEM prefetch budget "
-                f"(~{estimated_prefetch_bytes(scene.padded_size, n_t, kc)} "
+                f"scene exceeds the SMEM prefetch budget even with the "
+                f"triangle table in VMEM "
+                f"(~{estimated_prefetch_bytes(scene.padded_size, n_t, kc, not tri_vmem)} "
                 f"bytes of {SMEM_BUDGET}): {scene.padded_size} spheres + "
                 f"{n_t} triangles. Use the jnp backend (flat-BVH oracle) "
                 f"for scenes this large."
@@ -1412,10 +1537,23 @@ def make_block_renderer(
             camf = jnp.asarray(scene.cam, jnp.float32)
         n_spheres = int(sf.shape[1])
         n_tris = int(trf.shape[1]) if scene.has_triangles else 0
+        if tri_vmem:
+            # VMEM table layout is [T, 14]: the dynamic triangle index
+            # must ride the SUBLANE dim (Mosaic rejects dynamic lane
+            # indices). The 14-wide lane dim pads to 128 under tiling
+            # (~9x bloat: 512 B/triangle of VMEM — ~190k triangles in a
+            # ~100 MB budget, 12x the SMEM cap). Pads are degenerate
+            # (zero-edge) triangles.
+            tpad = (-trf.shape[1]) % 8
+            trf_vmem_arr = jnp.pad(trf, ((0, 0), (0, tpad))).T
+            trf_smem = jnp.zeros((14, 1), jnp.float32)  # dummy operand
+        else:
+            trf_smem = trf
         kern = functools.partial(
             kernel, n_spheres=n_spheres, n_tris=n_tris,
             cull=(kc.FORCE_CULL if kc.FORCE_CULL is not None
                   else n_spheres > kc.CULL_MIN),
+            tri_vmem=tri_vmem,
         )
 
         meta = jnp.stack(
@@ -1445,10 +1583,19 @@ def make_block_renderer(
             img_spec = seg_spec
             img_shape = jax.ShapeDtypeStruct((out_rows, LANES), jnp.float32)
             scratch = []
+        if tri_vmem:
+            in_specs = [pl.BlockSpec(
+                trf_vmem_arr.shape, lambda t, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            )]
+            extra_in = (trf_vmem_arr,)
+        else:
+            in_specs = []
+            extra_in = ()
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=9,
             grid=(n_tiles,),
-            in_specs=[],
+            in_specs=in_specs,
             out_specs=[img_spec] * 3 + [seg_spec],
             scratch_shapes=scratch,
         )
@@ -1459,7 +1606,8 @@ def make_block_renderer(
             out_shape=[img_shape] * 3
             + [jax.ShapeDtypeStruct((out_rows, LANES), jnp.float32)],
             interpret=interpret,
-        )(sf, aabb, saabb, trf, traabb, tsaabb, camf, meta, row0_arr)
+        )(sf, aabb, saabb, trf_smem, traabb, tsaabb, camf, meta, row0_arr,
+          *extra_in)
 
         def unscramble(a):
             # Output rows are tile-major and each tile's tile_rows×128

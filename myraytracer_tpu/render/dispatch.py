@@ -63,9 +63,11 @@ def renderer_factory(config: RenderConfig):
 def make_session(world: api.World, config: RenderConfig) -> RenderSession:
     cfg = config
     if resolve_backend(config) == "pallas" and config.backend == "auto":
-        # The megakernel's scene tables live in SMEM (scalar prefetch);
-        # scenes past the budget (~25k spheres / ~18k triangles) route to
-        # the jnp oracle, whose flat skip-link BVH has no such cap.
+        # The megakernel's sphere tables live in SMEM (scalar prefetch);
+        # large triangle tables move to VMEM automatically (no practical
+        # cap — kernels/trace.py TRI_VMEM), so only scenes whose SPHERE
+        # prefetch exceeds the budget (~25k spheres) route to the jnp
+        # oracle, whose flat skip-link BVH has no cap at all.
         try:
             from myraytracer_tpu.kernels.trace import fits_in_smem
         except (ImportError, NotImplementedError):
@@ -78,7 +80,8 @@ def make_session(world: api.World, config: RenderConfig) -> RenderSession:
         # check must be at least as strict, so auto mode never compiles
         # into the kernel's ValueError at the boundary.
         if fits_in_smem is not None and not fits_in_smem(
-            len(world.spheres) + 192, world.triangle_count + 128
+            len(world.spheres) + 192, world.triangle_count + 128,
+            tri_table_in_smem=False,
         ):
             import dataclasses
             import logging

@@ -186,23 +186,32 @@ def test_packed_runtime_camera():
 
 
 def test_smem_budget_cap():
-    """Scenes past the SMEM prefetch budget raise clearly from the kernel
-    and route to the jnp oracle under backend=auto (dispatch)."""
+    """Sphere prefetch past the SMEM budget raises clearly from the
+    kernel and routes to the jnp oracle under backend=auto (dispatch);
+    big TRIANGLE tables no longer cap — they move to VMEM."""
     import jax.numpy as jnp
 
     from myraytracer_tpu.config import RenderConfig
     from myraytracer_tpu.kernels import trace
     from myraytracer_tpu.render import dispatch
+    from myraytracer_tpu.scene.api import Lambertian, Sphere, World
 
     assert trace.fits_in_smem(486, 0)          # the RTiOW final scene
     assert trace.fits_in_smem(64, 6500)        # mesh_scene subdiv 4
-    assert not trace.fits_in_smem(0, 30000)    # mesh_scene subdiv 5
-    assert not trace.fits_in_smem(40000, 0)
+    assert not trace.fits_in_smem(0, 30000)    # tri table too big for SMEM
+    # ... but with the table in VMEM only the AABB gates stay in SMEM:
+    assert trace.fits_in_smem(0, 30000, tri_table_in_smem=False)
+    assert trace.fits_in_smem(486, 200000, tri_table_in_smem=False)
+    assert not trace.fits_in_smem(40000, 0)    # spheres are the hard cap
 
-    world = presets.mesh_scene(subdivisions=5)  # ~25.6k triangles
-    scene = compile_scene(world)
+    big = World(spheres=[
+        Sphere((float(i % 200), float(i // 200), -5.0), 0.1,
+               Lambertian((0.5, 0.5, 0.5)))
+        for i in range(40000)
+    ])
+    scene = compile_scene(big)
     block = trace.make_block_renderer(
-        world.camera, 16, 8, 8, 1, 2, tile_rows=8, interpret=True
+        big.camera, 16, 8, 8, 1, 2, tile_rows=8, interpret=True
     )
     with pytest.raises(ValueError, match="SMEM"):
         block(scene, KEY, jnp.uint32(0), jnp.uint32(0), jnp.uint32(1))
@@ -212,13 +221,75 @@ def test_smem_budget_cap():
     orig = dispatch.resolve_backend
     dispatch.resolve_backend = lambda config: "pallas"
     try:
-        session = dispatch.make_session(world, RenderConfig(
+        session = dispatch.make_session(big, RenderConfig(
             width=16, height=8, samples_per_frame=1, ray_depth=2,
             backend="auto",
         ))
         assert session.config.backend == "jnp"
+        # a 25.6k-triangle mesh scene stays on the kernel now (VMEM table)
+        mesh_world = presets.mesh_scene(subdivisions=5)
+        session2 = dispatch.make_session(mesh_world, RenderConfig(
+            width=16, height=8, samples_per_frame=1, ray_depth=2,
+            backend="auto",
+        ))
+        assert session2.config.backend == "auto"
     finally:
         dispatch.resolve_backend = orig
+
+
+def test_tri_vmem_and_dynamic_gates_bitwise():
+    """The VMEM triangle table and the dynamic (fori) chunk gates are
+    exact: bitwise vs the default SMEM/unrolled configuration."""
+    from myraytracer_tpu.kernels.trace import KernelConfig
+
+    world = presets.mesh_scene(subdivisions=1)  # ~190 tris, 3 chunks
+    scene = compile_scene(world, spatial_sort=False)
+
+    def render(config=None):
+        r = make_pallas_renderer(
+            world.camera, W, H, 1, 4, tile_rows=8, interpret=True,
+            config=config,
+        )
+        img, segs = r(scene, KEY, 0)
+        return np.asarray(img), float(segs)
+
+    base_img, base_segs = render()
+    for config in (
+        KernelConfig(TRI_VMEM=True),
+        KernelConfig(CHUNK_UNROLL_MAX=1),
+        KernelConfig(TRI_VMEM=True, CHUNK_UNROLL_MAX=1),
+        KernelConfig(TRI_VMEM=True, CHUNK_UNROLL_MAX=1,
+                     SUPER=2, SUPER_MIN=2),  # dynamic two-level gating
+    ):
+        img, segs = render(config)
+        assert np.array_equal(img, base_img), config
+        assert segs == base_segs, config
+
+
+def test_sphere_dynamic_gates_bitwise():
+    """Dynamic sphere chunk gates (fori past CHUNK_UNROLL_MAX) are exact
+    on the final scene, including dynamic two-level gating."""
+    from myraytracer_tpu.kernels.trace import KernelConfig
+
+    world = presets.final_scene(seed=0)  # ~15 sphere chunks
+    scene = compile_scene(world, spatial_sort=True)
+
+    def render(config=None):
+        r = make_pallas_renderer(
+            world.camera, W, H, 1, 4, tile_rows=8, interpret=True,
+            config=config,
+        )
+        img, segs = r(scene, KEY, 0)
+        return np.asarray(img), float(segs)
+
+    base_img, base_segs = render()
+    for config in (
+        KernelConfig(CHUNK_UNROLL_MAX=1),
+        KernelConfig(CHUNK_UNROLL_MAX=1, SUPER=2, SUPER_MIN=2),
+    ):
+        img, segs = render(config)
+        assert np.array_equal(img, base_img), config
+        assert segs == base_segs, config
 
 
 def test_sample_window_masking():

@@ -41,14 +41,18 @@ def main() -> int:
     for sub in subdivs:
         world = mesh_scene(subdivisions=sub)
         n_tris = world.triangle_count
-        if not trace.fits_in_smem(len(world.spheres) + 64, n_tris):
+        if not trace.fits_in_smem(len(world.spheres) + 64, n_tris,
+                                  tri_table_in_smem=False):
             print(
                 f"subdiv={sub} tris={n_tris}  exceeds the SMEM prefetch "
-                f"budget ({trace.estimated_prefetch_bytes(64, n_tris)} of "
-                f"{trace.SMEM_BUDGET} bytes) — jnp/BVH territory",
+                f"budget even with the triangle table in VMEM — "
+                f"jnp/BVH territory",
                 flush=True,
             )
             continue
+        if not trace.fits_in_smem(len(world.spheres) + 64, n_tris):
+            print(f"subdiv={sub} tris={n_tris}: triangle table in VMEM "
+                  f"(past the SMEM prefetch cap)", flush=True)
         scene = compile_scene(world, spatial_sort=True)
         mats = tuple(sorted({m.material.type_id for m in world.meshes}))
         row = [f"subdiv={sub} tris={n_tris}"]
