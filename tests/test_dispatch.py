@@ -84,23 +84,25 @@ def test_explicit_pallas_off_tpu_uses_interpret():
     assert np.isfinite(fb).all() and fb.mean() > 0.0
 
 
-def test_smem_fallback_session_builds_bvh():
-    """The auto->jnp SMEM-cap fallback session really has the flat BVH
-    (the fast path its warning promises)."""
+def test_smem_fallback_session_builds_bvh(monkeypatch):
+    """A scene past even the VMEM-table capacity falls back to jnp and
+    really has the flat BVH (the fast path the warning promises).
+
+    Since round 2, big triangle tables ride VMEM (a 25.6k-tri scene
+    stays on the kernel — tests/test_pallas.py::test_smem_budget_cap),
+    so the overflow is forced here to exercise the fallback wiring."""
     from myraytracer_tpu.config import RenderConfig
+    from myraytracer_tpu.kernels import trace
     from myraytracer_tpu.render import dispatch
     from myraytracer_tpu.scene import presets
 
-    world = presets.mesh_scene(subdivisions=5)  # ~25.6k triangles
-    orig = dispatch.resolve_backend
-    dispatch.resolve_backend = lambda config: "pallas"
-    try:
-        session = dispatch.make_session(world, RenderConfig(
-            width=16, height=8, samples_per_frame=1, ray_depth=2,
-            backend="auto",
-        ))
-    finally:
-        dispatch.resolve_backend = orig
+    world = presets.mesh_scene(subdivisions=3)  # >512 tris → BVH-eligible
+    monkeypatch.setattr(dispatch, "resolve_backend", lambda config: "pallas")
+    monkeypatch.setattr(trace, "fits_in_smem", lambda *a, **kw: False)
+    session = dispatch.make_session(world, RenderConfig(
+        width=16, height=8, samples_per_frame=1, ray_depth=2,
+        backend="auto",
+    ))
     assert session.config.backend == "jnp"
     assert session.scene.tris is not None
     assert session.scene.tris.bvh is not None
