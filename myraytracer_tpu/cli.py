@@ -261,7 +261,7 @@ def main(argv=None) -> int:
                         segs_sync = session.segments_traced
                         frames_sync = 0
                 fb = session.step()
-                frames_sync += 1
+                frames_sync += session.frame_batch
                 now = time.perf_counter()
                 if viewer is not None and now - t_sync < sync_interval \
                         and not last:
