@@ -467,7 +467,11 @@ def _trace_kernel(
             # VMEM table is [T, 14] (triangle on the SUBLANE dim): Mosaic
             # cannot scalar-load at a dynamic LANE index ("index in
             # dimension 1 must be a multiple of 128"), but dynamic
-            # sublane indexing lowers fine.
+            # sublane indexing lowers fine. VMEM scalar reads cost the
+            # mesh sweep ~1.8x vs SMEM (measured; an explicit
+            # one-row-load-per-triangle variant was identical — the
+            # loads are already coalesced, the cost is the dynamic
+            # address dependency).
             return trf_ref[ti, row]
     else:
         trf_ref = trf_smem_ref
