@@ -196,10 +196,12 @@ class KernelConfig:
     WINDOW_FUSE: bool = WINDOW_FUSE
     # Triangle table placement: None = auto (SMEM while it fits, else
     # VMEM), True/False forces. The VMEM path lifts the SMEM prefetch cap
-    # (~16k triangles) to the VMEM budget (millions) at the price of
-    # vector-memory scalar reads in the sweep; chunk/super AABB gates stay
-    # in SMEM either way.
+    # (~16k triangles) to the VMEM budget (~190k at 512 B/primitive) at
+    # the price of vector-memory scalar reads in the sweep (~1.8x on the
+    # sweep, measured); chunk/super AABB gates stay in SMEM either way.
     TRI_VMEM: Optional[bool] = None
+    # Sphere table placement, same scheme (SMEM caps at ~25k spheres).
+    SPH_VMEM: Optional[bool] = None
     # Chunk gates are python-unrolled (one lax.cond each) up to this many
     # chunks; beyond, the gate scan runs as a fori_loop with dynamic
     # chunk indices so compile time stays bounded at 100k+ triangles.
@@ -232,16 +234,17 @@ SMEM_BUDGET = 1 << 20
 
 def estimated_prefetch_bytes(
     n_spheres: int, n_tris: int, cfg: "KernelConfig" = None,
-    tri_table_in_smem: bool = True,
+    tri_table_in_smem: bool = True, sph_table_in_smem: bool = True,
 ) -> int:
     """Upper-bound bytes of the kernel's SMEM prefetch operands.
 
-    With ``tri_table_in_smem=False`` the 14-row triangle table rides VMEM
-    (KernelConfig.TRI_VMEM) and only its chunk/super AABB gate tables
-    count against SMEM.
+    With ``tri_table_in_smem=False`` (resp. ``sph_table_in_smem``) the
+    primitive table rides VMEM (KernelConfig.TRI_VMEM / SPH_VMEM) and
+    only its chunk/super AABB gate tables count against SMEM.
     """
     cfg = cfg or DEFAULT_CONFIG
-    sph = 9 * (n_spheres + LEADERS + cfg.CULL_CHUNK)
+    sph = (9 * (n_spheres + LEADERS + cfg.CULL_CHUNK)
+           if sph_table_in_smem else 9)
     tri = 14 * (n_tris + cfg.TRI_CHUNK) if (n_tris and tri_table_in_smem) else 14
     chunks = (n_spheres // cfg.CULL_CHUNK + 1) + (n_tris // cfg.TRI_CHUNK + 1)
     supers = chunks // cfg.SUPER + 2
@@ -252,11 +255,13 @@ def estimated_prefetch_bytes(
 
 def fits_in_smem(
     n_spheres: int, n_tris: int, cfg: "KernelConfig" = None,
-    tri_table_in_smem: bool = True,
+    tri_table_in_smem: bool = True, sph_table_in_smem: bool = True,
 ) -> bool:
     # Keep headroom for Mosaic's own SMEM use (control state, etc.).
     return (
-        estimated_prefetch_bytes(n_spheres, n_tris, cfg, tri_table_in_smem)
+        estimated_prefetch_bytes(
+            n_spheres, n_tris, cfg, tri_table_in_smem, sph_table_in_smem
+        )
         <= SMEM_BUDGET - 64 * 1024
     )
 
@@ -428,8 +433,9 @@ def _scene_to_prefetch(scene: CompiledScene, material_set, cfg: "KernelConfig"):
 
 def _trace_kernel(
     # scalar-prefetch refs (SMEM):
-    sf_ref,  # [9, N] f32 scene table (cx cy cz r ar ag ab fz ior; see
-    #          _scene_to_prefetch — material type in ar/fz sign bits)
+    sf_smem_ref,  # [9, N] f32 scene table (cx cy cz r ar ag ab fz ior; see
+    #          _scene_to_prefetch — material type in ar/fz sign bits);
+    #          [9, 1] dummy when the table rides VMEM (SPH_VMEM)
     aabb_ref,  # [6, n_chunks] f32 chunk bounds (culled sweeps only)
     saabb_ref,  # [6, n_super] f32 superchunk bounds (two-level culling)
     trf_smem_ref,  # [14, T] f32 triangle table (v0, e1, e2, albedo, fuzz,
@@ -459,7 +465,20 @@ def _trace_kernel(
     frames: int = 1,
     spp: int = 0,
     tri_vmem: bool = False,
+    sph_vmem: bool = False,
 ):
+    if sph_vmem:
+        sf_ref, rest = rest[0], rest[1:]
+
+        def sread(row, si):
+            # VMEM sphere table is [N, 9] — same sublane-dynamic-index
+            # rule as the triangle table (see tread below).
+            return sf_ref[si, row]
+    else:
+        sf_ref = sf_smem_ref
+
+        def sread(row, si):
+            return sf_ref[row, si]
     if tri_vmem:
         trf_ref, rest = rest[0], rest[1:]
 
@@ -635,10 +654,10 @@ def _trace_kernel(
                 """Clamped candidate t (invalid → t_max) + winner-record
                 scalars for sphere ``si`` — independent of the sweep carry,
                 so W candidates can compute in parallel (SWEEP_WIDTH)."""
-                cx = sf_ref[0, si]
-                cy = sf_ref[1, si]
-                cz = sf_ref[2, si]
-                r_ = sf_ref[3, si]
+                cx = sread(0, si)
+                cy = sread(1, si)
+                cz = sread(2, si)
+                r_ = sread(3, si)
                 rsq = r_ * r_  # scalar; same IEEE product the compiler stores
                 ocx = o.x - cx
                 ocy = o.y - cy
@@ -679,7 +698,7 @@ def _trace_kernel(
                     return t_cand, ()
                 # cx/cy/cz/r reuse the scalars the quadratic already read.
                 return t_cand, (
-                    cx, cy, cz, r_, *(sf_ref[k, si] for k in rec_rows)
+                    cx, cy, cz, r_, *(sread(k, si) for k in rec_rows)
                 )
 
             n_rec = 4 + len(rec_rows)
@@ -1121,7 +1140,7 @@ def _trace_kernel(
             def fetch_body(si, fc):
                 sel = i_best == si
                 return tuple(
-                    jnp.where(sel, sf_ref[k, si], prev)
+                    jnp.where(sel, sread(k, si), prev)
                     for k, prev in zip(frows, fc)
                 )
 
@@ -1522,15 +1541,20 @@ def make_block_renderer(
             tri_vmem = bool(n_t) and not fits_in_smem(
                 scene.padded_size, n_t, kc
             )
+        sph_vmem = kc.SPH_VMEM
+        if sph_vmem is None:
+            sph_vmem = not fits_in_smem(
+                scene.padded_size, n_t, kc, tri_table_in_smem=not tri_vmem
+            )
         if not fits_in_smem(scene.padded_size, n_t, kc,
-                            tri_table_in_smem=not tri_vmem):
+                            tri_table_in_smem=not tri_vmem,
+                            sph_table_in_smem=not sph_vmem):
             raise ValueError(
-                f"scene exceeds the SMEM prefetch budget even with the "
-                f"triangle table in VMEM "
-                f"(~{estimated_prefetch_bytes(scene.padded_size, n_t, kc, not tri_vmem)} "
+                f"scene's AABB gate tables alone exceed the SMEM budget "
+                f"(~{estimated_prefetch_bytes(scene.padded_size, n_t, kc, not tri_vmem, not sph_vmem)} "
                 f"bytes of {SMEM_BUDGET}): {scene.padded_size} spheres + "
-                f"{n_t} triangles. Use the jnp backend (flat-BVH oracle) "
-                f"for scenes this large."
+                f"{n_t} triangles. Use the jnp backend for scenes this "
+                f"large."
             )
         sf, aabb, saabb, trf, traabb, tsaabb = _scene_to_prefetch(
             scene, material_set, kc
@@ -1553,11 +1577,19 @@ def make_block_renderer(
             trf_smem = jnp.zeros((14, 1), jnp.float32)  # dummy operand
         else:
             trf_smem = trf
+        if sph_vmem:
+            # Same scheme for the sphere table ([N, 9]); VMEM pad rows
+            # are never swept (sweep counts stop at n_spheres).
+            spad = (-sf.shape[1]) % 8
+            sf_vmem_arr = jnp.pad(sf, ((0, 0), (0, spad))).T
+            sf_smem = jnp.zeros((9, 1), jnp.float32)  # dummy operand
+        else:
+            sf_smem = sf
         kern = functools.partial(
             kernel, n_spheres=n_spheres, n_tris=n_tris,
             cull=(kc.FORCE_CULL if kc.FORCE_CULL is not None
                   else n_spheres > kc.CULL_MIN),
-            tri_vmem=tri_vmem,
+            tri_vmem=tri_vmem, sph_vmem=sph_vmem,
         )
 
         meta = jnp.stack(
@@ -1587,15 +1619,20 @@ def make_block_renderer(
             img_spec = seg_spec
             img_shape = jax.ShapeDtypeStruct((out_rows, LANES), jnp.float32)
             scratch = []
+        in_specs = []
+        extra_in = ()
+        if sph_vmem:
+            in_specs.append(pl.BlockSpec(
+                sf_vmem_arr.shape, lambda t, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ))
+            extra_in += (sf_vmem_arr,)
         if tri_vmem:
-            in_specs = [pl.BlockSpec(
+            in_specs.append(pl.BlockSpec(
                 trf_vmem_arr.shape, lambda t, *_: (0, 0),
                 memory_space=pltpu.VMEM,
-            )]
-            extra_in = (trf_vmem_arr,)
-        else:
-            in_specs = []
-            extra_in = ()
+            ))
+            extra_in += (trf_vmem_arr,)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=9,
             grid=(n_tiles,),
@@ -1610,8 +1647,8 @@ def make_block_renderer(
             out_shape=[img_shape] * 3
             + [jax.ShapeDtypeStruct((out_rows, LANES), jnp.float32)],
             interpret=interpret,
-        )(sf, aabb, saabb, trf_smem, traabb, tsaabb, camf, meta, row0_arr,
-          *extra_in)
+        )(sf_smem, aabb, saabb, trf_smem, traabb, tsaabb, camf, meta,
+          row0_arr, *extra_in)
 
         def unscramble(a):
             # Output rows are tile-major and each tile's tile_rows×128

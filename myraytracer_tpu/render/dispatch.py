@@ -63,11 +63,10 @@ def renderer_factory(config: RenderConfig):
 def make_session(world: api.World, config: RenderConfig) -> RenderSession:
     cfg = config
     if resolve_backend(config) == "pallas" and config.backend == "auto":
-        # The megakernel's sphere tables live in SMEM (scalar prefetch);
-        # large triangle tables move to VMEM automatically (no practical
-        # cap — kernels/trace.py TRI_VMEM), so only scenes whose SPHERE
-        # prefetch exceeds the budget (~25k spheres) route to the jnp
-        # oracle, whose flat skip-link BVH has no cap at all.
+        # Large primitive tables move to VMEM automatically (no practical
+        # cap — kernels/trace.py TRI_VMEM/SPH_VMEM); only scenes whose
+        # AABB *gate* tables alone exceed the SMEM budget (tens of
+        # millions of primitives) route to the jnp oracle.
         try:
             from myraytracer_tpu.kernels.trace import fits_in_smem
         except (ImportError, NotImplementedError):
@@ -81,7 +80,7 @@ def make_session(world: api.World, config: RenderConfig) -> RenderSession:
         # into the kernel's ValueError at the boundary.
         if fits_in_smem is not None and not fits_in_smem(
             len(world.spheres) + 192, world.triangle_count + 128,
-            tri_table_in_smem=False,
+            tri_table_in_smem=False, sph_table_in_smem=False,
         ):
             import dataclasses
             import logging

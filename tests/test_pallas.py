@@ -186,9 +186,9 @@ def test_packed_runtime_camera():
 
 
 def test_smem_budget_cap():
-    """Sphere prefetch past the SMEM budget raises clearly from the
-    kernel and routes to the jnp oracle under backend=auto (dispatch);
-    big TRIANGLE tables no longer cap — they move to VMEM."""
+    """SMEM capacity accounting: big primitive tables move to VMEM (no
+    raise); forcing SMEM placement past the budget raises clearly; the
+    dispatch fallback now triggers only on gate-table overflow."""
     import jax.numpy as jnp
 
     from myraytracer_tpu.config import RenderConfig
@@ -199,10 +199,15 @@ def test_smem_budget_cap():
     assert trace.fits_in_smem(486, 0)          # the RTiOW final scene
     assert trace.fits_in_smem(64, 6500)        # mesh_scene subdiv 4
     assert not trace.fits_in_smem(0, 30000)    # tri table too big for SMEM
-    # ... but with the table in VMEM only the AABB gates stay in SMEM:
+    # ... but with the tables in VMEM only the AABB gates stay in SMEM:
     assert trace.fits_in_smem(0, 30000, tri_table_in_smem=False)
     assert trace.fits_in_smem(486, 200000, tri_table_in_smem=False)
-    assert not trace.fits_in_smem(40000, 0)    # spheres are the hard cap
+    assert not trace.fits_in_smem(40000, 0)    # sphere SMEM cap ...
+    assert trace.fits_in_smem(40000, 0, sph_table_in_smem=False)  # VMEM
+    # gate tables alone DO cap eventually (tens of millions):
+    assert not trace.fits_in_smem(
+        50_000_000, 0, tri_table_in_smem=False, sph_table_in_smem=False
+    )
 
     big = World(spheres=[
         Sphere((float(i % 200), float(i // 200), -5.0), 0.1,
@@ -210,14 +215,16 @@ def test_smem_budget_cap():
         for i in range(40000)
     ])
     scene = compile_scene(big)
+    # Forced-SMEM placement past the budget raises clearly:
     block = trace.make_block_renderer(
-        big.camera, 16, 8, 8, 1, 2, tile_rows=8, interpret=True
+        big.camera, 16, 8, 8, 1, 2, tile_rows=8, interpret=True,
+        config=trace.KernelConfig(SPH_VMEM=False),
     )
     with pytest.raises(ValueError, match="SMEM"):
         block(scene, KEY, jnp.uint32(0), jnp.uint32(0), jnp.uint32(1))
 
-    # auto mode falls back to jnp for the same scene (force the "pallas"
-    # resolution CPU tests would never take).
+    # auto mode keeps both big-sphere and big-mesh scenes on the kernel
+    # now (VMEM tables); the jnp fallback is for gate-table overflow only.
     orig = dispatch.resolve_backend
     dispatch.resolve_backend = lambda config: "pallas"
     try:
@@ -225,8 +232,7 @@ def test_smem_budget_cap():
             width=16, height=8, samples_per_frame=1, ray_depth=2,
             backend="auto",
         ))
-        assert session.config.backend == "jnp"
-        # a 25.6k-triangle mesh scene stays on the kernel now (VMEM table)
+        assert session.config.backend == "auto"
         mesh_world = presets.mesh_scene(subdivisions=5)
         session2 = dispatch.make_session(mesh_world, RenderConfig(
             width=16, height=8, samples_per_frame=1, ray_depth=2,
@@ -235,6 +241,28 @@ def test_smem_budget_cap():
         assert session2.config.backend == "auto"
     finally:
         dispatch.resolve_backend = orig
+
+
+def test_sph_vmem_bitwise():
+    """The VMEM sphere table is exact: bitwise vs the SMEM table on the
+    final scene (leaders + culled chunks + merged record)."""
+    from myraytracer_tpu.kernels.trace import KernelConfig
+
+    world = presets.final_scene(seed=0)
+    scene = compile_scene(world, spatial_sort=True)
+
+    def render(config=None):
+        r = make_pallas_renderer(
+            world.camera, W, H, 1, 4, tile_rows=8, interpret=True,
+            config=config,
+        )
+        img, segs = r(scene, KEY, 0)
+        return np.asarray(img), float(segs)
+
+    base_img, base_segs = render()
+    img, segs = render(KernelConfig(SPH_VMEM=True))
+    assert np.array_equal(img, base_img)
+    assert segs == base_segs
 
 
 def test_tri_vmem_and_dynamic_gates_bitwise():
