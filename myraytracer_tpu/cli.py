@@ -46,8 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
         "writes the final image)",
     )
     p.add_argument(
-        "--scene", choices=sorted(SCENES), default="reference",
-        help="built-in scene (the reference hard-codes 'reference')",
+        "--scene", default="reference", metavar="NAME",
+        help="built-in scene (the reference hard-codes 'reference'): "
+        f"{', '.join(sorted(SCENES))}, or mesh:N (N icosphere subdivisions)",
     )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
@@ -154,6 +155,7 @@ def main(argv=None) -> int:
             backend=backend,
             shard=args.shard,
             frame_batch=frame_batch,
+            max_frames=max(0, args.frames),
         )
         base.update(over)
         return RenderConfig(**base)
@@ -166,7 +168,10 @@ def main(argv=None) -> int:
 
             world = obj_scene(args.obj)
         else:
-            world = get_scene(scene_name, seed=config.seed)
+            try:
+                world = get_scene(scene_name, seed=config.seed)
+            except KeyError as e:
+                raise SystemExit(f"--scene: {e.args[0]}") from None
         session = make_session(world, config)
         log.info(
             "rendering scene=%s %dx%d spp/frame=%d depth=%d frames=%s "

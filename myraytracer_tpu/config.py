@@ -44,6 +44,10 @@ class RenderConfig:
     # progressive rendering fast on the Pallas kernel (BENCH.md): measured
     # 3.8 → 122 Mrays/s at spp=1, 1200x800 final scene.
     frame_batch: int = 0
+    # Total frames the caller intends to render (0 = unbounded). Only a
+    # hint: auto frame batching must not batch past the requested count
+    # (e.g. --frames 2 at spp 1 would otherwise run a 64-frame window).
+    max_frames: int = 0
 
     def resolve_size(self) -> Tuple[int, int]:
         """Apply the reference's 0-means-derive rule (lib.rs:113-134)."""
@@ -79,7 +83,10 @@ class RenderConfig:
             return self.frame_batch
         if backend != "pallas" or self.shard != "none":
             return 1
-        return min(64, max(1, 64 // max(1, self.samples_per_frame)))
+        auto = min(64, max(1, 64 // max(1, self.samples_per_frame)))
+        if self.max_frames > 0:
+            auto = min(auto, self.max_frames)
+        return auto
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -225,10 +225,12 @@ class KernelConfig:
 
 DEFAULT_CONFIG = KernelConfig()
 
-# v5e SMEM is 1 MiB and every scalar-prefetch operand lives there; the
-# megakernel's scene tables therefore cap at ~25k spheres or ~18k
-# triangles. Beyond that the jnp oracle (flat skip-link BVH) renders the
-# scene — dispatch.make_session routes automatically in auto mode.
+# v5e SMEM is 1 MiB and every scalar-prefetch operand lives there. Past
+# ~25k spheres / ~18k triangles the primitive tables move to VMEM
+# (SPH_VMEM/TRI_VMEM auto mode — ~190k primitives at 512 B each) and only
+# the chunk/super AABB gate tables stay in SMEM; dispatch.make_session
+# routes to the jnp oracle only when even those overflow (tens of
+# millions of primitives).
 SMEM_BUDGET = 1 << 20
 
 

@@ -216,8 +216,14 @@ SCENES = {
 
 
 def get_scene(name: str, seed: int = 0) -> World:
+    """Preset scene by name. ``mesh:N`` selects N icosphere subdivisions
+    (~20·4^N triangles) for mesh-scaling runs, e.g. ``mesh:5`` ≈ 25.6k."""
+    if name.startswith("mesh:"):
+        return mesh_scene(subdivisions=int(name.split(":", 1)[1]))
     if name not in SCENES:
-        raise KeyError(f"unknown scene {name!r}; choices: {sorted(SCENES)}")
+        raise KeyError(
+            f"unknown scene {name!r}; choices: {sorted(SCENES)} or mesh:N"
+        )
     if name == "final":
         return final_scene(seed)
     return SCENES[name]()

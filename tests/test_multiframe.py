@@ -102,6 +102,19 @@ def test_session_frame_batch_pallas_interpret():
     )
 
 
+def test_auto_frame_batch_capped_by_max_frames():
+    # `--frames 2` must render 2 frames, not a full auto window (cli.py
+    # passes the requested count through config.max_frames).
+    cfg = RenderConfig(samples_per_frame=1)
+    assert cfg.resolve_frame_batch("pallas") == 64
+    assert cfg.replace(max_frames=2).resolve_frame_batch("pallas") == 2
+    # Explicit frame_batch wins over the hint; jnp auto stays classic.
+    assert cfg.replace(
+        max_frames=2, frame_batch=8
+    ).resolve_frame_batch("pallas") == 8
+    assert cfg.replace(max_frames=2).resolve_frame_batch("jnp") == 1
+
+
 def test_frame_batch_rejects_sharding():
     import pytest
 

@@ -76,6 +76,17 @@ VARIANTS = [
     ("tile32", {"DEFAULT_TILE_ROWS": 32}),
     ("tile24-chunk96", {"DEFAULT_TILE_ROWS": 24, "CULL_CHUNK": 96}),
     ("tile24-chunk128", {"DEFAULT_TILE_ROWS": 24, "CULL_CHUNK": 128}),
+    # Mesh-at-scale knobs (SWEEP_SCENE=mesh:5 etc.; the small-scene
+    # TRI_CHUNK=64 choice was measured with unrolled gates at 420 tris —
+    # at 25k+ tris gates run as dynamic fori loops and the tradeoff may
+    # invert: finer chunks sweep fewer triangles per opened gate).
+    ("tri32", {"TRI_CHUNK": 32}),
+    ("tri128", {"TRI_CHUNK": 128}),
+    ("tri32-s16", {"TRI_CHUNK": 32, "SUPER": 16}),
+    ("s16", {"SUPER": 16}),
+    ("s4", {"SUPER": 4}),
+    ("mesh-tile8", {"DEFAULT_TILE_ROWS": 8}),
+    ("mesh-tile8-tri32", {"DEFAULT_TILE_ROWS": 8, "TRI_CHUNK": 32}),
 ]
 
 
@@ -87,6 +98,7 @@ def main() -> int:
 
     spp = int(os.environ.get("SWEEP_SPP", "32"))
     reps = int(os.environ.get("SWEEP_REPS", "3"))
+    depth = int(os.environ.get("SWEEP_DEPTH", "50"))
     scene_name = os.environ.get("SWEEP_SCENE", "final")
     wh = os.environ.get("SWEEP_WH", "1200x800")
     width, height = (int(x) for x in wh.split("x"))
@@ -101,8 +113,8 @@ def main() -> int:
     static_ior = iors.pop() if len(iors) == 1 else None
     key = crng.key_from_seed(0)
 
-    print(f"scene={scene_name} {width}x{height} spp={spp} depth=50 reps={reps}",
-          flush=True)
+    print(f"scene={scene_name} {width}x{height} spp={spp} depth={depth} "
+          f"reps={reps}", flush=True)
 
     # Build + compile every variant first, then time them ROUND-ROBIN:
     # the TPU drifts between distinct performance phases (~±10%) over a
@@ -116,7 +128,7 @@ def main() -> int:
         config = trace.KernelConfig(**cfg_kw)
         scene = compile_scene(world, spatial_sort=True)
         render = trace.make_renderer(
-            world.camera, width, height, spp, 50,
+            world.camera, width, height, spp, depth,
             material_set=mats,
             tile_rows=overrides.get("DEFAULT_TILE_ROWS",
                                     trace.DEFAULT_TILE_ROWS),
