@@ -110,10 +110,15 @@ UNROLL_MAX = 64
 # reduction, so much finer chunks lose again — 16 measured worse).
 CULL_MIN = 64
 CULL_CHUNK = 32
-# Triangle sweeps keep 64-wide chunks: the Möller-Trumbore interior is
-# ~40 ops/primitive (vs ~33 with the record selects for spheres) and mesh
-# chunks measured best at 64 (32 and 96 worse on the 420-tri scene).
+# Triangle chunk width is scene-size dependent (KernelConfig.TRI_CHUNK=0
+# = auto, resolve_tri_chunk): the Möller-Trumbore interior is ~40
+# ops/primitive, so once gates go dynamic the win flips from fewer gates
+# to fewer triangles swept per opened gate. Measured (tools/sweep.py,
+# mesh:N icospheres, 480x270 spp 8 depth 8): 64 best at 420 tris (32/96
+# worse), 32 best at 1.3k-5k (-6..7% vs 64), 16 best at 20k+ (-24% vs
+# 64, -10% vs 32); 8 loses again to per-gate any() reductions.
 TRI_CHUNK = 64
+TRI_CHUNK_AUTO = ((768, 64), (8192, 32), (None, 16))
 # Two-level culling: group SUPER consecutive chunks under one outer AABB
 # gate once the chunk count reaches SUPER_MIN — an implicit two-level BVH
 # over the Morton order (the TPU-native answer to the reference's absent
@@ -185,7 +190,9 @@ class KernelConfig:
     UNROLL_MAX: int = UNROLL_MAX
     CULL_MIN: int = CULL_MIN
     CULL_CHUNK: int = CULL_CHUNK
-    TRI_CHUNK: int = TRI_CHUNK
+    # 0 = auto: scene-size-dependent width (TRI_CHUNK_AUTO ladder);
+    # nonzero forces the width (tools/sweep.py A/B variants).
+    TRI_CHUNK: int = 0
     SUPER: int = SUPER
     SUPER_MIN: int = SUPER_MIN
     GATED_FETCH: bool = GATED_FETCH
@@ -234,6 +241,23 @@ DEFAULT_CONFIG = KernelConfig()
 SMEM_BUDGET = 1 << 20
 
 
+def resolve_tri_chunk(cfg: "KernelConfig", n_tris: int) -> int:
+    """Effective triangle chunk width for a scene.
+
+    An explicit ``cfg.TRI_CHUNK`` wins; 0 (the default) picks from the
+    measured ``TRI_CHUNK_AUTO`` ladder by triangle count. Thresholds are
+    multiples of 64 and comparisons are ``<=``, so resolving on the
+    chunk-padded table width (what the kernel body sees) agrees with
+    resolving on the raw count (what the prefetch packer sees).
+    """
+    if cfg.TRI_CHUNK:
+        return cfg.TRI_CHUNK
+    for bound, chunk in TRI_CHUNK_AUTO:
+        if bound is None or n_tris <= bound:
+            return chunk
+    raise AssertionError("unreachable")
+
+
 def estimated_prefetch_bytes(
     n_spheres: int, n_tris: int, cfg: "KernelConfig" = None,
     tri_table_in_smem: bool = True, sph_table_in_smem: bool = True,
@@ -245,10 +269,11 @@ def estimated_prefetch_bytes(
     only its chunk/super AABB gate tables count against SMEM.
     """
     cfg = cfg or DEFAULT_CONFIG
+    tc = resolve_tri_chunk(cfg, n_tris)
     sph = (9 * (n_spheres + LEADERS + cfg.CULL_CHUNK)
            if sph_table_in_smem else 9)
-    tri = 14 * (n_tris + cfg.TRI_CHUNK) if (n_tris and tri_table_in_smem) else 14
-    chunks = (n_spheres // cfg.CULL_CHUNK + 1) + (n_tris // cfg.TRI_CHUNK + 1)
+    tri = 14 * (n_tris + tc) if (n_tris and tri_table_in_smem) else 14
+    chunks = (n_spheres // cfg.CULL_CHUNK + 1) + (n_tris // tc + 1)
     supers = chunks // cfg.SUPER + 2
     # Non-table operands: packed camera (19) + meta (4) + row0 (1).
     other = cam_mod.PACKED_CAMERA_SIZE + 5
@@ -310,7 +335,9 @@ def _super_aabb(aabb, cfg: "KernelConfig"):
 
 
 def _tri_prefetch(scene: CompiledScene, material_set, cfg: "KernelConfig"):
-    TRI_CHUNK = cfg.TRI_CHUNK
+    TRI_CHUNK = resolve_tri_chunk(
+        cfg, scene.tris.v0.x.shape[0] if scene.has_triangles else 0
+    )
     # Triangle tables: rows v0(3), e1(3), e2(3), albedo(3), fuzz, ior —
     # material type packed into albedo_r/fuzz signs exactly as for
     # spheres. A dummy degenerate row keeps the prefetch arity fixed for
@@ -506,7 +533,7 @@ def _trace_kernel(
     BLOCK_W = cfg.BLOCK_W
     UNROLL_MAX = cfg.UNROLL_MAX
     CULL_CHUNK = cfg.CULL_CHUNK
-    TRI_CHUNK = cfg.TRI_CHUNK
+    TRI_CHUNK = resolve_tri_chunk(cfg, n_tris)
     SUPER = cfg.SUPER
     SUPER_MIN = cfg.SUPER_MIN
     GATED_FETCH = cfg.GATED_FETCH

@@ -95,6 +95,42 @@ def test_prefetch_layout_invariants():
     assert np.abs(aabb[:, real]).max() < 100.0  # giants are not in chunks
 
 
+def test_resolve_tri_chunk_auto_ladder():
+    cfg = trace.DEFAULT_CONFIG
+    # Auto (TRI_CHUNK=0): measured ladder by triangle count.
+    assert trace.resolve_tri_chunk(cfg, 0) == 64
+    assert trace.resolve_tri_chunk(cfg, 420) == 64
+    assert trace.resolve_tri_chunk(cfg, 768) == 64
+    assert trace.resolve_tri_chunk(cfg, 769) == 32
+    assert trace.resolve_tri_chunk(cfg, 8192) == 32
+    assert trace.resolve_tri_chunk(cfg, 8193) == 16
+    assert trace.resolve_tri_chunk(cfg, 102400) == 16
+    # Explicit width always wins.
+    assert trace.resolve_tri_chunk(cfg.replace(TRI_CHUNK=64), 20480) == 64
+    # Raw-vs-padded consistency: padding to the resolved chunk never
+    # crosses a ladder threshold (the kernel body resolves on the padded
+    # table width).
+    for n in (760, 768, 769, 8190, 8192, 8193, 20480):
+        c = trace.resolve_tri_chunk(cfg, n)
+        padded = n + (-n) % c
+        assert trace.resolve_tri_chunk(cfg, padded) == c
+
+
+def test_tri_prefetch_chunk_width_matches_resolver():
+    from myraytracer_tpu.scene.presets import mesh_scene
+
+    world = mesh_scene(subdivisions=3)  # 1280 icosphere tris + props
+    scene = compile_scene(world, spatial_sort=True)
+    n_tris = scene.tris.v0.x.shape[0]
+    chunk = trace.resolve_tri_chunk(trace.DEFAULT_CONFIG, n_tris)
+    assert chunk == 32
+    _, _, _, trf, traabb, _ = trace._scene_to_prefetch(
+        scene, (1, 2, 3), trace.DEFAULT_CONFIG
+    )
+    assert trf.shape[1] % chunk == 0
+    assert traabb.shape[1] == trf.shape[1] // chunk
+
+
 def test_prefetch_small_scene_has_dummy_aabb():
     world = get_scene("three-sphere", seed=0)
     scene = compile_scene(world)

@@ -76,11 +76,16 @@ VARIANTS = [
     ("tile32", {"DEFAULT_TILE_ROWS": 32}),
     ("tile24-chunk96", {"DEFAULT_TILE_ROWS": 24, "CULL_CHUNK": 96}),
     ("tile24-chunk128", {"DEFAULT_TILE_ROWS": 24, "CULL_CHUNK": 128}),
-    # Mesh-at-scale knobs (SWEEP_SCENE=mesh:5 etc.; the small-scene
-    # TRI_CHUNK=64 choice was measured with unrolled gates at 420 tris —
-    # at 25k+ tris gates run as dynamic fori loops and the tradeoff may
-    # invert: finer chunks sweep fewer triangles per opened gate).
+    # Mesh-at-scale knobs (SWEEP_SCENE=mesh:5 etc.). Measured outcome now
+    # wired as the TRI_CHUNK=0 auto ladder (trace.TRI_CHUNK_AUTO): 64 at
+    # <=768 tris, 32 to 8192, 16 past that. The explicit variants stay
+    # for re-testing after structural changes.
+    ("tri64", {"TRI_CHUNK": 64}),
     ("tri32", {"TRI_CHUNK": 32}),
+    ("tri16", {"TRI_CHUNK": 16}),
+    ("tri8", {"TRI_CHUNK": 8}),
+    ("tri16-s16", {"TRI_CHUNK": 16, "SUPER": 16}),
+    ("tri32-s4", {"TRI_CHUNK": 32, "SUPER": 4}),
     ("tri128", {"TRI_CHUNK": 128}),
     ("tri32-s16", {"TRI_CHUNK": 32, "SUPER": 16}),
     ("s16", {"SUPER": 16}),
