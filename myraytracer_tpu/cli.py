@@ -48,7 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--scene", default="reference", metavar="NAME",
         help="built-in scene (the reference hard-codes 'reference'): "
-        f"{', '.join(sorted(SCENES))}, or mesh:N (N icosphere subdivisions)",
+        f"{', '.join(sorted(SCENES))}, mesh:N (N icosphere subdivisions), "
+        "or spheres:N (final-scene-style 2Nx2N sphere field)",
     )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(

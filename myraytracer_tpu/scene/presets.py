@@ -90,11 +90,21 @@ def final_scene(seed: int = 0) -> World:
     Deterministic for a given seed (host-side numpy RNG; the reference has
     no scene generator at all).
     """
+    return sphere_field(half_extent=11, seed=seed)
+
+
+def sphere_field(half_extent: int = 11, seed: int = 0) -> World:
+    """Final-scene-style sphere field on a ``2n × 2n`` grid (~4n² + 4
+    spheres). ``half_extent=11`` IS the RTiOW final scene (identical RNG
+    stream); larger grids are the sphere-scaling benchmark surface
+    (``spheres:N`` in the CLI — e.g. ``spheres:100`` ≈ 40k spheres,
+    exercising the kernel's VMEM sphere table)."""
     rng = np.random.RandomState(seed)
     spheres = [Sphere((0.0, -1000.0, 0.0), 1000.0, Lambertian((0.5, 0.5, 0.5)))]
 
-    for a in range(-11, 11):
-        for b in range(-11, 11):
+    n = int(half_extent)
+    for a in range(-n, n):
+        for b in range(-n, n):
             choose = rng.random_sample()
             center = (
                 a + 0.9 * rng.random_sample(),
@@ -216,13 +226,19 @@ SCENES = {
 
 
 def get_scene(name: str, seed: int = 0) -> World:
-    """Preset scene by name. ``mesh:N`` selects N icosphere subdivisions
-    (~20·4^N triangles) for mesh-scaling runs, e.g. ``mesh:5`` ≈ 25.6k."""
+    """Preset scene by name. Parameterized forms: ``mesh:N`` selects N
+    icosphere subdivisions (~20·4^N triangles, e.g. ``mesh:5`` ≈ 25.6k);
+    ``spheres:N`` a final-scene-style field on a 2N×2N grid (~4N²
+    spheres, e.g. ``spheres:100`` ≈ 40k) — the scaling surfaces for the
+    kernel's VMEM primitive tables."""
     if name.startswith("mesh:"):
         return mesh_scene(subdivisions=int(name.split(":", 1)[1]))
+    if name.startswith("spheres:"):
+        return sphere_field(half_extent=int(name.split(":", 1)[1]), seed=seed)
     if name not in SCENES:
         raise KeyError(
-            f"unknown scene {name!r}; choices: {sorted(SCENES)} or mesh:N"
+            f"unknown scene {name!r}; choices: {sorted(SCENES)}, "
+            f"mesh:N, or spheres:N"
         )
     if name == "final":
         return final_scene(seed)

@@ -83,6 +83,20 @@ def test_final_scene_generator_deterministic():
     assert presets.final_scene(seed=8).spheres != w1.spheres
 
 
+def test_sphere_field_generalizes_final_scene():
+    # half_extent=11 must BE the final scene (identical RNG stream) —
+    # golden images and examples depend on the exact sphere list.
+    a = presets.final_scene(seed=0)
+    b = presets.sphere_field(half_extent=11, seed=0)
+    assert a.spheres == b.spheres
+    assert a.camera == b.camera
+    # spheres:N via get_scene; grid scales ~4N².
+    small = presets.get_scene("spheres:3", seed=0)
+    assert 20 <= len(small) <= 40
+    big = presets.get_scene("spheres:20", seed=0)
+    assert 1500 <= len(big) <= 1604
+
+
 def test_camera_focus_dist():
     cam = api.Camera(lookfrom=(3.0, 0.0, 4.0), lookat=(0.0, 0.0, 0.0))
     assert abs(cam.resolved_focus_dist() - 5.0) < 1e-9

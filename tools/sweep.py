@@ -89,6 +89,7 @@ VARIANTS = [
     ("tri128", {"TRI_CHUNK": 128}),
     ("tri32-s16", {"TRI_CHUNK": 32, "SUPER": 16}),
     ("s16", {"SUPER": 16}),
+    ("s32", {"SUPER": 32}),
     ("s4", {"SUPER": 4}),
     ("mesh-tile8", {"DEFAULT_TILE_ROWS": 8}),
     ("mesh-tile8-tri32", {"DEFAULT_TILE_ROWS": 8, "TRI_CHUNK": 32}),
