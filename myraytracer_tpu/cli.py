@@ -81,9 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--frame-batch", type=int, default=0, metavar="K",
         help="progressive frames rendered per kernel call (bitwise "
         "identical to K separate frames; amortizes the in-kernel "
-        "regeneration tail — the small-spp throughput fix). 0 = auto: "
-        "~64-sample windows on the Pallas path, 1 with --serve (keeps "
-        "viewer/orbit latency low)",
+        "regeneration tail — the small-spp throughput fix). Composes "
+        "with --shard tiles (not samples/hybrid). 0 = auto: ~64-sample "
+        "windows on the Pallas path, 1 with --serve (keeps viewer/orbit "
+        "latency low)",
     )
     p.add_argument("--checkpoint", default=None, help="save checkpoint here")
     p.add_argument("--resume", default=None, help="resume from checkpoint")

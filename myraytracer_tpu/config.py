@@ -76,12 +76,12 @@ class RenderConfig:
 
     def resolve_frame_batch(self, backend: str) -> int:
         """Frames per device call. Auto (0) batches toward a ~64-sample
-        window on the unsharded Pallas path — the regime where the
-        regeneration tail dominates single frames — and stays classic
-        everywhere else."""
+        window on the Pallas path (unsharded or tile-sharded — the
+        regimes where the in-kernel regeneration tail dominates single
+        frames) and stays classic everywhere else."""
         if self.frame_batch > 0:
             return self.frame_batch
-        if backend != "pallas" or self.shard != "none":
+        if backend != "pallas" or self.shard not in ("none", "tiles"):
             return 1
         auto = min(64, max(1, 64 // max(1, self.samples_per_frame)))
         if self.max_frames > 0:

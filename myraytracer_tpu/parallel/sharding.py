@@ -165,41 +165,88 @@ def make_tile_sharded_renderer(
     material_set=None,
     static_ior=None,
     block_factory=None,
+    frames: int = 1,
 ):
-    """Shard image rows across the mesh; each chip renders its rows locally."""
+    """Shard image rows across the mesh; each chip renders its rows locally.
+
+    ``frames=K > 1`` renders K progressive frames per call (the
+    small-spp streaming mode, render/session.py frame batching), each
+    chip still tracing only its rows: the Pallas block batches the
+    frames natively in one kernel call (shared in-kernel regeneration
+    tail); the jnp oracle block runs K single-frame passes in one jit.
+    Returns ``[K, 3, height, width]`` per-frame mean images — bitwise
+    the K separate single-frame calls. Tile sharding composes with
+    frame batching because each chip's sample window stays contiguous
+    across frames; the sample/hybrid modes' windows do not (their
+    makers reject frames > 1).
+    """
     mesh = mesh or default_mesh()
     axis = mesh.axis_names[0]
     nd = mesh.shape[axis]
     spp = int(samples_per_frame)
+    frames = int(frames)
 
     rows_per = _ceil_div(height, nd)
     h_pad = rows_per * nd
 
-    block = _resolve_block_factory(block_factory)(
+    factory = _resolve_block_factory(block_factory)
+    import inspect
+
+    native_frames = "frames" in inspect.signature(factory).parameters
+    extra = {"frames": frames} if frames > 1 and native_frames else {}
+    block = factory(
         cam, width, height, rows_per, spp, ray_depth,
         t_min=t_min, t_max=t_max, sample_batch=sample_batch,
-        material_set=material_set, static_ior=static_ior,
+        material_set=material_set, static_ior=static_ior, **extra,
     )
+    if frames > 1 and not native_frames:
+        single = block
+
+        def block(scene, key, row0, sample_start, n_valid):
+            # Generic per-frame loop around a single-frame block (the
+            # jnp oracle): frame f is exactly the single-frame call at
+            # sample offset f*spp, stacked channels-first to match the
+            # Pallas multi-frame layout.
+            del n_valid
+            outs = [
+                single(
+                    scene, key, row0,
+                    sample_start + jnp.uint32(f * spp), jnp.uint32(spp),
+                )
+                for f in range(frames)
+            ]
+            img = jnp.stack(
+                [jnp.transpose(o[0], (2, 0, 1)) for o in outs]
+            )
+            segs = outs[0][1]
+            for o in outs[1:]:
+                segs = segs + o[1]
+            return img, segs
 
     def local(scene, key, sample_base):
         tile = jax.lax.axis_index(axis).astype(jnp.uint32)
         row0 = tile * jnp.uint32(rows_per)
-        img_sum, segs = block(scene, key, row0, sample_base, jnp.uint32(spp))
+        img_sum, segs = block(
+            scene, key, row0, sample_base, jnp.uint32(frames * spp)
+        )
         # Rows beyond the true image height are traced (static shapes) but
         # cropped after the gather; their radiance is finite garbage.
         return img_sum * jnp.float32(1.0 / spp), segs[None]
 
+    img_spec = (P(None, None, axis, None) if frames > 1
+                else P(axis, None, None))
     sharded = shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P(), P()),
-        out_specs=(P(axis, None, None), P(axis)),
+        out_specs=(img_spec, P(axis)),
     )
 
     @jax.jit
     def render(scene, key, sample_base):
         img, segs = sharded(scene, key, jnp.asarray(sample_base, jnp.uint32))
-        return img[:height], jnp.sum(segs)
+        img = img[:, :, :height] if frames > 1 else img[:height]
+        return img, jnp.sum(segs)
 
     return render
 
@@ -217,9 +264,16 @@ def make_sample_sharded_renderer(
     material_set=None,
     static_ior=None,
     block_factory=None,
+    frames: int = 1,
 ):
     """Each chip renders the full frame for a disjoint sample window; the
     partial sums reduce over ICI with psum."""
+    if frames > 1:
+        raise ValueError(
+            "frame batching requires shard 'tiles' or 'none': a "
+            "sample-sharded device's window is not contiguous across "
+            "frame buckets"
+        )
     mesh = mesh or default_mesh(axis="samples")
     axis = mesh.axis_names[0]
     nd = mesh.shape[axis]
@@ -270,6 +324,7 @@ def make_hybrid_sharded_renderer(
     material_set=None,
     static_ior=None,
     block_factory=None,
+    frames: int = 1,
 ):
     """2-D mesh: image rows sharded over "tiles", samples over "samples".
 
@@ -279,6 +334,12 @@ def make_hybrid_sharded_renderer(
     the general form; the 1-D tile / sample renderers are its degenerate
     cases, kept separate for clarity.
     """
+    if frames > 1:
+        raise ValueError(
+            "frame batching requires shard 'tiles' or 'none': a "
+            "sample-sharded device's window is not contiguous across "
+            "frame buckets"
+        )
     if mesh is None:
         mesh = hybrid_mesh()
     nd_t = mesh.shape["tiles"]

@@ -134,8 +134,11 @@ class RenderSession:
         iors = {s.material.ior for s in world.spheres if s.material.type_id == 3}
         iors |= {m.material.ior for m in world.meshes if m.material.type_id == 3}
         self.frame_batch = config.resolve_frame_batch(resolved)
-        if self.frame_batch > 1 and config.shard != "none":
-            raise ValueError("frame_batch > 1 requires shard='none'")
+        if self.frame_batch > 1 and config.shard not in ("none", "tiles"):
+            # Tile-sharded chips keep contiguous sample windows across
+            # frame buckets; sample/hybrid shards do not
+            # (parallel/sharding.py).
+            raise ValueError("frame_batch > 1 requires shard 'none' or 'tiles'")
         extra = {"frames": self.frame_batch} if self.frame_batch > 1 else {}
         self._render = factory(
             world.camera,

@@ -115,12 +115,14 @@ def test_auto_frame_batch_capped_by_max_frames():
     assert cfg.replace(max_frames=2).resolve_frame_batch("jnp") == 1
 
 
-def test_frame_batch_rejects_sharding():
+def test_frame_batch_rejects_sample_sharding():
+    # Tile sharding composes with frame batching (contiguous per-chip
+    # sample windows); sample/hybrid sharding does not.
     import pytest
 
     cfg = RenderConfig(
         width=W, height=H, samples_per_frame=1, ray_depth=2,
-        frame_batch=2, shard="tiles",
+        frame_batch=2, shard="samples",
     )
     with pytest.raises(ValueError, match="frame_batch"):
         RenderSession(presets.reference_scene(), cfg)

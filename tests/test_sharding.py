@@ -157,6 +157,76 @@ def test_hybrid_jnp_matches_single(scene, single):
 
 
 # ---------------------------------------------------------------------------
+# Frame batching under tile sharding (the small-spp streaming mode):
+# frames=K returns [K, 3, H, W] per-frame means, each frame bitwise the
+# single-frame tile-sharded call at its sample offset. Sample/hybrid
+# modes reject frames (non-contiguous per-device windows).
+# ---------------------------------------------------------------------------
+
+
+def test_tile_sharded_frames_jnp_bitwise(scene):
+    cam = presets.reference_scene().camera
+    multi = make_tile_sharded_renderer(cam, W, H, SPP, DEPTH, frames=2)
+    imgs, segs = multi(scene, KEY, 0)
+    imgs = np.asarray(imgs)
+    assert imgs.shape == (2, 3, H, W)
+    one = make_tile_sharded_renderer(cam, W, H, SPP, DEPTH)
+    for f in range(2):
+        want, _ = one(scene, KEY, f * SPP)
+        np.testing.assert_array_equal(
+            imgs[f], np.transpose(np.asarray(want), (2, 0, 1))
+        )
+
+
+def test_tile_sharded_frames_pallas_bitwise(scene):
+    cam = presets.reference_scene().camera
+    multi = make_tile_sharded_renderer(
+        cam, W, H, SPP, DEPTH, block_factory=PALLAS_BLOCK, frames=2
+    )
+    imgs, _ = multi(scene, KEY, 0)
+    imgs = np.asarray(imgs)
+    assert imgs.shape == (2, 3, H, W)
+    one = make_tile_sharded_renderer(
+        cam, W, H, SPP, DEPTH, block_factory=PALLAS_BLOCK
+    )
+    for f in range(2):
+        want, _ = one(scene, KEY, f * SPP)
+        np.testing.assert_array_equal(
+            imgs[f], np.transpose(np.asarray(want), (2, 0, 1))
+        )
+
+
+def test_sample_and_hybrid_reject_frames():
+    cam = presets.reference_scene().camera
+    with pytest.raises(ValueError, match="tiles"):
+        make_sample_sharded_renderer(cam, W, H, SPP, DEPTH, frames=2)
+    with pytest.raises(ValueError, match="tiles"):
+        make_hybrid_sharded_renderer(cam, W, H, SPP, DEPTH, frames=2)
+
+
+def test_session_tile_sharded_frame_batch_bitwise():
+    """Session-level: shard='tiles' + frame_batch=2 blends bitwise like
+    single-frame stepping (the invariant frame batching guarantees)."""
+    from myraytracer_tpu.config import RenderConfig
+    from myraytracer_tpu.render.dispatch import make_session
+
+    world = presets.reference_scene()
+    cfg = RenderConfig(
+        width=W, height=H, samples_per_frame=SPP, ray_depth=DEPTH,
+        shard="tiles",
+    )
+    a = make_session(world, cfg.replace(frame_batch=2))
+    assert a.frame_batch == 2
+    a.step()
+    b = make_session(world, cfg)
+    b.step()
+    b.step()
+    np.testing.assert_array_equal(
+        np.asarray(a.framebuffer), np.asarray(b.framebuffer)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multi-host wiring (pod-scale). Only one process exists in CI, so these
 # exercise the mesh-construction / spec-parsing / gather logic — the parts
 # that differ under multi-process semantics.
