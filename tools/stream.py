@@ -13,7 +13,10 @@ Env:   STREAM_SPPS (1,4,8,32,125), STREAM_WH (1200x800), STREAM_SCENE
        (final), STREAM_DEPTH (50), STREAM_MIN_SAMPLES (256: frames per
        run = max(4, MIN_SAMPLES/spp)), STREAM_BACKEND (pallas),
        STREAM_BATCH (frame batch K: int, or "auto" = window of ~128
-       samples per call, or "1")
+       samples per call, or "1"), STREAM_SHARD ("none" or "tiles":
+       route through the tile-sharded shard_map renderer on the default
+       mesh — on 1 chip this measures the shard_map wrapper's overhead
+       over the direct kernel call; on N chips, multi-chip streaming)
 """
 
 from __future__ import annotations
@@ -44,6 +47,7 @@ def main() -> int:
     min_samples = int(os.environ.get("STREAM_MIN_SAMPLES", "256"))
     backend = os.environ.get("STREAM_BACKEND", "pallas")
     batch_env = os.environ.get("STREAM_BATCH", "1")
+    shard = os.environ.get("STREAM_SHARD", "none")
 
     world = get_scene(scene_name, seed=0)
     scene = compile_scene(world, spatial_sort=len(world.spheres) > 64)
@@ -54,13 +58,24 @@ def main() -> int:
     static_ior = iors.pop() if len(iors) == 1 else None
     key = crng.key_from_seed(0)
 
-    if backend == "pallas":
+    if shard == "tiles":
+        import functools
+
+        from myraytracer_tpu.parallel.sharding import (
+            make_tile_sharded_renderer,
+        )
+
+        make_renderer = functools.partial(
+            make_tile_sharded_renderer, block_factory=backend
+        )
+    elif backend == "pallas":
         from myraytracer_tpu.kernels.trace import make_renderer
     else:
         from myraytracer_tpu.render.integrator import make_renderer
 
     print(f"scene={scene_name} {width}x{height} depth={depth} "
-          f"backend={backend} (pipelined streaming)", flush=True)
+          f"backend={backend} shard={shard} (pipelined streaming)",
+          flush=True)
 
     rows = []
     for spp in spps:
