@@ -495,6 +495,7 @@ def _trace_kernel(
     spp: int = 0,
     tri_vmem: bool = False,
     sph_vmem: bool = False,
+    sky=None,
 ):
     if sph_vmem:
         sf_ref, rest = rest[0], rest[1:]
@@ -656,7 +657,10 @@ def _trace_kernel(
         # static_ior constant: no type row, and usually no IOR row.
         zero = jnp.zeros(shape, jnp.float32)
         ones = jnp.ones(shape, jnp.float32)
-        need_albedo = (1 in material_set) or (2 in material_set)
+        # Emissive (4) rides the albedo rows too (scene/compile.py).
+        need_albedo = (
+            (1 in material_set) or (2 in material_set) or (4 in material_set)
+        )
         rec_rows = []
         rec_inits = []
         if need_albedo:
@@ -1312,8 +1316,12 @@ def _trace_kernel(
                     >> jnp.uint32(31)
                 ).astype(jnp.int32)
                 fz = jnp.abs(fzp)
+                hi = (
+                    jnp.where(b0 == 1, jnp.int32(ms[3]), jnp.int32(ms[2]))
+                    if len(ms) == 4 else jnp.int32(ms[2])
+                )
                 mt = jnp.where(
-                    b1 == 1, jnp.int32(ms[2]),
+                    b1 == 1, hi,
                     jnp.where(b0 == 1, jnp.int32(ms[1]), jnp.int32(ms[0])),
                 )
         front = normal.dot(d) <= 0.0
@@ -1328,10 +1336,25 @@ def _trace_kernel(
 
         # --- miss → sky, retire (shader.wgsl:343-345) ---------------------
         miss = alive & ~hit_mask
-        sky = color_sky(d.y)
+        if sky is None:
+            skyv = color_sky(d.y)
+        else:
+            # Constant background (World.ambient) — baked in.
+            skyv = V3(
+                zero + jnp.float32(sky[0]),
+                zero + jnp.float32(sky[1]),
+                zero + jnp.float32(sky[2]),
+            )
         zero3 = V3(zero, zero, zero)
-        rad = rad + V3.where(miss, atten * sky, zero3)
+        rad = rad + V3.where(miss, atten * skyv, zero3)
         alive = alive & hit_mask
+
+        # --- emissive hit → throughput * emission, retire (extension;
+        # emission rides the winner record's albedo slots) ------------------
+        if 4 in material_set:
+            is_light = alive & (mt == jnp.int32(4))
+            rad = rad + V3.where(is_light, atten * hit.albedo, zero3)
+            alive = alive & ~is_light
 
         # --- scatter (same draw slots as the oracle) ----------------------
         sample_id = sample_start + s.astype(jnp.uint32)
@@ -1485,6 +1508,7 @@ def make_block_renderer(
     static_ior=None,
     config: KernelConfig = None,
     frames: int = 1,
+    sky=None,
 ):
     """Pallas implementation of the block-renderer protocol.
 
@@ -1514,6 +1538,8 @@ def make_block_renderer(
     BLOCK_W = kc.BLOCK_W
     if static_ior is not None:
         static_ior = float(static_ior)
+    if sky is not None:
+        sky = tuple(float(c) for c in sky)
     if material_set is None:
         material_set = (1, 2, 3)
     material_set = tuple(sorted(set(material_set)))
@@ -1557,6 +1583,7 @@ def make_block_renderer(
         cfg=kc,
         frames=frames,
         spp=spp_static,
+        sky=sky,
     )
 
     def block(scene: CompiledScene, key, row0, sample_start, n_valid):
@@ -1723,6 +1750,7 @@ def make_renderer(
     static_ior=None,
     config: KernelConfig = None,
     frames: int = 1,
+    sky=None,
 ):
     """Jitted single-device frame renderer on the Pallas megakernel.
 
@@ -1736,7 +1764,7 @@ def make_renderer(
         cam, width, height, height, spp, ray_depth,
         t_min=t_min, t_max=t_max, tile_rows=tile_rows, interpret=interpret,
         material_set=material_set, rng_mode=rng_mode, static_ior=static_ior,
-        config=config, frames=frames,
+        config=config, frames=frames, sky=sky,
     )
 
     @jax.jit

@@ -164,6 +164,7 @@ def make_tile_sharded_renderer(
     mesh: Optional[Mesh] = None,
     material_set=None,
     static_ior=None,
+    sky=None,
     block_factory=None,
     frames: int = 1,
 ):
@@ -197,7 +198,7 @@ def make_tile_sharded_renderer(
     block = factory(
         cam, width, height, rows_per, spp, ray_depth,
         t_min=t_min, t_max=t_max, sample_batch=sample_batch,
-        material_set=material_set, static_ior=static_ior, **extra,
+        material_set=material_set, static_ior=static_ior, sky=sky, **extra,
     )
     if frames > 1 and not native_frames:
         single = block
@@ -263,6 +264,7 @@ def make_sample_sharded_renderer(
     mesh: Optional[Mesh] = None,
     material_set=None,
     static_ior=None,
+    sky=None,
     block_factory=None,
     frames: int = 1,
 ):
@@ -283,7 +285,7 @@ def make_sample_sharded_renderer(
     block = _resolve_block_factory(block_factory)(
         cam, width, height, height, per_dev, ray_depth,
         t_min=t_min, t_max=t_max, sample_batch=sample_batch,
-        material_set=material_set, static_ior=static_ior,
+        material_set=material_set, static_ior=static_ior, sky=sky,
     )
 
     def local(scene, key, sample_base):
@@ -323,6 +325,7 @@ def make_hybrid_sharded_renderer(
     mesh: Optional[Mesh] = None,
     material_set=None,
     static_ior=None,
+    sky=None,
     block_factory=None,
     frames: int = 1,
 ):
@@ -351,7 +354,7 @@ def make_hybrid_sharded_renderer(
     block = _resolve_block_factory(block_factory)(
         cam, width, height, rows_per, per_dev, ray_depth,
         t_min=t_min, t_max=t_max, sample_batch=sample_batch,
-        material_set=material_set, static_ior=static_ior,
+        material_set=material_set, static_ior=static_ior, sky=sky,
     )
 
     def local(scene, key, sample_base):

@@ -38,6 +38,7 @@ from myraytracer_tpu.core.vec import V3
 from myraytracer_tpu.render import camera as cam_mod
 from myraytracer_tpu.render.hit import closest_hit
 from myraytracer_tpu.render.materials import color_sky, scatter
+from myraytracer_tpu.scene import api
 from myraytracer_tpu.scene.api import Camera
 from myraytracer_tpu.scene.compile import CompiledScene
 
@@ -52,11 +53,14 @@ def trace(
     depth: int,
     t_min: float,
     t_max: float,
+    sky=None,
 ) -> Tuple[V3, jnp.ndarray]:
     """Trace normalized rays to completion.
 
     Returns (radiance V3, segments u32) where ``segments`` counts traced
-    ray segments per lane (for Mrays/s accounting).
+    ray segments per lane (for Mrays/s accounting). ``sky`` is an optional
+    constant background color (``World.ambient``): ``None`` keeps the
+    reference gradient (shader.wgsl:331-334).
     """
     if depth > crng.MAX_DEPTH:
         raise ValueError(f"ray_depth {depth} exceeds MAX_DEPTH {crng.MAX_DEPTH}")
@@ -82,10 +86,24 @@ def trace(
 
         # Miss → attenuation * sky, retire (shader.wgsl:343-345).
         miss = alive & ~hit.mask
-        sky = color_sky(d.y)
+        if sky is None:
+            skyv = color_sky(d.y)
+        else:
+            zs = jnp.zeros(shape, jnp.float32)
+            skyv = V3(
+                zs + jnp.float32(sky[0]),
+                zs + jnp.float32(sky[1]),
+                zs + jnp.float32(sky[2]),
+            )
         zero = V3.zeros(shape)
-        rad = rad + V3.where(miss, atten * sky, zero)
+        rad = rad + V3.where(miss, atten * skyv, zero)
         alive = alive & hit.mask
+
+        # Emissive hit → throughput * emission, retire (extension;
+        # emission rides the albedo columns — scene/compile.py).
+        is_light = alive & (hit.mat_ty == api.MATERIAL_LIGHT)
+        rad = rad + V3.where(is_light, atten * hit.albedo, zero)
+        alive = alive & ~is_light
 
         # Scatter draws: slot 0 = unit-sphere; slots 1-2 = unit-ball;
         # slot 2's second word = dielectric reflect draw.
@@ -131,6 +149,7 @@ def render_sample_batch(
     depth: int,
     t_min: float,
     t_max: float,
+    sky=None,
 ) -> Tuple[V3, jnp.ndarray]:
     """Camera-generate and trace one batch of (pixel, sample) lanes."""
     # Camera draw slots: 0 = sub-pixel jitter, 1 = lens disk.
@@ -138,7 +157,9 @@ def render_sample_batch(
     u1, u2 = crng.uniform2(key, lane_id, cam_draw)
     l1, l2 = crng.uniform2(key, lane_id, cam_draw + jnp.uint32(1))
     o, d = ray_gen(ix, iy, u1, u2, l1, l2)
-    return trace(o, d, lane_id, sample_id, key, scene, depth, t_min, t_max)
+    return trace(
+        o, d, lane_id, sample_id, key, scene, depth, t_min, t_max, sky=sky
+    )
 
 
 def make_block_renderer(
@@ -153,6 +174,7 @@ def make_block_renderer(
     sample_batch: int = 1,
     material_set=None,
     static_ior=None,
+    sky=None,
 ):
     """Build the composable rendering primitive.
 
@@ -208,7 +230,7 @@ def make_block_renderer(
             in_range = local_idx < n_valid  # [b, 1]
             rad, segs = render_sample_batch(
                 scene, ray_gen, ix_b, iy_b, lane_b, sample_id,
-                key, ray_depth, t_min, t_max,
+                key, ray_depth, t_min, t_max, sky=sky,
             )
             w = in_range.astype(jnp.float32)
             acc = acc + V3(
@@ -248,6 +270,7 @@ def make_renderer(
     material_set=None,
     static_ior=None,
     frames: int = 1,
+    sky=None,
 ):
     """Build a jitted single-device frame renderer.
 
@@ -269,7 +292,7 @@ def make_renderer(
     block = make_block_renderer(
         cam, width, height, height, spp, ray_depth,
         t_min=t_min, t_max=t_max, sample_batch=sample_batch,
-        material_set=material_set, static_ior=static_ior,
+        material_set=material_set, static_ior=static_ior, sky=sky,
     )
 
     if frames > 1:

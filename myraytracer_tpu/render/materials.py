@@ -17,6 +17,11 @@ Behavioral contracts preserved:
 * **Dielectric** (extension; RTiOW ch. 10 semantics): Schlick reflectance,
   total internal reflection, refraction ratio 1/ior on front faces;
   attenuation 1; always scatters.
+* **DiffuseLight** (extension; RTiOW book 2 ch. 7): never scatters — it
+  falls through this dispatch with ``ok=False`` (the same path as the
+  reference's unknown-type fall-through), and the bounce loop adds
+  ``throughput * emission`` before retiring the lane (emission rides the
+  albedo columns; render/integrator.py, kernels/trace.py).
 
 Scatter directions are returned un-normalized; the bounce loop normalizes
 (matching ``shader.wgsl:354``).

@@ -151,6 +151,7 @@ class RenderSession:
             sample_batch=config.resolve_sample_batch(),
             material_set=tuple(sorted(materials)) or None,
             static_ior=(iors.pop() if len(iors) == 1 else None),
+            sky=world.ambient,
             **extra,
         )
 
@@ -254,7 +255,17 @@ class RenderSession:
     def scene_fingerprint(self) -> str:
         """Content hash of the compiled scene (cached; excludes camera)."""
         if self._fingerprint is None:
-            self._fingerprint = scene_fingerprint(self.scene)
+            fp = scene_fingerprint(self.scene)
+            if self.world.ambient is not None:
+                # The background color changes the image but lives outside
+                # the compiled arrays (a static kernel constant) — fold it
+                # into the provenance hash so mismatched resumes stay loud.
+                import hashlib
+
+                h = hashlib.sha256(fp.encode())
+                h.update(repr(self.world.ambient).encode())
+                fp = h.hexdigest()[:16]
+            self._fingerprint = fp
         return self._fingerprint
 
     def save_checkpoint(self, path) -> None:

@@ -10,9 +10,10 @@ exists in the reference (its camera is fixed at the origin,
 ``shader.wgsl:360-361``).
 
 Material type ids match the reference (``lib.rs:644-648``,
-``shader.wgsl:126-127``): 1 = Lambertian, 2 = Metal; 3 = Dielectric is the
-extension; 0 is reserved for padding / "no material" (scatters to black,
-like the reference's fall-through at ``shader.wgsl:249-251``).
+``shader.wgsl:126-127``): 1 = Lambertian, 2 = Metal; 3 = Dielectric and
+4 = DiffuseLight (emissive) are extensions; 0 is reserved for padding /
+"no material" (scatters to black, like the reference's fall-through at
+``shader.wgsl:249-251``).
 """
 
 from __future__ import annotations
@@ -27,6 +28,7 @@ MATERIAL_NONE = 0
 MATERIAL_LAMBERTIAN = 1  # lib.rs:644
 MATERIAL_METAL = 2  # lib.rs:646
 MATERIAL_DIELECTRIC = 3  # extension
+MATERIAL_LIGHT = 4  # extension (emissive)
 
 
 def _check_nonnegative(name: str, *values: float) -> None:
@@ -77,7 +79,26 @@ class Dielectric:
     type_id = MATERIAL_DIELECTRIC
 
 
-Material = Union[Lambertian, Metal, Dielectric]
+@dataclasses.dataclass(frozen=True)
+class DiffuseLight:
+    """Emissive surface (extension; RTiOW book 2 ch. 7 semantics).
+
+    A hit adds ``throughput * emit`` to the path radiance and terminates
+    the path (lights do not scatter). ``emit`` components may exceed 1
+    (light intensity) but must be nonnegative: emission rides the albedo
+    rows of the kernel's packed scene table, whose sign bits carry the
+    material type (kernels/trace.py ``_pack_mat_bits``).
+    """
+
+    emit: Vec3
+
+    type_id = MATERIAL_LIGHT
+
+    def __post_init__(self):
+        _check_nonnegative("DiffuseLight.emit", *self.emit)
+
+
+Material = Union[Lambertian, Metal, Dielectric, DiffuseLight]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -151,18 +172,32 @@ class Camera:
 
 @dataclasses.dataclass(frozen=True)
 class World:
-    """Reference api::World (lib.rs:635-637) plus camera and meshes."""
+    """Reference api::World (lib.rs:635-637) plus camera, meshes, ambient.
+
+    ``ambient`` replaces the reference's sky gradient (shader.wgsl:331-334)
+    with a constant background color when set — ``(0, 0, 0)`` makes
+    emissive materials the only illumination (RTiOW book 2 ch. 7's
+    ``background`` knob). ``None`` keeps the reference gradient.
+    """
 
     spheres: Tuple[Sphere, ...]
     camera: Camera = dataclasses.field(default_factory=Camera.reference)
     meshes: Tuple[Mesh, ...] = ()
+    ambient: Optional[Vec3] = None
 
-    def __init__(self, spheres, camera: Optional[Camera] = None, meshes=()):
+    def __init__(
+        self, spheres, camera: Optional[Camera] = None, meshes=(), ambient=None
+    ):
         object.__setattr__(self, "spheres", tuple(spheres))
         object.__setattr__(
             self, "camera", camera if camera is not None else Camera.reference()
         )
         object.__setattr__(self, "meshes", tuple(meshes))
+        object.__setattr__(
+            self,
+            "ambient",
+            None if ambient is None else tuple(float(c) for c in ambient),
+        )
 
     def __len__(self) -> int:
         return len(self.spheres)

@@ -115,6 +115,10 @@ def _material_row(m: api.Material):
         return m.albedo, m.fuzz, 1.0, m.type_id
     if isinstance(m, api.Dielectric):
         return (0.0, 0.0, 0.0), 0.0, m.ior, m.type_id
+    if isinstance(m, api.DiffuseLight):
+        # Emission rides the albedo columns (lights never scatter, so
+        # the slots are free); components may exceed 1 (intensity).
+        return m.emit, 0.0, 1.0, m.type_id
     raise TypeError(f"unknown material: {m!r}")
 
 

@@ -17,6 +17,7 @@ import numpy as np
 from myraytracer_tpu.scene.api import (
     Camera,
     Dielectric,
+    DiffuseLight,
     Lambertian,
     Metal,
     Sphere,
@@ -174,6 +175,83 @@ def mesh_scene(subdivisions: int = 2) -> World:
     )
 
 
+def light_scene() -> World:
+    """Emissive-material demo (RTiOW book 2 ch. 7 "simple light" analog).
+
+    A diffuse sphere lit only by an overhead sphere light and a dim wall
+    light — ``ambient=(0,0,0)`` makes the emitters the sole illumination
+    (extension: the reference has neither emissive materials nor a
+    background knob).
+    """
+    return World(
+        spheres=[
+            Sphere((0.0, -1000.0, 0.0), 1000.0, Lambertian((0.5, 0.5, 0.5))),
+            Sphere((0.0, 2.0, 0.0), 2.0, Lambertian((0.4, 0.6, 0.8))),
+            Sphere((0.0, 8.5, 0.0), 2.0, DiffuseLight((4.0, 4.0, 4.0))),
+            Sphere((5.0, 1.0, 3.0), 1.0, DiffuseLight((2.0, 1.2, 0.4))),
+            Sphere((-3.5, 1.0, 2.5), 1.0, Metal((0.8, 0.8, 0.9), fuzz=0.05)),
+        ],
+        camera=Camera(
+            lookfrom=(13.0, 3.5, 8.0),
+            lookat=(0.0, 2.0, 0.0),
+            vup=(0.0, 1.0, 0.0),
+            vfov_degrees=25.0,
+            aperture=0.0,
+        ),
+        ambient=(0.0, 0.0, 0.0),
+    )
+
+
+def cornell_scene() -> World:
+    """Cornell box (axis-aligned variant): quad walls, a quad ceiling
+    light, and two boxes — the classic emissive-illumination test scene.
+
+    All illumination comes from the light (``ambient=(0,0,0)``); the
+    boxes are axis-aligned (the framework has no instance rotations).
+    """
+    from myraytracer_tpu.scene import meshgen
+    from myraytracer_tpu.scene.api import Mesh
+
+    white = Lambertian((0.73, 0.73, 0.73))
+    red = Lambertian((0.65, 0.05, 0.05))
+    green = Lambertian((0.12, 0.45, 0.15))
+    light = DiffuseLight((15.0, 15.0, 15.0))
+    s = 555.0
+
+    def wall(p0, p1, p2, p3, mat):
+        v, f = meshgen.quad(p0, p1, p2, p3)
+        return Mesh(v, f, mat)
+
+    meshes = [
+        wall((s, 0, 0), (s, s, 0), (s, s, s), (s, 0, s), green),  # left
+        wall((0, 0, 0), (0, s, 0), (0, s, s), (0, 0, s), red),  # right
+        wall((0, 0, 0), (s, 0, 0), (s, 0, s), (0, 0, s), white),  # floor
+        wall((0, s, 0), (s, s, 0), (s, s, s), (0, s, s), white),  # ceiling
+        wall((0, 0, s), (s, 0, s), (s, s, s), (0, s, s), white),  # back
+        wall(  # ceiling light (slightly below the ceiling plane)
+            (213, 554, 227), (343, 554, 227), (343, 554, 332), (213, 554, 332),
+            light,
+        ),
+    ]
+    bv1, bf1 = meshgen.box((368, 165, 351), (82.5, 165.0, 82.5))  # tall
+    bv2, bf2 = meshgen.box((185, 82.5, 169), (82.5, 82.5, 82.5))  # short
+    meshes.append(Mesh(bv1, bf1, white))
+    meshes.append(Mesh(bv2, bf2, white))
+
+    return World(
+        spheres=[],
+        meshes=meshes,
+        camera=Camera(
+            lookfrom=(278.0, 278.0, -800.0),
+            lookat=(278.0, 278.0, 0.0),
+            vup=(0.0, 1.0, 0.0),
+            vfov_degrees=40.0,
+            aperture=0.0,
+        ),
+        ambient=(0.0, 0.0, 0.0),
+    )
+
+
 def obj_scene(path, material=None) -> World:
     """Render an OBJ file: mesh normalized to unit size over a ground quad.
 
@@ -222,6 +300,8 @@ SCENES = {
     "defocus": defocus_scene,
     "final": final_scene,
     "mesh": mesh_scene,
+    "light": light_scene,
+    "cornell": cornell_scene,
 }
 
 

@@ -86,3 +86,32 @@ def test_dielectric_scene_traces():
 def test_depth_cap_enforced():
     with pytest.raises(ValueError):
         make_renderer(api.Camera.reference(), 8, 8, 1, crng.MAX_DEPTH + 1)
+
+
+def test_emissive_hit_returns_throughput_times_emission():
+    """A camera ray that hits a light under a black sky carries exactly
+    the emission (throughput 1 on the first bounce); misses stay black."""
+    import numpy as np
+
+    from myraytracer_tpu.core import rng as crng
+    from myraytracer_tpu.render.integrator import make_renderer
+    from myraytracer_tpu.scene.api import (
+        Camera, DiffuseLight, Sphere, World,
+    )
+    from myraytracer_tpu.scene.compile import compile_scene
+
+    world = World(
+        spheres=[Sphere((0.0, 0.0, -1.0), 0.5, DiffuseLight((4.0, 3.0, 2.0)))],
+        camera=Camera.reference(),
+        ambient=(0.0, 0.0, 0.0),
+    )
+    scene = compile_scene(world)
+    render = make_renderer(
+        world.camera, 16, 8, 1, 4, sample_batch=1,
+        material_set=(4,), sky=world.ambient,
+    )
+    img, _ = render(scene, crng.key_from_seed(0), 0)
+    img = np.asarray(img)
+    center = img[4, 8]
+    np.testing.assert_allclose(center, [4.0, 3.0, 2.0], rtol=1e-6)
+    np.testing.assert_array_equal(img[0, 0], [0.0, 0.0, 0.0])  # black sky

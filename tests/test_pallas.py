@@ -337,3 +337,81 @@ def test_sample_window_masking():
     np.testing.assert_allclose(
         np.asarray(two) + np.asarray(one), np.asarray(full), rtol=1e-5, atol=1e-6
     )
+
+
+def _session_kwargs(world):
+    """Derive the factory kwargs exactly as RenderSession does."""
+    mats = {s.material.type_id for s in world.spheres}
+    mats |= {m.material.type_id for m in world.meshes}
+    return dict(material_set=tuple(sorted(mats)), sky=world.ambient)
+
+
+def render_pair_full(world, depth=DEPTH):
+    """render_pair with the session's material_set/sky derivation (needed
+    for scenes whose material families exceed the (1,2,3) default)."""
+    scene = compile_scene(world)
+    kw = _session_kwargs(world)
+    jnp_render = make_jnp_renderer(
+        world.camera, W, H, SPP, depth, sample_batch=SPP, **kw
+    )
+    pal_render = make_pallas_renderer(
+        world.camera, W, H, SPP, depth, tile_rows=8, interpret=True, **kw
+    )
+    a, segs_a = jnp_render(scene, KEY, 0)
+    b, segs_b = pal_render(scene, KEY, 0)
+    return np.asarray(a), np.asarray(b), float(segs_a), float(segs_b)
+
+
+def test_light_scene_parity():
+    """Emissive spheres + constant black background (World.ambient)."""
+    a, b, sa, sb = render_pair_full(presets.light_scene())
+    assert np.isfinite(b).all()
+    assert b.max() > 0.5  # the lights actually illuminate
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+    assert sa == sb
+
+
+def test_cornell_scene_parity():
+    """Triangle-quad walls + an emissive quad light: the emission path
+    through the triangle winner record (rows 9-12)."""
+    a, b, sa, sb = render_pair_full(presets.cornell_scene())
+    assert np.isfinite(b).all()
+    assert b.max() > 0.5
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+    assert sa == sb
+
+
+def test_four_material_family_parity():
+    """All four families in one scene exercises the 2-bit sign-packed
+    material decode at its full width (kernels/trace.py _pack_mat_bits)."""
+    from myraytracer_tpu.scene.api import (
+        Camera, Dielectric, DiffuseLight, Lambertian, Metal, Sphere, World,
+    )
+
+    world = World(
+        spheres=[
+            Sphere((0.0, -100.5, -1.0), 100.0, Lambertian((0.8, 0.8, 0.0))),
+            Sphere((0.0, 0.0, -1.0), 0.5, DiffuseLight((3.0, 2.0, 1.0))),
+            Sphere((-1.0, 0.0, -1.0), 0.5, Dielectric(1.5)),
+            Sphere((1.0, 0.0, -1.0), 0.5, Metal((0.8, 0.6, 0.2), fuzz=0.3)),
+        ],
+        camera=Camera.reference(),
+    )
+    a, b, sa, sb = render_pair_full(world)
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+    assert sa == sb
+
+
+def test_constant_sky_parity():
+    """World.ambient with a non-black constant replaces the sky gradient
+    in both paths identically (no emissive materials involved)."""
+    base = presets.reference_scene()
+    from myraytracer_tpu.scene.api import World
+
+    world = World(base.spheres, camera=base.camera, ambient=(0.2, 0.3, 0.4))
+    a, b, _, _ = render_pair_full(world)
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+    # And it differs from the gradient-sky image (the knob does something).
+    a0, _, _, _ = render_pair_full(base)
+    assert np.abs(a - a0).max() > 1e-3

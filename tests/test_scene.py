@@ -120,3 +120,46 @@ def test_material_params_must_be_nonnegative():
     # Zero and positive values are fine.
     api.Lambertian(albedo=(0.0, 0.0, 0.0))
     api.Metal(albedo=(1.0, 1.0, 1.0), fuzz=0.0)
+
+
+def test_diffuse_light_compiles_to_soa():
+    """DiffuseLight: emission rides the albedo columns; type id 4."""
+    import numpy as np
+
+    from myraytracer_tpu.scene.api import (
+        Camera, DiffuseLight, Sphere, World,
+    )
+    from myraytracer_tpu.scene.compile import compile_scene
+
+    world = World(
+        spheres=[Sphere((0.0, 0.0, -1.0), 0.5, DiffuseLight((4.0, 3.0, 2.0)))],
+        camera=Camera.reference(),
+    )
+    scene = compile_scene(world)
+    assert int(scene.mat_ty[0]) == 4
+    np.testing.assert_allclose(
+        [float(scene.albedo.x[0]),
+         float(scene.albedo.y[0]),
+         float(scene.albedo.z[0])],
+        [4.0, 3.0, 2.0],
+    )
+    assert float(scene.fuzz[0]) == 0.0
+    assert float(scene.ior[0]) == 1.0
+
+
+def test_diffuse_light_rejects_negative_emit():
+    import pytest
+
+    from myraytracer_tpu.scene.api import DiffuseLight
+
+    with pytest.raises(ValueError):
+        DiffuseLight((-1.0, 0.0, 0.0))
+
+
+def test_world_ambient_normalizes_to_float_tuple():
+    from myraytracer_tpu.scene.api import Camera, World
+
+    w = World(spheres=[], camera=Camera.reference(), ambient=(0, 0, 1))
+    assert w.ambient == (0.0, 0.0, 1.0)
+    assert all(isinstance(c, float) for c in w.ambient)
+    assert World(spheres=[], camera=Camera.reference()).ambient is None

@@ -175,3 +175,20 @@ def test_segments_accumulate_float64():
     assert total > 1e9  # per-step counts (~hundreds) survived the fold
     assert s.segments_traced == total  # folding is idempotent
     assert not s._segs_pending
+
+
+def test_ambient_is_part_of_scene_fingerprint():
+    """A different background must invalidate checkpoint resume (the
+    ambient is a static kernel constant, not a compiled-array leaf)."""
+    from myraytracer_tpu.config import RenderConfig
+    from myraytracer_tpu.render.session import RenderSession
+    from myraytracer_tpu.scene.api import World
+    from myraytracer_tpu.scene.presets import reference_scene
+
+    base = reference_scene()
+    dark = World(base.spheres, camera=base.camera, ambient=(0.0, 0.0, 0.0))
+    cfg = RenderConfig(width=16, height=8, samples_per_frame=1,
+                       ray_depth=2, backend="jnp")
+    fp_a = RenderSession(base, cfg).scene_fingerprint
+    fp_b = RenderSession(dark, cfg).scene_fingerprint
+    assert fp_a != fp_b
