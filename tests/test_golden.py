@@ -25,6 +25,8 @@ CONFIGS = [
     ("three_sphere_32x18", "three-sphere", 32, 18, 4, 8),
     ("defocus_32x18", "defocus", 32, 18, 4, 8),
     ("final_48x32", "final", 48, 32, 2, 8),
+    ("light_32x18", "light", 32, 18, 4, 8),
+    ("cornell_32x18", "cornell", 32, 18, 4, 8),
 ]
 
 
@@ -36,6 +38,9 @@ def test_golden(name, scene_name, w, h, spp, depth):
     want = np.load(path)
     world = presets.get_scene(scene_name)
     scene = compile_scene(world)
-    render = make_renderer(world.camera, w, h, spp, depth, sample_batch=2)
+    render = make_renderer(
+        world.camera, w, h, spp, depth, sample_batch=2,
+        sky=world.ambient,
+    )
     img, _ = render(scene, KEY, 0)
     np.testing.assert_allclose(np.asarray(img), want, rtol=1e-4, atol=1e-5)

@@ -30,6 +30,8 @@ CONFIGS = [
     ("three_sphere_32x18", "three-sphere", 32, 18, 4, 8),
     ("defocus_32x18", "defocus", 32, 18, 4, 8),
     ("final_48x32", "final", 48, 32, 2, 8),
+    ("light_32x18", "light", 32, 18, 4, 8),
+    ("cornell_32x18", "cornell", 32, 18, 4, 8),
 ]
 
 
@@ -39,7 +41,10 @@ def main():
     for name, scene_name, w, h, spp, depth in CONFIGS:
         world = presets.get_scene(scene_name)
         scene = compile_scene(world)
-        render = make_renderer(world.camera, w, h, spp, depth, sample_batch=2)
+        render = make_renderer(
+            world.camera, w, h, spp, depth, sample_batch=2,
+            sky=world.ambient,
+        )
         img, segs = render(scene, key, 0)
         arr = np.asarray(img)
         np.save(GOLDEN_DIR / f"{name}.npy", arr)
