@@ -275,3 +275,20 @@ def test_fetch_array_assembles_sharded_output(scene, single):
     np.testing.assert_array_equal(got, single[0])
     # plain numpy passes through
     np.testing.assert_array_equal(fetch_array(single[0]), single[0])
+
+
+def test_tile_sharded_light_scene_matches_single():
+    """Emissive scene + constant background through the sharded path:
+    the sky/material_set kwargs must reach the per-device blocks."""
+    world = presets.light_scene()
+    lscene = compile_scene(world)
+    kw = dict(material_set=(1, 2, 4), sky=world.ambient)
+    single_r = make_renderer(world.camera, W, H, SPP, DEPTH,
+                             sample_batch=2, **kw)
+    want, _ = single_r(lscene, KEY, 0)
+    sharded = make_tile_sharded_renderer(world.camera, W, H, SPP, DEPTH,
+                                         sample_batch=2, **kw)
+    got, _ = sharded(lscene, KEY, 0)
+    arr = np.asarray(got)
+    assert arr.max() > 0.5  # the lights illuminate through the shard path
+    np.testing.assert_array_equal(arr, np.asarray(want))
