@@ -53,6 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
+        "--ambient", default=None, metavar="R,G,B",
+        help="constant background color overriding the scene's sky "
+        "(e.g. 0,0,0 for emissive-only illumination; extension — the "
+        "reference's sky gradient is hard-coded, shader.wgsl:331-334)",
+    )
+    p.add_argument(
         "--obj", default=None, metavar="FILE",
         help="render an OBJ mesh (overrides --scene; native C++ loader)",
     )
@@ -174,6 +180,22 @@ def main(argv=None) -> int:
                 world = get_scene(scene_name, seed=config.seed)
             except KeyError as e:
                 raise SystemExit(f"--scene: {e.args[0]}") from None
+        if args.ambient is not None:
+            from myraytracer_tpu.scene.api import World
+
+            try:
+                amb = tuple(float(c) for c in args.ambient.split(","))
+                if len(amb) != 3 or any(c < 0 for c in amb):
+                    raise ValueError
+            except ValueError:
+                raise SystemExit(
+                    f"--ambient: expected R,G,B nonnegative floats, "
+                    f"got {args.ambient!r}"
+                ) from None
+            world = World(
+                world.spheres, camera=world.camera, meshes=world.meshes,
+                ambient=amb,
+            )
         session = make_session(world, config)
         log.info(
             "rendering scene=%s %dx%d spp/frame=%d depth=%d frames=%s "

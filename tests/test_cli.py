@@ -106,3 +106,30 @@ def test_cli_url_query_rebuilds_session(tmp_path):
         assert read_png(out).shape == (12, 24, 3)
     finally:
         viewer_mod.LiveViewer.__init__ = real_init
+
+
+def test_cli_ambient_override(tmp_path):
+    """--ambient replaces the sky: black ambient + no emitters = an
+    all-black image (the sky was the only light source); a colored
+    ambient re-lights the scene."""
+    out = tmp_path / "amb.png"
+    rc = cli.main(BASE + ["--frames", "1", "--ambient", "0,0,0",
+                          "--out", str(out)])
+    assert rc == 0
+    assert read_png(out).max() == 0
+    rc = cli.main(BASE + ["--frames", "1", "--ambient", "1,0.5,0.25",
+                          "--out", str(out)])
+    assert rc == 0
+    img = read_png(out)
+    assert img.max() > 0
+    # The R>B ambient tint dominates the frame's illumination.
+    assert img[..., 0].mean() > img[..., 2].mean()
+
+
+def test_cli_ambient_rejects_bad_input(tmp_path):
+    with pytest.raises(SystemExit):
+        cli.main(BASE + ["--frames", "1", "--ambient", "0,0",
+                         "--out", str(tmp_path / "x.png")])
+    with pytest.raises(SystemExit):
+        cli.main(BASE + ["--frames", "1", "--ambient", "a,b,c",
+                         "--out", str(tmp_path / "x.png")])
