@@ -43,6 +43,23 @@ def box(center, half_extents) -> Tuple[np.ndarray, np.ndarray]:
     return v, f
 
 
+def rotate_y(vertices: np.ndarray, degrees: float, about=None) -> np.ndarray:
+    """Rotate vertices about a vertical axis through ``about`` (default:
+    the vertex centroid). Instance transforms bake into the geometry —
+    the compiled scene stays plain triangles (no per-instance machinery,
+    which RTiOW book 2 needs only because its primitives are implicit)."""
+    v = np.asarray(vertices, np.float32)
+    c = v.mean(axis=0) if about is None else np.asarray(about, np.float32)
+    a = math.radians(degrees)
+    ca, sa = math.cos(a), math.sin(a)
+    x = v[:, 0] - c[0]
+    z = v[:, 2] - c[2]
+    out = v.copy()
+    out[:, 0] = ca * x + sa * z + c[0]
+    out[:, 2] = -sa * x + ca * z + c[2]
+    return out
+
+
 def quad(p0, p1, p2, p3) -> Tuple[np.ndarray, np.ndarray]:
     """Two-triangle quad with vertices in CCW order."""
     v = np.asarray([p0, p1, p2, p3], np.float32)

@@ -203,11 +203,10 @@ def light_scene() -> World:
 
 
 def cornell_scene() -> World:
-    """Cornell box (axis-aligned variant): quad walls, a quad ceiling
-    light, and two boxes — the classic emissive-illumination test scene.
-
-    All illumination comes from the light (``ambient=(0,0,0)``); the
-    boxes are axis-aligned (the framework has no instance rotations).
+    """Cornell box: quad walls, a quad ceiling light, and the two classic
+    rotated boxes (15°/-18° about y, baked into the vertices with
+    ``meshgen.rotate_y`` — no instance machinery needed). All
+    illumination comes from the light (``ambient=(0,0,0)``).
     """
     from myraytracer_tpu.scene import meshgen
     from myraytracer_tpu.scene.api import Mesh
@@ -233,10 +232,10 @@ def cornell_scene() -> World:
             light,
         ),
     ]
-    bv1, bf1 = meshgen.box((368, 165, 351), (82.5, 165.0, 82.5))  # tall
-    bv2, bf2 = meshgen.box((185, 82.5, 169), (82.5, 82.5, 82.5))  # short
-    meshes.append(Mesh(bv1, bf1, white))
-    meshes.append(Mesh(bv2, bf2, white))
+    bv1, bf1 = meshgen.box((347.5, 165, 377.5), (82.5, 165.0, 82.5))  # tall
+    bv2, bf2 = meshgen.box((212.5, 82.5, 147.5), (82.5, 82.5, 82.5))  # short
+    meshes.append(Mesh(meshgen.rotate_y(bv1, 15.0), bf1, white))
+    meshes.append(Mesh(meshgen.rotate_y(bv2, -18.0), bf2, white))
 
     return World(
         spheres=[],

@@ -163,3 +163,21 @@ def test_mesh_sphere_equivalence():
     np.testing.assert_allclose(
         np.asarray(hm.t), np.asarray(hs.t), rtol=0, atol=0.01
     )
+
+
+def test_rotate_y_preserves_shape_and_distances():
+    import numpy as np
+
+    from myraytracer_tpu.scene import meshgen
+
+    v, _ = meshgen.box((10.0, 5.0, -2.0), (1.0, 2.0, 3.0))
+    r = meshgen.rotate_y(v, 37.0)
+    # Rigid rotation about the centroid: centroid and pairwise distances
+    # are preserved, y untouched.
+    np.testing.assert_allclose(r.mean(axis=0), v.mean(axis=0), atol=1e-4)
+    np.testing.assert_array_equal(r[:, 1], v[:, 1])
+    d_v = np.linalg.norm(v[:, None] - v[None, :], axis=-1)
+    d_r = np.linalg.norm(r[:, None] - r[None, :], axis=-1)
+    np.testing.assert_allclose(d_r, d_v, rtol=1e-5, atol=1e-4)
+    # 360 degrees is identity.
+    np.testing.assert_allclose(meshgen.rotate_y(v, 360.0), v, atol=2e-3)
