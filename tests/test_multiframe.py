@@ -126,3 +126,21 @@ def test_frame_batch_rejects_sample_sharding():
     )
     with pytest.raises(ValueError, match="frame_batch"):
         RenderSession(presets.reference_scene(), cfg)
+
+
+def test_pallas_multiframe_emissive_bitwise():
+    """Frame batching over an emissive scene (per-frame radiance buckets
+    must include the emission adds)."""
+    world = presets.light_scene()
+    scene = compile_scene(world)
+    kw = dict(material_set=(1, 2, 4), sky=world.ambient, tile_rows=8,
+              interpret=True)
+    single = make_pallas_renderer(world.camera, W, H, SPP, DEPTH, **kw)
+    multi = make_pallas_renderer(world.camera, W, H, SPP, DEPTH, frames=K, **kw)
+    imgs, _ = multi(scene, KEY, 0)
+    assert np.asarray(imgs).max() > 0.5
+    for f in range(K):
+        want, _ = single(scene, KEY, f * SPP)
+        np.testing.assert_array_equal(
+            np.asarray(imgs[f]).transpose(1, 2, 0), np.asarray(want)
+        )

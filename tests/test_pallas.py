@@ -415,3 +415,28 @@ def test_constant_sky_parity():
     # And it differs from the gradient-sky image (the knob does something).
     a0, _, _, _ = render_pair_full(base)
     assert np.abs(a - a0).max() > 1e-3
+
+
+def test_zero_red_emission_sign_packing():
+    """emit_r == 0.0 must survive the sign-bit material packing: the
+    packed value is -0.0, whose sign bit still decodes the light type
+    and whose abs() restores exact 0.0 (kernels/trace.py _pack_mat_bits)."""
+    from myraytracer_tpu.scene.api import (
+        Camera, DiffuseLight, Lambertian, Sphere, World,
+    )
+
+    world = World(
+        spheres=[
+            Sphere((0.0, -100.5, -1.0), 100.0, Lambertian((0.6, 0.6, 0.6))),
+            Sphere((0.0, 0.0, -1.0), 0.5, DiffuseLight((0.0, 3.0, 5.0))),
+        ],
+        camera=Camera.reference(),
+        ambient=(0.0, 0.0, 0.0),
+    )
+    a, b, sa, sb = render_pair_full(world)
+    assert np.isfinite(b).all()
+    # The light shows in G/B but its R is exactly zero everywhere the
+    # camera sees it directly.
+    assert b[..., 2].max() > 0.5
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+    assert sa == sb
