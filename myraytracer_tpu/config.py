@@ -15,7 +15,7 @@ a TPU host).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 DEFAULT_WIDTH = 640
 DEFAULT_HEIGHT = 360

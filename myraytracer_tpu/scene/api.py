@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import List, Optional, Tuple, Union
+from typing import Optional, Tuple, Union
 
 Vec3 = Tuple[float, float, float]
 

@@ -62,7 +62,6 @@ def test_cli_env_backend_override(tmp_path, monkeypatch):
 def test_cli_url_query_rebuilds_session(tmp_path):
     """A /?param= page load rebuilds the session mid-run with the merged
     config (the reference web runner's Args-from-query, lib.rs:72-94)."""
-    import json
     import urllib.request
 
     out = tmp_path / "served.png"

@@ -2,11 +2,9 @@
 
 import functools
 
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from myraytracer_tpu.config import RenderConfig
 from myraytracer_tpu.core import rng as crng
 from myraytracer_tpu.render.integrator import make_renderer
 from myraytracer_tpu.scene import api, presets
