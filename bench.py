@@ -26,11 +26,38 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _probe_devices(timeout_s: float):
+    """First device contact, bounded. The axon tunnel can go down for
+    hours, in which case ``jax.devices()`` blocks forever at 0% CPU —
+    fail fast (no JSON line, nonzero exit) instead of hanging the
+    driver's bench step."""
+    import threading
+
+    out = {}
+
+    def probe():
+        import jax
+
+        out["backend"] = jax.default_backend()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "backend" not in out:
+        log(
+            f"bench: no response from the device platform within "
+            f"{timeout_s:.0f}s (tunnel down?) — aborting without a result"
+        )
+        raise SystemExit(3)
+    return out["backend"]
+
+
 def main() -> int:
+    platform = _probe_devices(float(os.environ.get("BENCH_PROBE_TIMEOUT", 240)))
+
     import jax
     import jax.numpy as jnp
 
-    platform = jax.default_backend()
     on_tpu = platform == "tpu"
 
     scene_name = os.environ.get("BENCH_SCENE", "final")
