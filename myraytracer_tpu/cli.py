@@ -240,6 +240,13 @@ def main(argv=None) -> int:
         proc0 = jax.process_index() == 0
 
     viewer = None
+    if args.serve is not None and args.multihost is not None:
+        # The viewer gates host syncs and rebuilds sessions on one
+        # process only; the other processes would keep issuing the
+        # allgather/psum collectives and deadlock the pod.
+        raise SystemExit(
+            "--serve is single-process; run the viewer without --multihost"
+        )
     if args.serve is not None and proc0:
         from myraytracer_tpu.viewer import LiveViewer
 
@@ -262,17 +269,18 @@ def main(argv=None) -> int:
     segs_sync = session.segments_traced
     frames_sync = 0
 
-    import itertools
-
     # One loop step = frame_batch progressive frames; --frames counts
-    # frames, rounded up to a whole number of steps.
+    # frames, rounded up to a whole number of steps. (A while loop, not a
+    # range: a viewer session rebuild can change frame_batch, so the step
+    # count must be re-derived then.)
     n_steps = -(-args.frames // session.frame_batch)
-    frame_iter = itertools.count() if args.frames == 0 else range(n_steps)
 
     with trace_cm:
         try:
-            for i in frame_iter:
+            i = 0
+            while args.frames == 0 or i < n_steps:
                 last = args.frames != 0 and i == n_steps - 1
+                i += 1
                 if viewer is not None and not last:
                     sreq = viewer.pending_session()
                     if sreq is not None:
@@ -282,10 +290,30 @@ def main(argv=None) -> int:
                         # scene change recompiles, like reloading the
                         # reference page with a new query string. Polled
                         # every frame (a lock peek) — not just on the
-                        # sync cadence — so requests apply promptly.
-                        scene_name = sreq.pop("scene", scene_name)
-                        config = make_config(**sreq)
-                        world, session = build_session(scene_name, config)
+                        # sync cadence — so requests apply promptly. A bad
+                        # request (unknown scene, malformed values) must
+                        # not kill the serving render loop — reject it and
+                        # keep the current session, like the reference
+                        # page surviving a bad query string.
+                        try:
+                            req_scene = sreq.pop("scene", scene_name)
+                            req_config = make_config(**sreq)
+                            world, session = build_session(
+                                req_scene, req_config
+                            )
+                        except (SystemExit, ValueError, KeyError,
+                                TypeError) as e:
+                            log.warning(
+                                "viewer session request rejected: %s", e
+                            )
+                        else:
+                            scene_name, config = req_scene, req_config
+                            # The rebuilt session restarts accumulation
+                            # (page-reload semantics), so restart the
+                            # frame budget under its (possibly different)
+                            # frame_batch too.
+                            n_steps = -(-args.frames // session.frame_batch)
+                            i = 0
                         t_sync = time.perf_counter()
                         segs_sync = session.segments_traced
                         frames_sync = 0
@@ -336,8 +364,12 @@ def main(argv=None) -> int:
                             )
                 if args.preview_every and session.frame_count > 0 \
                         and session.frame_count % args.preview_every == 0:
-                    write_image(args.out, session.framebuffer, gamma=args.gamma)
-                    log.info("preview → %s", args.out)
+                    # All processes fetch (collective under multihost);
+                    # only proc0 touches the filesystem.
+                    preview = fetch_array(session.framebuffer)
+                    if proc0:
+                        write_image(args.out, preview, gamma=args.gamma)
+                        log.info("preview → %s", args.out)
         except KeyboardInterrupt:
             # Graceful exit for the run-forever mode (and any long run):
             # fall through to the checkpoint + final image write below.
@@ -347,14 +379,16 @@ def main(argv=None) -> int:
                 session.frame_count, session.accumulated_spp,
             )
 
-    if args.checkpoint and proc0:
-        session.save_checkpoint(args.checkpoint)
-        log.info("checkpoint saved to %s", args.checkpoint)
+    if args.checkpoint:
+        # Every process participates (the framebuffer fetch is an
+        # allgather under multihost); only proc0 writes the file.
+        session.save_checkpoint(args.checkpoint if proc0 else None)
+        if proc0:
+            log.info("checkpoint saved to %s", args.checkpoint)
 
+    final = fetch_array(session.framebuffer)
     if proc0:
-        write_image(
-            args.out, fetch_array(session.framebuffer), gamma=args.gamma
-        )
+        write_image(args.out, final, gamma=args.gamma)
         log.info("wrote %s", args.out)
     return 0
 

@@ -666,7 +666,11 @@ def _trace_kernel(
         if need_albedo:
             rec_rows += [4, 5, 6]
             rec_inits += [zero, zero, zero]
-        if 2 in material_set:
+        if (2 in material_set) or len(material_set) >= 3:
+            # Metal needs the fuzz VALUE; any >=3-family set needs the
+            # fuzz SIGN (b1, the type index's high bit — see the decode
+            # below). Without it a (1,3,4) scene's light would decode as
+            # Lambertian.
             rec_rows += [7]
             rec_inits += [zero]
         if (3 in material_set) and static_ior is None:

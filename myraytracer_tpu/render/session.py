@@ -172,7 +172,14 @@ class RenderSession:
         """Total ray segments traced (forces pending device work)."""
         if self._segs_pending:
             pending, self._segs_pending = self._segs_pending, []
-            self._segs_total += float(sum(float(s) for s in pending))
+            # One batched transfer: each float(scalar) is a full host
+            # round trip over the remote tunnel, and viewer-mode syncing
+            # can queue dozens of pending step scalars.
+            self._segs_total += float(
+                np.asarray(
+                    jax.device_get(jnp.stack(pending)), dtype=np.float64
+                ).sum()
+            )
         return self._segs_total
 
     @property
@@ -269,7 +276,12 @@ class RenderSession:
         return self._fingerprint
 
     def save_checkpoint(self, path) -> None:
-        path = pathlib.Path(path)
+        """Save accumulation state to ``path`` (npz).
+
+        ``path=None`` participates in the state gather without writing a
+        file — under ``--multihost`` the framebuffer fetch is a collective
+        every process must join, while only process 0 owns the file.
+        """
         meta = {
             "version": CHECKPOINT_VERSION,
             "width": self.width,
@@ -284,8 +296,14 @@ class RenderSession:
             "backend": self.backend_resolved,
             "shard": self.config.shard,
         }
+        # fetch_array, not np.asarray: under --multihost the framebuffer is
+        # a process-spanning global array (shard_map tile sharding) and a
+        # plain host read of non-addressable shards raises; the fetch
+        # assembles it with an allgather (parallel/sharding.py).
+        from myraytracer_tpu.parallel.sharding import fetch_array
+
         arrays = dict(
-            framebuffer=np.asarray(self.framebuffer),
+            framebuffer=fetch_array(self.framebuffer),
             frame_count=np.int64(self.frame_count),
             sample_cursor=np.int64(self.sample_cursor),
             segments_traced=np.float64(self.segments_traced),
@@ -296,7 +314,8 @@ class RenderSession:
             # of the accumulation state: resuming under a different view
             # would silently blend two different images.
             arrays["camera"] = np.asarray(self.scene.cam)
-        np.savez(path, **arrays)
+        if path is not None:
+            np.savez(pathlib.Path(path), **arrays)
 
     def load_checkpoint(self, path) -> None:
         data = np.load(pathlib.Path(path), allow_pickle=False)

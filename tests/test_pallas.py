@@ -440,3 +440,39 @@ def test_zero_red_emission_sign_packing():
     assert b[..., 2].max() > 0.5
     np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
     assert sa == sb
+
+
+def test_no_metal_light_decode_parity():
+    """Material set (1,3,4) — no Metal: the fuzz row is still carried
+    because its SIGN holds the type index's high bit. Regression for the
+    light-decodes-as-Lambertian bug (the emitter rendered black under a
+    black ambient)."""
+    from myraytracer_tpu.scene.api import (
+        Camera, Dielectric, DiffuseLight, Lambertian, Sphere, World,
+    )
+
+    world = World(
+        spheres=[
+            Sphere((0.0, -100.5, -1.0), 100.0, Lambertian((0.7, 0.7, 0.7))),
+            Sphere((0.0, 0.0, -1.0), 0.5, DiffuseLight((4.0, 3.0, 2.0))),
+            Sphere((1.0, 0.0, -1.0), 0.5, Dielectric(1.5)),
+        ],
+        camera=Camera.reference(),
+        ambient=(0.0, 0.0, 0.0),
+    )
+    a, b, sa, sb = render_pair_full(world)
+    assert b.max() > 0.5  # the light emits (it was black pre-fix)
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+    assert sa == sb
+    # Same set with a scene-uniform IOR baked static (drops the IOR row
+    # but must keep the fuzz row).
+    scene = compile_scene(world)
+    kw = dict(material_set=(1, 3, 4), sky=world.ambient, static_ior=1.5)
+    jr = make_jnp_renderer(world.camera, W, H, SPP, DEPTH, sample_batch=SPP,
+                           **{k: v for k, v in kw.items() if k != "static_ior"})
+    pr = make_pallas_renderer(world.camera, W, H, SPP, DEPTH, tile_rows=8,
+                              interpret=True, **kw)
+    aa, _ = jr(scene, KEY, 0)
+    bb, _ = pr(scene, KEY, 0)
+    np.testing.assert_allclose(np.asarray(bb), np.asarray(aa),
+                               rtol=1e-5, atol=1e-6)

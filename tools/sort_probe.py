@@ -39,7 +39,6 @@ def main() -> int:
     def keys_of(state):
         # Cheap u32 mix of one payload row — stands in for the Morton/
         # octant key computation (itself a handful of vector ops).
-        b = state[0].view(jnp.uint32) if hasattr(state[0], "view") else None
         k = jax.lax.bitcast_convert_type(state[0], jnp.uint32)
         k = k * jnp.uint32(2654435761) ^ (k >> jnp.uint32(13))
         return k
