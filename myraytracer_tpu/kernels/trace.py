@@ -91,7 +91,7 @@ from jax.experimental.pallas import tpu as pltpu
 from myraytracer_tpu.core import rng as crng
 from myraytracer_tpu.core.vec import V3
 from myraytracer_tpu.render import camera as cam_mod
-from myraytracer_tpu.render.hit import Hit
+from myraytracer_tpu.render.hit import TRI_DET_EPS, Hit
 from myraytracer_tpu.render.materials import color_sky, scatter
 from myraytracer_tpu.scene.api import Camera
 from myraytracer_tpu.scene.compile import LEADERS, CompiledScene
@@ -606,8 +606,12 @@ def _trace_kernel(
         # sample stream — opt-in, not oracle-parity.
         # Single scalar seed (multi-operand prng_seed crashes this
         # environment's AOT compile helper): mix key, frame window, tile.
+        # Both key words must feed the seed: key_from_seed puts ordinary
+        # seeds (< 2^32) entirely in key[1], so mixing only key[0] would
+        # make every user seed produce the identical hw stream.
         seed = (
             meta_ref[0].astype(jnp.int32)
+            ^ (meta_ref[1].astype(jnp.int32) * jnp.int32(-1028477387))
             ^ (meta_ref[2].astype(jnp.int32) * jnp.int32(-1640531527))
             ^ (tile * jnp.int32(-2048144789))
         )
@@ -978,7 +982,7 @@ def _trace_kernel(
                     py = d.z * e2x - d.x * e2z
                     pz = d.x * e2y - d.y * e2x
                     det = e1x * px + e1y * py + e1z * pz
-                    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-9, 1.0, det)
+                    inv_det = 1.0 / jnp.where(jnp.abs(det) < TRI_DET_EPS, 1.0, det)
                     tvx = o.x - v0x
                     tvy = o.y - v0y
                     tvz = o.z - v0z
@@ -989,7 +993,7 @@ def _trace_kernel(
                     v = (d.x * qx + d.y * qy + d.z * qz) * inv_det
                     t_cand = (e2x * qx + e2y * qy + e2z * qz) * inv_det
                     valid = (
-                        (jnp.abs(det) >= 1e-9)
+                        (jnp.abs(det) >= TRI_DET_EPS)
                         & (u >= 0.0)
                         & (v >= 0.0)
                         & (u + v <= 1.0)

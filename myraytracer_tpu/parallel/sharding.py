@@ -69,6 +69,14 @@ def _resolve_block_factory(block_factory):
             make_block_renderer as make_pallas_block,
         )
 
+        if jax.default_backend() != "tpu":
+            # Same fallback dispatch.renderer_factory applies unsharded:
+            # explicit pallas off-TPU runs the kernel in interpret mode
+            # (slow but semantically the kernel) instead of crashing at
+            # Mosaic compile.
+            import functools
+
+            return functools.partial(make_pallas_block, interpret=True)
         return make_pallas_block
     return make_block_renderer
 
@@ -188,7 +196,6 @@ def make_tile_sharded_renderer(
     frames = int(frames)
 
     rows_per = _ceil_div(height, nd)
-    h_pad = rows_per * nd
 
     factory = _resolve_block_factory(block_factory)
     import inspect

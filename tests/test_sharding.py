@@ -292,3 +292,17 @@ def test_tile_sharded_light_scene_matches_single():
     arr = np.asarray(got)
     assert arr.max() > 0.5  # the lights illuminate through the shard path
     np.testing.assert_array_equal(arr, np.asarray(want))
+
+
+def test_block_factory_string_pallas_interprets_off_tpu(scene):
+    """block_factory=\"pallas\" off-TPU must fall back to interpret mode
+    (the same fallback dispatch applies unsharded) instead of crashing
+    at Mosaic compile."""
+    cam = presets.reference_scene().camera
+    render = make_tile_sharded_renderer(
+        cam, W, H, SPP, DEPTH, block_factory="pallas"
+    )
+    img, segs = render(scene, KEY, 0)
+    img = np.asarray(img)
+    assert img.shape == (H, W, 3)
+    assert np.isfinite(img).all() and img.max() > 0
