@@ -86,7 +86,7 @@ def main() -> int:
         backend=backend,
     )
     world = get_scene(scene_name, seed=0)
-    scene = compile_scene(world, spatial_sort=len(world.spheres) > 64)
+    scene = compile_scene(world, spatial_sort=len(world.spheres) > 64 or world.triangle_count > 64)
     resolved = resolve_backend(config)
     factory = renderer_factory(config)
     materials = {s.material.type_id for s in world.spheres}
@@ -102,6 +102,7 @@ def main() -> int:
         sample_batch=config.resolve_sample_batch(),
         material_set=tuple(sorted(materials)) or None,
         static_ior=(iors.pop() if len(iors) == 1 else None),
+        sky=world.ambient,
     )
     key = crng.key_from_seed(0)
 

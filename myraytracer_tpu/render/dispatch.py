@@ -70,15 +70,22 @@ def make_session(world: api.World, config: RenderConfig) -> RenderSession:
         try:
             from myraytracer_tpu.kernels.trace import fits_in_smem
         except (ImportError, NotImplementedError):
-            # Pallas unavailable: renderer_factory degrades auto to jnp
-            # on its own; don't crash session creation here.
-            fits_in_smem = None
+            # Pallas unavailable: downgrade the CONFIG (not just the
+            # factory) so the session's backend provenance — recorded in
+            # checkpoints to refuse cross-compiler resumes — matches the
+            # jnp renderer that will actually run.
+            import dataclasses
+
+            cfg = dataclasses.replace(config, backend="jnp")
+            return RenderSession(
+                world, cfg, renderer_factory=renderer_factory(cfg)
+            )
 
         # Margins cover the kernel's exact padded-table re-check (spheres
         # pad to LEADERS + k*CULL_CHUNK, triangles to k*TRI_CHUNK): this
         # check must be at least as strict, so auto mode never compiles
         # into the kernel's ValueError at the boundary.
-        if fits_in_smem is not None and not fits_in_smem(
+        if not fits_in_smem(
             len(world.spheres) + 192, world.triangle_count + 128,
             tri_table_in_smem=False, sph_table_in_smem=False,
         ):

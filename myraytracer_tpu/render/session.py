@@ -38,7 +38,7 @@ from myraytracer_tpu.render.integrator import make_renderer
 from myraytracer_tpu.scene import api
 from myraytracer_tpu.scene.compile import compile_scene
 
-CHECKPOINT_VERSION = 2
+CHECKPOINT_VERSION = 3
 
 
 @jax.jit
@@ -100,7 +100,13 @@ class RenderSession:
         # and ignores it). "auto" resolves like dispatch.resolve_backend
         # (kept inline: dispatch imports this module).
         resolved = config.backend
-        if resolved == "auto":
+        if renderer_factory is None:
+            # The default factory IS the jnp integrator, whatever the
+            # platform: recording "pallas" here would let a later pallas
+            # resume silently blend a jnp-produced stream (the exact
+            # cross-compiler mixing load_checkpoint exists to refuse).
+            resolved = "jnp"
+        elif resolved == "auto":
             resolved = "pallas" if jax.default_backend() == "tpu" else "jnp"
         # Checkpoint provenance: cross-compiler images agree only
         # statistically (kernels/trace.py determinism contract), so a
@@ -108,7 +114,7 @@ class RenderSession:
         self.backend_resolved = resolved
         self.scene = compile_scene(
             world,
-            spatial_sort=len(world.spheres) > 64,
+            spatial_sort=len(world.spheres) > 64 or world.triangle_count > 64,
             triangle_bvh=(
                 resolved == "jnp" and world.triangle_count > 512
             ),
@@ -194,6 +200,21 @@ class RenderSession:
         the exact per-frame weights, so the framebuffer is bitwise the one
         K single-frame steps would produce.
         """
+        next_cursor = (
+            self.sample_cursor
+            + self.config.samples_per_frame * self.frame_batch
+        )
+        if next_cursor * crng.DRAWS_PER_SAMPLE > 0xFFFFFFFF:
+            # The threefry draw index is sample_id * DRAWS_PER_SAMPLE +
+            # slot in uint32: past ~16.9M samples/pixel it would wrap and
+            # silently reuse the earliest samples' draws. Loud, per the
+            # determinism contract (a run-forever session takes days to
+            # get here).
+            raise RuntimeError(
+                f"sample cursor {next_cursor} would overflow the uint32 "
+                f"draw-index space ({0xFFFFFFFF // crng.DRAWS_PER_SAMPLE} "
+                f"samples/pixel max): the RNG stream would alias"
+            )
         img, segs = self._render(
             self.scene, self.key, jnp.uint32(self.sample_cursor)
         )
@@ -222,8 +243,9 @@ class RenderSession:
 
     def run(self, frames: int) -> jnp.ndarray:
         """Run at least ``frames`` progressive frames (rounded up to a
-        multiple of ``frame_batch``)."""
-        for _ in range(-(-frames // self.frame_batch)):
+        multiple of ``frame_batch``); ``frames <= 0`` is a no-op."""
+        fb = self.framebuffer
+        for _ in range(max(0, -(-frames // self.frame_batch))):
             fb = self.step()
         fb.block_until_ready()
         return self.framebuffer
@@ -290,6 +312,8 @@ class RenderSession:
             "ray_depth": self.config.ray_depth,
             "max_framebuffer_weight": self.config.max_framebuffer_weight,
             "seed": self.config.seed,
+            "t_min": self.config.t_min,
+            "t_max": self.config.t_max,
             # Exact-continuation provenance: the scene content, the compute
             # path that produced the stream, and the sharding mode.
             "scene": self.scene_fingerprint,
@@ -324,7 +348,7 @@ class RenderSession:
             raise ValueError(f"checkpoint version {meta['version']} unsupported")
         for field in (
             "width", "height", "samples_per_frame", "ray_depth", "seed",
-            "max_framebuffer_weight",
+            "max_framebuffer_weight", "t_min", "t_max",
         ):
             have = getattr(self, field, None)
             if have is None:
@@ -358,6 +382,14 @@ class RenderSession:
                     "was built for the fixed reference camera"
                 )
             self.scene = self.scene._replace(cam=jnp.asarray(data["camera"]))
+        elif self.scene.cam is not None:
+            # Symmetric refusal: a reference-camera checkpoint resumed
+            # into a general-camera session would silently blend two
+            # different views (the fingerprint excludes cameras).
+            raise ValueError(
+                "checkpoint has no runtime camera (fixed reference view) "
+                "but this session renders a positionable camera"
+            )
         self.framebuffer = jnp.asarray(data["framebuffer"])
         self.frame_count = int(data["frame_count"])
         self.sample_cursor = int(data["sample_cursor"])

@@ -123,7 +123,7 @@ def _material_row(m: api.Material):
 
 
 def _compile_triangles(
-    meshes, pad_to: int, with_bvh: bool
+    meshes, pad_to: int, with_bvh: bool, spatial_sort: bool
 ) -> CompiledTriangles:
     t = sum(len(m) for m in meshes)
     tpad = max(pad_to, -(-max(t, 1) // pad_to) * pad_to)
@@ -139,17 +139,21 @@ def _compile_triangles(
     for mesh in meshes:
         verts = np.asarray(mesh.vertices, np.float32)
         alb, fz, io, ty = _material_row(mesh.material)
-        for (a, b, c) in mesh.triangles:
-            v0[k] = verts[a]
-            e1[k] = verts[b] - verts[a]
-            e2[k] = verts[c] - verts[a]
-            albedo[k] = alb
-            fuzz[k] = fz
-            ior[k] = io
-            mat_ty[k] = ty
-            k += 1
+        tri = np.asarray(mesh.triangles, np.int32).reshape(-1, 3)
+        n_m = tri.shape[0]
+        if n_m == 0:
+            continue
+        a = verts[tri[:, 0]]
+        v0[k:k + n_m] = a
+        e1[k:k + n_m] = verts[tri[:, 1]] - a
+        e2[k:k + n_m] = verts[tri[:, 2]] - a
+        albedo[k:k + n_m] = alb
+        fuzz[k:k + n_m] = fz
+        ior[k:k + n_m] = io
+        mat_ty[k:k + n_m] = ty
+        k += n_m
 
-    if not with_bvh and t > 64:
+    if spatial_sort and not with_bvh and t > 64:
         # Morton-sort triangles by centroid so the Pallas kernel's chunked
         # AABB culling gets spatial locality (ties-only semantic effect,
         # like the sphere sort).
@@ -246,8 +250,9 @@ def compile_scene(
 ) -> CompiledScene:
     """Flatten an api.World into padded SoA jnp arrays.
 
-    ``spatial_sort`` reorders spheres along a Morton curve so that
-    consecutive index chunks are spatially compact — the Pallas kernel's
+    ``spatial_sort`` reorders spheres (and triangles past 64, unless a
+    BVH reorders them instead) along a Morton curve so that consecutive
+    index chunks are spatially compact — the Pallas kernel's
     chunk-AABB culling (kernels/trace.py) depends on that locality.
     Reordering only affects equal-t tie-breaking (the reference's scan
     order, shader.wgsl:320, matters only for exact ties), so all compute
@@ -268,7 +273,8 @@ def compile_scene(
             lead_mask[big] = True
             order = np.concatenate([order[lead_mask], order[~lead_mask]])
         spheres = tuple(spheres[i] for i in order)
-        world = api.World(spheres, camera=world.camera, meshes=world.meshes)
+        world = api.World(spheres, camera=world.camera,
+                          meshes=world.meshes, ambient=world.ambient)
     npad = max(pad_to, -(-max(n, 1) // pad_to) * pad_to)
 
     center = np.zeros((n, 3), np.float32)
@@ -286,6 +292,7 @@ def compile_scene(
     radius_sq = radius * radius
     # Pad slots: radius_sq = -1 makes them unhittable (see module docstring).
     center_p = _pad(center, npad, 0.0)
+    albedo_p = _pad(albedo, npad, 0.0)
     return CompiledScene(
         center=V3(
             jnp.asarray(center_p[:, 0]),
@@ -295,9 +302,9 @@ def compile_scene(
         radius=jnp.asarray(_pad(radius, npad, 1.0)),
         radius_sq=jnp.asarray(_pad(radius_sq, npad, -1.0)),
         albedo=V3(
-            jnp.asarray(_pad(albedo, npad, 0.0)[:, 0]),
-            jnp.asarray(_pad(albedo, npad, 0.0)[:, 1]),
-            jnp.asarray(_pad(albedo, npad, 0.0)[:, 2]),
+            jnp.asarray(albedo_p[:, 0]),
+            jnp.asarray(albedo_p[:, 1]),
+            jnp.asarray(albedo_p[:, 2]),
         ),
         fuzz=jnp.asarray(_pad(fuzz, npad, 0.0)),
         ior=jnp.asarray(_pad(ior, npad, 1.0)),
@@ -311,6 +318,7 @@ def compile_scene(
                 # triangle counts — so it is opt-in (a TPU-native
                 # traversal is future work).
                 with_bvh=bool(triangle_bvh),
+                spatial_sort=spatial_sort,
             )
             if world.meshes
             else None

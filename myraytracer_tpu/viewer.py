@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import json
 import logging
+import math
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs
@@ -172,6 +173,14 @@ class LiveViewer:
                         }
                     except ValueError:
                         self.send_error(400)
+                        return
+                    # A camera move resets the accumulation, so reject
+                    # requests that would poison or pointlessly clear it:
+                    # non-finite values (float('nan') parses fine) and
+                    # empty queries.
+                    if not req or any(not math.isfinite(v)
+                                      for v in req.values()):
+                        self.send_error(400, "finite yaw/pitch/dist required")
                         return
                     with viewer._lock:
                         viewer._camera_request = req

@@ -1,6 +1,7 @@
 """Progressive accumulation + checkpoint/resume (lib.rs:299-306 semantics)."""
 
 import numpy as np
+import pytest
 
 from myraytracer_tpu.config import RenderConfig
 from myraytracer_tpu.render.session import RenderSession
@@ -126,13 +127,21 @@ def test_checkpoint_rejects_different_scene(tmp_path):
 
 
 def test_checkpoint_rejects_backend_mismatch(tmp_path):
-    import pytest
+    import functools
+
+    from myraytracer_tpu.kernels.trace import make_renderer as make_pallas
 
     path = tmp_path / "ckpt.npz"
     a = mk_session()
     a.step()
     a.save_checkpoint(path)
-    b = RenderSession(presets.reference_scene(), CFG.replace(backend="pallas"))
+    # An ACTUAL pallas renderer (interpret mode off-TPU): provenance now
+    # records the renderer in use, not the config's wish — a default
+    # (jnp) factory under backend="pallas" records "jnp".
+    b = RenderSession(
+        presets.reference_scene(), CFG.replace(backend="pallas"),
+        renderer_factory=functools.partial(make_pallas, interpret=True),
+    )
     with pytest.raises(ValueError, match="backend"):
         b.load_checkpoint(path)
 
@@ -192,3 +201,69 @@ def test_ambient_is_part_of_scene_fingerprint():
     fp_a = RenderSession(base, cfg).scene_fingerprint
     fp_b = RenderSession(dark, cfg).scene_fingerprint
     assert fp_a != fp_b
+
+
+def test_checkpoint_rejects_t_window_mismatch(tmp_path):
+    from myraytracer_tpu.config import RenderConfig
+    from myraytracer_tpu.render.session import RenderSession
+    from myraytracer_tpu.scene.presets import reference_scene
+
+    cfg = RenderConfig(width=16, height=8, samples_per_frame=1,
+                       ray_depth=2, backend="jnp")
+    a = RenderSession(reference_scene(), cfg)
+    a.step()
+    path = tmp_path / "t.npz"
+    a.save_checkpoint(path)
+    b = RenderSession(reference_scene(), cfg.replace(t_min=1e-1))
+    with pytest.raises(ValueError, match="t_min"):
+        b.load_checkpoint(path)
+
+
+def test_checkpoint_rejects_reference_to_general_camera(tmp_path):
+    """Symmetric camera provenance: a fixed-reference-view checkpoint must
+    not resume into a positionable-camera session (two different views)."""
+    from myraytracer_tpu.config import RenderConfig
+    from myraytracer_tpu.render.session import RenderSession
+    from myraytracer_tpu.scene.api import Camera, World
+    from myraytracer_tpu.scene.presets import reference_scene
+
+    cfg = RenderConfig(width=16, height=8, samples_per_frame=1,
+                       ray_depth=2, backend="jnp")
+    ref = reference_scene()
+    a = RenderSession(ref, cfg)
+    a.step()
+    path = tmp_path / "c.npz"
+    a.save_checkpoint(path)
+    general = World(ref.spheres, camera=Camera(lookfrom=(0, 0, 1)))
+    b = RenderSession(general, cfg)
+    with pytest.raises(ValueError, match="no runtime camera"):
+        b.load_checkpoint(path)
+
+
+def test_step_refuses_draw_index_overflow():
+    from myraytracer_tpu.config import RenderConfig
+    from myraytracer_tpu.core import rng as crng
+    from myraytracer_tpu.render.session import RenderSession
+    from myraytracer_tpu.scene.presets import reference_scene
+
+    cfg = RenderConfig(width=16, height=8, samples_per_frame=1,
+                       ray_depth=2, backend="jnp")
+    s = RenderSession(reference_scene(), cfg)
+    s.sample_cursor = 0xFFFFFFFF // crng.DRAWS_PER_SAMPLE
+    with pytest.raises(RuntimeError, match="alias"):
+        s.step()
+
+
+def test_default_factory_records_jnp_backend():
+    """RenderSession's default renderer IS the jnp integrator; the
+    checkpoint provenance must say so regardless of platform."""
+    from myraytracer_tpu.config import RenderConfig
+    from myraytracer_tpu.render.session import RenderSession
+    from myraytracer_tpu.scene.presets import reference_scene
+
+    s = RenderSession(
+        reference_scene(),
+        RenderConfig(width=16, height=8, samples_per_frame=1,
+                     ray_depth=2, backend="auto"),
+    )
+    assert s.backend_resolved == "jnp"

@@ -68,7 +68,7 @@ def main() -> int:
     rows = []
     for name, scene_name, w, h, spp, depth in configs:
         world = get_scene(scene_name, seed=0)
-        scene = compile_scene(world, spatial_sort=len(world.spheres) > 64)
+        scene = compile_scene(world, spatial_sort=len(world.spheres) > 64 or world.triangle_count > 64)
         mats = {s.material.type_id for s in world.spheres}
         mats |= {m.material.type_id for m in world.meshes}
         iors = {s.material.ior for s in world.spheres

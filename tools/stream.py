@@ -50,7 +50,7 @@ def main() -> int:
     shard = os.environ.get("STREAM_SHARD", "none")
 
     world = get_scene(scene_name, seed=0)
-    scene = compile_scene(world, spatial_sort=len(world.spheres) > 64)
+    scene = compile_scene(world, spatial_sort=len(world.spheres) > 64 or world.triangle_count > 64)
     mats = tuple(sorted({s.material.type_id for s in world.spheres} |
                         {m.material.type_id for m in world.meshes}))
     iors = {s.material.ior for s in world.spheres if s.material.type_id == 3}
