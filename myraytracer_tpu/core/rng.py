@@ -111,18 +111,6 @@ def uniform2(key, lane_id: jnp.ndarray, draw_id) -> Tuple[jnp.ndarray, jnp.ndarr
     return _to_unit_f32(b0), _to_unit_f32(b1)
 
 
-def uniform_bits2(key, lane_id: jnp.ndarray, draw_id) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    d = jnp.asarray(draw_id, jnp.uint32)
-    return threefry2x32(key, (jnp.asarray(lane_id, jnp.uint32), d))
-
-
-# -- analytic shape sampling -------------------------------------------------
-# Replaces the rejection loops at shader.wgsl:84-94: acceptance for the unit
-# ball is pi/6 ≈ 0.524 per round, so a fixed-round masked retry would need
-# ~28 rounds for 1e-9 failure; the analytic forms below are exact and
-# branch-free (SURVEY.md §7.2).
-
-
 def unit_sphere_from_uniforms(u1: jnp.ndarray, u2: jnp.ndarray) -> V3:
     """Uniform direction on the unit sphere from two U[0,1) draws."""
     z = 1.0 - 2.0 * u1

@@ -496,6 +496,7 @@ def _trace_kernel(
     tri_vmem: bool = False,
     sph_vmem: bool = False,
     sky=None,
+    lens_draws: bool = True,
 ):
     if sph_vmem:
         sf_ref, rest = rest[0], rest[1:]
@@ -636,7 +637,13 @@ def _trace_kernel(
         sample_id = sample_start + s_vec.astype(jnp.uint32)
         cam_draw = sample_id * jnp.uint32(crng.DRAWS_PER_SAMPLE)
         u1, u2 = draw2(cam_draw)
-        l1, l2 = draw2(cam_draw + jnp.uint32(1))
+        if lens_draws:
+            l1, l2 = draw2(cam_draw + jnp.uint32(1))
+        else:
+            # Reference-mode cameras ignore the lens-disk draws; slots are
+            # absolute, so skipping slot 1 shifts nothing (one threefry
+            # per sample saved across all lanes).
+            l1 = l2 = jnp.zeros(shape, jnp.float32)
         return ray_gen(ix, iy, u1, u2, l1, l2)
 
     o0, d0 = camera_ray(jnp.zeros(shape, jnp.int32))
@@ -1592,6 +1599,7 @@ def make_block_renderer(
         frames=frames,
         spp=spp_static,
         sky=sky,
+        lens_draws=not cam.reference_mode,
     )
 
     def block(scene: CompiledScene, key, row0, sample_start, n_valid):

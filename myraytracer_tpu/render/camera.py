@@ -74,7 +74,15 @@ class GeneralCameraParams:
         lf = cam.lookfrom
         la = cam.lookat
         w = _norm3((lf[0] - la[0], lf[1] - la[1], lf[2] - la[2]))
-        u = _norm3(_cross3(cam.vup, w))
+        cu = _cross3(cam.vup, w)
+        if cu[0] ** 2 + cu[1] ** 2 + cu[2] ** 2 < 1e-12:
+            # A straight-up/down view with the default vup would otherwise
+            # die in _norm3 with a bare ZeroDivisionError.
+            raise ValueError(
+                f"camera vup {cam.vup} is (nearly) parallel to the view "
+                f"direction {w}; choose a non-parallel vup"
+            )
+        u = _norm3(cu)
         v = _cross3(w, u)
 
         self.origin = lf

@@ -128,7 +128,9 @@ def _triangle_candidates(
     two-sided); t_best == t_max on miss."""
     n_lanes = o.x.shape[0]
     n = tris.padded_size
-    chunk = _chunk_size(n, max(1, n_lanes // 2))  # MT uses ~2x the temps
+    # MT materializes ~2x the pairwise temporaries, so halve the chunk by
+    # presenting twice the lanes to the budget.
+    chunk = _chunk_size(n, n_lanes * 2)
     pad = (-n) % chunk
     comps = [
         tris.v0.x, tris.v0.y, tris.v0.z,
@@ -146,35 +148,13 @@ def _triangle_candidates(
 
     def body(carry, xs):
         t_best, i_best, base = carry
-        v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = (
-            a[:, None] for a in xs
+        # One shared Möller-Trumbore (same code as the BVH leaf tests),
+        # broadcast [chunk, 1] triangles against [1, lanes] rays.
+        ob = V3(o.x[None, :], o.y[None, :], o.z[None, :])
+        db = V3(d.x[None, :], d.y[None, :], d.z[None, :])
+        t_cand = _mt_candidate(
+            ob, db, *(a[:, None] for a in xs), t_minf, big
         )
-        dx, dy, dz = d.x[None, :], d.y[None, :], d.z[None, :]
-        # pvec = d × e2
-        px = dy * e2z - dz * e2y
-        py = dz * e2x - dx * e2z
-        pz = dx * e2y - dy * e2x
-        det = e1x * px + e1y * py + e1z * pz
-        inv_det = 1.0 / jnp.where(jnp.abs(det) < TRI_DET_EPS, 1.0, det)
-        tvx = o.x[None, :] - v0x
-        tvy = o.y[None, :] - v0y
-        tvz = o.z[None, :] - v0z
-        u = (tvx * px + tvy * py + tvz * pz) * inv_det
-        # qvec = tvec × e1
-        qx = tvy * e1z - tvz * e1y
-        qy = tvz * e1x - tvx * e1z
-        qz = tvx * e1y - tvy * e1x
-        v = (dx * qx + dy * qy + dz * qz) * inv_det
-        t_cand = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-        valid = (
-            (jnp.abs(det) >= TRI_DET_EPS)
-            & (u >= 0.0)
-            & (v >= 0.0)
-            & (u + v <= 1.0)
-            & (t_cand >= t_minf)
-            & (t_cand < big)
-        )
-        t_cand = jnp.where(valid, t_cand, big)
         t_chunk = jnp.min(t_cand, axis=0)
         i_chunk = jnp.argmin(t_cand, axis=0).astype(jnp.int32) + base
         better = t_chunk < t_best

@@ -150,12 +150,18 @@ def render_sample_batch(
     t_min: float,
     t_max: float,
     sky=None,
+    lens_draws: bool = True,
 ) -> Tuple[V3, jnp.ndarray]:
     """Camera-generate and trace one batch of (pixel, sample) lanes."""
-    # Camera draw slots: 0 = sub-pixel jitter, 1 = lens disk.
+    # Camera draw slots: 0 = sub-pixel jitter, 1 = lens disk. Draws are
+    # keyed by ABSOLUTE slot, so skipping slot 1 for cameras that ignore
+    # it (reference mode) shifts nothing else in the stream.
     cam_draw = sample_id * jnp.uint32(crng.DRAWS_PER_SAMPLE)
     u1, u2 = crng.uniform2(key, lane_id, cam_draw)
-    l1, l2 = crng.uniform2(key, lane_id, cam_draw + jnp.uint32(1))
+    if lens_draws:
+        l1, l2 = crng.uniform2(key, lane_id, cam_draw + jnp.uint32(1))
+    else:
+        l1 = l2 = jnp.zeros_like(u1)
     o, d = ray_gen(ix, iy, u1, u2, l1, l2)
     return trace(
         o, d, lane_id, sample_id, key, scene, depth, t_min, t_max, sky=sky
@@ -231,6 +237,7 @@ def make_block_renderer(
             rad, segs = render_sample_batch(
                 scene, ray_gen, ix_b, iy_b, lane_b, sample_id,
                 key, ray_depth, t_min, t_max, sky=sky,
+                lens_draws=not cam.reference_mode,
             )
             w = in_range.astype(jnp.float32)
             acc = acc + V3(

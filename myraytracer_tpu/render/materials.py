@@ -33,7 +33,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from myraytracer_tpu.core.vec import V3, reflect
+from myraytracer_tpu.core.vec import V3, lerp, reflect
 from myraytracer_tpu.render.hit import Hit
 from myraytracer_tpu.scene import api
 
@@ -127,8 +127,4 @@ def scatter(
 def color_sky(y_normalized: jnp.ndarray) -> V3:
     """Sky gradient (shader.wgsl:331-334): mix(white, blue, 0.5*y + 0.5)."""
     t = 0.5 * y_normalized + 0.5
-    return V3(
-        1.0 + (0.5 - 1.0) * t,
-        1.0 + (0.7 - 1.0) * t,
-        1.0 + (1.0 - 1.0) * t,
-    )
+    return lerp(V3(1.0, 1.0, 1.0), V3(0.5, 0.7, 1.0), t)

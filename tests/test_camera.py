@@ -137,3 +137,15 @@ def test_orbit_zoom_keeps_subject_in_focus():
         Camera(lookfrom=(3.0, 0.0, 0.0), lookat=(0.0, 0.0, 0.0)), 0.0, 0.0, 2.0
     )
     np.testing.assert_allclose(auto.resolved_focus_dist(), 6.0, atol=1e-6)
+
+
+def test_vup_parallel_to_view_is_loud():
+    import pytest
+
+    from myraytracer_tpu.render.camera import GeneralCameraParams
+    from myraytracer_tpu.scene.api import Camera
+
+    cam = Camera(lookfrom=(0.0, 5.0, 0.0), lookat=(0.0, 0.0, 0.0),
+                 vup=(0.0, 1.0, 0.0))
+    with pytest.raises(ValueError, match="vup"):
+        GeneralCameraParams(cam, 16, 8)
