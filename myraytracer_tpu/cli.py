@@ -53,6 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
+        "--nee", action="store_true",
+        help="next-event estimation: sample one light per diffuse bounce "
+        "(shadow rays; unbiased, ~3-4x less noise at equal spp on the "
+        "emissive scenes; extension — jnp backend)",
+    )
+    p.add_argument(
         "--ambient", default=None, metavar="R,G,B",
         help="constant background color overriding the scene's sky "
         "(e.g. 0,0,0 for emissive-only illumination; extension — the "
@@ -164,6 +170,7 @@ def main(argv=None) -> int:
             shard=args.shard,
             frame_batch=frame_batch,
             max_frames=max(0, args.frames),
+            nee=args.nee,
         )
         base.update(over)
         return RenderConfig(**base)

@@ -48,6 +48,11 @@ class RenderConfig:
     # hint: auto frame batching must not batch past the requested count
     # (e.g. --frames 2 at spp 1 would otherwise run a 64-frame window).
     max_frames: int = 0
+    # Next-event estimation (direct light sampling): one shadow ray per
+    # diffuse bounce toward a sampled light (render/lights.py). Unbiased;
+    # a different sample stream than the default estimator (so it is part
+    # of checkpoint provenance). No-op on scenes without DiffuseLight.
+    nee: bool = False
 
     def resolve_size(self) -> Tuple[int, int]:
         """Apply the reference's 0-means-derive rule (lib.rs:113-134)."""

@@ -1524,6 +1524,7 @@ def make_block_renderer(
     config: KernelConfig = None,
     frames: int = 1,
     sky=None,
+    nee_lights=None,
 ):
     """Pallas implementation of the block-renderer protocol.
 
@@ -1545,6 +1546,11 @@ def make_block_renderer(
     regeneration tail — the small-spp progressive fix (BENCH.md).
     """
     del sample_batch
+    if nee_lights:
+        raise NotImplementedError(
+            "next-event estimation is implemented in the jnp oracle only "
+            "(render/integrator.py); use backend='jnp' for nee"
+        )
     frames = int(frames)
     spp_static = int(max_samples) if max_samples else 0
     if frames > 1 and spp_static < 1:

@@ -173,6 +173,7 @@ def make_tile_sharded_renderer(
     material_set=None,
     static_ior=None,
     sky=None,
+    nee_lights=None,
     block_factory=None,
     frames: int = 1,
 ):
@@ -205,7 +206,8 @@ def make_tile_sharded_renderer(
     block = factory(
         cam, width, height, rows_per, spp, ray_depth,
         t_min=t_min, t_max=t_max, sample_batch=sample_batch,
-        material_set=material_set, static_ior=static_ior, sky=sky, **extra,
+        material_set=material_set, static_ior=static_ior, sky=sky,
+        nee_lights=nee_lights, **extra,
     )
     if frames > 1 and not native_frames:
         single = block
@@ -272,6 +274,7 @@ def make_sample_sharded_renderer(
     material_set=None,
     static_ior=None,
     sky=None,
+    nee_lights=None,
     block_factory=None,
     frames: int = 1,
 ):
@@ -293,6 +296,7 @@ def make_sample_sharded_renderer(
         cam, width, height, height, per_dev, ray_depth,
         t_min=t_min, t_max=t_max, sample_batch=sample_batch,
         material_set=material_set, static_ior=static_ior, sky=sky,
+        nee_lights=nee_lights,
     )
 
     def local(scene, key, sample_base):
@@ -333,6 +337,7 @@ def make_hybrid_sharded_renderer(
     material_set=None,
     static_ior=None,
     sky=None,
+    nee_lights=None,
     block_factory=None,
     frames: int = 1,
 ):
@@ -362,6 +367,7 @@ def make_hybrid_sharded_renderer(
         cam, width, height, rows_per, per_dev, ray_depth,
         t_min=t_min, t_max=t_max, sample_batch=sample_batch,
         material_set=material_set, static_ior=static_ior, sky=sky,
+        nee_lights=nee_lights,
     )
 
     def local(scene, key, sample_base):

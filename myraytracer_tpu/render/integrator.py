@@ -54,14 +54,19 @@ def trace(
     t_min: float,
     t_max: float,
     sky=None,
+    nee_lights=None,
 ) -> Tuple[V3, jnp.ndarray]:
     """Trace normalized rays to completion.
 
     Returns (radiance V3, segments u32) where ``segments`` counts traced
-    ray segments per lane (for Mrays/s accounting). ``sky`` is an optional
-    constant background color (``World.ambient``): ``None`` keeps the
-    reference gradient (shader.wgsl:331-334).
+    ray segments per lane (shadow rays included; for Mrays/s accounting).
+    ``sky`` is an optional constant background color (``World.ambient``):
+    ``None`` keeps the reference gradient (shader.wgsl:331-334).
+    ``nee_lights`` (a static tuple from render.lights.extract_lights)
+    enables next-event estimation: one shadow ray per diffuse bounce, with
+    emission pickup suppressed after diffuse scatters (render/lights.py).
     """
+    nee = bool(nee_lights)
     if depth > crng.MAX_DEPTH:
         raise ValueError(f"ray_depth {depth} exceeds MAX_DEPTH {crng.MAX_DEPTH}")
     shape = o.x.shape
@@ -75,11 +80,11 @@ def trace(
     )
 
     def cond(carry):
-        i, _o, _d, _atten, _rad, alive, _segs = carry
+        i, _o, _d, _atten, _rad, alive, _segs, _pd = carry
         return (i < depth) & jnp.any(alive)
 
     def body(carry):
-        i, o, d, atten, rad, alive, segs = carry
+        i, o, d, atten, rad, alive, segs, prev_diff = carry
         segs = segs + alive.astype(jnp.uint32)
 
         hit = closest_hit(o, d, scene, t_min, t_max)
@@ -100,9 +105,12 @@ def trace(
         alive = alive & hit.mask
 
         # Emissive hit → throughput * emission, retire (extension;
-        # emission rides the albedo columns — scene/compile.py).
+        # emission rides the albedo columns — scene/compile.py). Under
+        # NEE, lanes that just diffuse-scattered suppress pickup: their
+        # direct light was already added by the shadow ray.
         is_light = alive & (hit.mat_ty == api.MATERIAL_LIGHT)
-        rad = rad + V3.where(is_light, atten * hit.albedo, zero)
+        pickup = (is_light & ~prev_diff) if nee else is_light
+        rad = rad + V3.where(pickup, atten * hit.albedo, zero)
         alive = alive & ~is_light
 
         # Scatter draws: slot 0 = unit-sphere; slots 1-2 = unit-ball;
@@ -114,6 +122,22 @@ def trace(
         sphere_sample = crng.unit_sphere_from_uniforms(us1, us2)
         ball_sample = crng.unit_ball_from_uniforms(ub1, ub2, ub3)
 
+        if nee:
+            from myraytracer_tpu.render.lights import (
+                SHADOW_EPS, sample_lights,
+            )
+
+            n1, n2 = crng.uniform2(key, lane_id, draw + jnp.uint32(3))
+            is_lamb_hit = alive & (hit.mat_ty == api.MATERIAL_LAMBERTIAN)
+            omega, t_p, weight, ok_s = sample_lights(
+                nee_lights, hit.point, hit.normal, ud, n1, n2
+            )
+            shadow = closest_hit(hit.point, omega, scene, t_min, t_max)
+            lit = ~(shadow.mask & (shadow.t < t_p * (1.0 - SHADOW_EPS)))
+            add = is_lamb_hit & ok_s & lit
+            rad = rad + V3.where(add, atten * hit.albedo * weight, zero)
+            segs = segs + is_lamb_hit.astype(jnp.uint32)  # shadow rays
+            prev_diff = is_lamb_hit
         sc = scatter(d, hit, sphere_sample, ball_sample, ud)
         alive = alive & sc.ok  # absorbed → retire black (shader.wgsl:349-350)
 
@@ -123,7 +147,7 @@ def trace(
         # safe unit vector so no NaN is ever materialized.
         nd = V3.where(alive, sc.direction, unit_z).normalize()
         d = V3.where(alive, nd, d)
-        return (i + 1, o, d, atten, rad, alive, segs)
+        return (i + 1, o, d, atten, rad, alive, segs, prev_diff)
 
     init = (
         jnp.int32(0),
@@ -133,8 +157,9 @@ def trace(
         V3.zeros(shape),
         jnp.ones(shape, bool),
         jnp.zeros(shape, jnp.uint32),
+        jnp.zeros(shape, bool),  # prev_diff (NEE pickup suppression)
     )
-    _, _, _, _, rad, _, segs = jax.lax.while_loop(cond, body, init)
+    _, _, _, _, rad, _, segs, _ = jax.lax.while_loop(cond, body, init)
     return rad, segs
 
 
@@ -151,6 +176,7 @@ def render_sample_batch(
     t_max: float,
     sky=None,
     lens_draws: bool = True,
+    nee_lights=None,
 ) -> Tuple[V3, jnp.ndarray]:
     """Camera-generate and trace one batch of (pixel, sample) lanes."""
     # Camera draw slots: 0 = sub-pixel jitter, 1 = lens disk. Draws are
@@ -164,7 +190,8 @@ def render_sample_batch(
         l1 = l2 = jnp.zeros_like(u1)
     o, d = ray_gen(ix, iy, u1, u2, l1, l2)
     return trace(
-        o, d, lane_id, sample_id, key, scene, depth, t_min, t_max, sky=sky
+        o, d, lane_id, sample_id, key, scene, depth, t_min, t_max, sky=sky,
+        nee_lights=nee_lights,
     )
 
 
@@ -181,6 +208,7 @@ def make_block_renderer(
     material_set=None,
     static_ior=None,
     sky=None,
+    nee_lights=None,
 ):
     """Build the composable rendering primitive.
 
@@ -238,6 +266,7 @@ def make_block_renderer(
                 scene, ray_gen, ix_b, iy_b, lane_b, sample_id,
                 key, ray_depth, t_min, t_max, sky=sky,
                 lens_draws=not cam.reference_mode,
+                nee_lights=nee_lights,
             )
             w = in_range.astype(jnp.float32)
             acc = acc + V3(
@@ -278,6 +307,7 @@ def make_renderer(
     static_ior=None,
     frames: int = 1,
     sky=None,
+    nee_lights=None,
 ):
     """Build a jitted single-device frame renderer.
 
@@ -300,6 +330,7 @@ def make_renderer(
         cam, width, height, height, spp, ray_depth,
         t_min=t_min, t_max=t_max, sample_batch=sample_batch,
         material_set=material_set, static_ior=static_ior, sky=sky,
+        nee_lights=nee_lights,
     )
 
     if frames > 1:

@@ -36,6 +36,7 @@ from myraytracer_tpu.config import RenderConfig
 from myraytracer_tpu.core import rng as crng
 from myraytracer_tpu.render.integrator import make_renderer
 from myraytracer_tpu.scene import api
+from myraytracer_tpu.render.lights import extract_lights as _extract_lights
 from myraytracer_tpu.scene.compile import compile_scene
 
 CHECKPOINT_VERSION = 3
@@ -139,6 +140,14 @@ class RenderSession:
         # Scene-uniform dielectric IOR → static kernel constant (exact).
         iors = {s.material.ior for s in world.spheres if s.material.type_id == 3}
         iors |= {m.material.ior for m in world.meshes if m.material.type_id == 3}
+        if config.nee and resolved != "jnp":
+            # NEE is implemented in the oracle integrator; the Pallas
+            # kernel estimator does not sample lights (yet). Loud, not a
+            # silent estimator swap.
+            raise ValueError(
+                "nee=True requires backend 'jnp' (the Pallas kernel has "
+                "no light-sampling path)"
+            )
         self.frame_batch = config.resolve_frame_batch(resolved)
         if self.frame_batch > 1 and config.shard not in ("none", "tiles"):
             # Tile-sharded chips keep contiguous sample windows across
@@ -159,6 +168,10 @@ class RenderSession:
             static_ior=(iors.pop() if len(iors) == 1 else None),
             sky=world.ambient,
             **extra,
+            **(
+                {"nee_lights": _extract_lights(world)}
+                if config.nee else {}
+            ),
         )
 
         self.framebuffer = jnp.zeros((self.height, self.width, 3), jnp.float32)
@@ -314,6 +327,7 @@ class RenderSession:
             "seed": self.config.seed,
             "t_min": self.config.t_min,
             "t_max": self.config.t_max,
+            "nee": self.config.nee,
             # Exact-continuation provenance: the scene content, the compute
             # path that produced the stream, and the sharding mode.
             "scene": self.scene_fingerprint,
@@ -348,7 +362,7 @@ class RenderSession:
             raise ValueError(f"checkpoint version {meta['version']} unsupported")
         for field in (
             "width", "height", "samples_per_frame", "ray_depth", "seed",
-            "max_framebuffer_weight", "t_min", "t_max",
+            "max_framebuffer_weight", "t_min", "t_max", "nee",
         ):
             have = getattr(self, field, None)
             if have is None:

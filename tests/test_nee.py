@@ -1,0 +1,109 @@
+"""Next-event estimation (render/lights.py): unbiasedness vs the
+brute-force estimator, variance reduction, and wiring."""
+
+import numpy as np
+import pytest
+
+from myraytracer_tpu.config import RenderConfig
+from myraytracer_tpu.core import rng as crng
+from myraytracer_tpu.render.integrator import make_renderer
+from myraytracer_tpu.render.lights import extract_lights
+from myraytracer_tpu.render.session import RenderSession
+from myraytracer_tpu.scene import presets
+from myraytracer_tpu.scene.compile import compile_scene
+
+KEY = crng.key_from_seed(0)
+
+
+def test_extract_lights_spheres_and_triangles():
+    lights = extract_lights(presets.light_scene())
+    assert len(lights) == 2 and all(k == "sphere" for k, *_ in lights)
+    lights = extract_lights(presets.cornell_scene())
+    assert len(lights) == 2 and all(k == "tri" for k, *_ in lights)
+    assert extract_lights(presets.reference_scene()) == ()
+
+
+@pytest.mark.parametrize("scene_name,depth", [("light", 8), ("cornell", 6)])
+def test_nee_matches_brute_force_statistically(scene_name, depth):
+    """Same scene, two estimators: means agree within sampling noise
+    (measured: residual |diff| matches the brute estimator's own
+    seed-to-seed noise at this spp — BENCH.md NEE section)."""
+    world = presets.get_scene(scene_name)
+    scene = compile_scene(world)
+    kw = dict(sky=world.ambient, sample_batch=4)
+    brute = make_renderer(world.camera, 24, 16, 512, depth, **kw)
+    a, _ = brute(scene, KEY, 0)
+    nee = make_renderer(world.camera, 24, 16, 512, depth,
+                        nee_lights=extract_lights(world), **kw)
+    b, _ = nee(scene, KEY, 0)
+    a, b = np.asarray(a), np.asarray(b)
+    assert np.isfinite(b).all() and (b >= 0).all()
+    # Image means agree to a few percent at 512 spp...
+    assert abs(b.mean() - a.mean()) < 0.06 * max(a.mean(), 1e-6)
+    # ...and per-pixel residuals are noise-scale, not structure-scale.
+    assert np.abs(b - a).mean() < 0.25 * a.mean()
+
+
+def test_nee_reduces_variance_at_equal_spp():
+    world = presets.light_scene()
+    scene = compile_scene(world)
+    kw = dict(sky=world.ambient, sample_batch=4)
+
+    def seed_noise(lights):
+        r = make_renderer(world.camera, 24, 16, 64, 8,
+                          nee_lights=lights, **kw)
+        i1, _ = r(scene, KEY, 0)
+        i2, _ = r(scene, KEY, 100000)
+        return np.abs(np.asarray(i1) - np.asarray(i2)).mean()
+
+    brute = seed_noise(None)
+    nee = seed_noise(extract_lights(world))
+    # Measured ~2.9x on this scene; assert a conservative floor.
+    assert nee < 0.6 * brute
+
+
+def test_nee_counts_shadow_rays_as_segments():
+    world = presets.light_scene()
+    scene = compile_scene(world)
+    kw = dict(sky=world.ambient, sample_batch=2)
+    _, s_brute = make_renderer(world.camera, 16, 8, 8, 8, **kw)(
+        scene, KEY, 0)
+    _, s_nee = make_renderer(
+        world.camera, 16, 8, 8, 8,
+        nee_lights=extract_lights(world), **kw)(scene, KEY, 0)
+    assert float(s_nee) > float(s_brute)
+
+
+def test_nee_session_and_checkpoint_provenance(tmp_path):
+    cfg = RenderConfig(width=16, height=8, samples_per_frame=2,
+                       ray_depth=4, backend="jnp", nee=True)
+    s = RenderSession(presets.light_scene(), cfg)
+    s.step()
+    assert np.asarray(s.framebuffer).max() > 0
+    path = tmp_path / "nee.npz"
+    s.save_checkpoint(path)
+    other = RenderSession(presets.light_scene(), cfg.replace(nee=False))
+    with pytest.raises(ValueError, match="nee"):
+        other.load_checkpoint(path)
+
+
+def test_nee_requires_jnp_backend():
+    from myraytracer_tpu.render.dispatch import make_session
+
+    cfg = RenderConfig(width=16, height=8, samples_per_frame=1,
+                       ray_depth=2, backend="pallas", nee=True)
+    with pytest.raises(ValueError, match="nee"):
+        make_session(presets.light_scene(), cfg)
+
+
+def test_nee_noop_without_lights():
+    """nee on a light-free scene is the identical estimator (empty light
+    tuple disables the NEE block statically)."""
+    world = presets.reference_scene()
+    scene = compile_scene(world)
+    base = make_renderer(world.camera, 16, 8, 2, 4, sample_batch=2)
+    a, _ = base(scene, KEY, 0)
+    nee = make_renderer(world.camera, 16, 8, 2, 4, sample_batch=2,
+                        nee_lights=extract_lights(world))
+    b, _ = nee(scene, KEY, 0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
