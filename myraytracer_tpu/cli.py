@@ -56,7 +56,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--nee", action="store_true",
         help="next-event estimation: sample one light per diffuse bounce "
         "(shadow rays; unbiased, ~3-4x less noise at equal spp on the "
-        "emissive scenes; extension — jnp backend)",
+        "emissive scenes; extension)",
     )
     p.add_argument(
         "--ambient", default=None, metavar="R,G,B",

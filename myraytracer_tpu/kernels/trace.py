@@ -497,6 +497,7 @@ def _trace_kernel(
     sph_vmem: bool = False,
     sky=None,
     lens_draws: bool = True,
+    nee_lights=None,
 ):
     if sph_vmem:
         sf_ref, rest = rest[0], rest[1:]
@@ -545,6 +546,7 @@ def _trace_kernel(
     SQRT_GUARD = cfg.SQRT_GUARD
     WINDOW_FUSE = cfg.WINDOW_FUSE
 
+    nee = bool(nee_lights)
     tile = pl.program_id(0)
     ray_gen = ray_gen_factory(camf_ref)
 
@@ -655,7 +657,11 @@ def _trace_kernel(
         return jnp.any(alive_i > 0)
 
     def body(carry):
-        o, d, atten, rad, s, b, alive_i, segs = carry
+        if nee:
+            o, d, atten, rad, s, b, alive_i, segs, pd = carry
+        else:
+            o, d, atten, rad, s, b, alive_i, segs = carry
+            pd = None
         alive = alive_i > 0
         segs = segs + alive_i.astype(jnp.float32)
         sink_parts = []  # ablation dup outputs, folded * kill_f at the end
@@ -697,7 +703,7 @@ def _trace_kernel(
         # sweep order, so the last improvement leaves exactly the final
         # winner's data — the separate fetch pass (measured ~30% of frame
         # time by tools/ablate.py) disappears.
-        def run_hit(o, d):
+        def run_hit(o, d, t_init=None):
             def sphere_cand(si, with_record):
                 """Clamped candidate t (invalid → t_max) + winner-record
                 scalars for sphere ``si`` — independent of the sweep carry,
@@ -866,7 +872,10 @@ def _trace_kernel(
                 )
                 return alive & (tn <= tf)
 
-            t_best0 = jnp.full(shape, t_maxf, jnp.float32)
+            t_best0 = (
+                jnp.full(shape, t_maxf, jnp.float32)
+                if t_init is None else t_init
+            )
             izero = jnp.zeros(shape, jnp.int32)
             if merged:
                 # carry: t_best, winner record (center, r, material rows),
@@ -1368,7 +1377,10 @@ def _trace_kernel(
         # emission rides the winner record's albedo slots) ------------------
         if 4 in material_set:
             is_light = alive & (mt == jnp.int32(4))
-            rad = rad + V3.where(is_light, atten * hit.albedo, zero3)
+            # Under NEE, diffuse-scattered lanes suppress pickup: their
+            # direct light was already added by the shadow ray.
+            pickup = (is_light & (pd == 0)) if nee else is_light
+            rad = rad + V3.where(pickup, atten * hit.albedo, zero3)
             alive = alive & ~is_light
 
         # --- scatter (same draw slots as the oracle) ----------------------
@@ -1381,7 +1393,7 @@ def _trace_kernel(
         # Draw slots are absolute, so skipping a family's draws never
         # shifts the rest of the stream (parity with the oracle holds).
         need_ball = 2 in material_set
-        need_ud = 3 in material_set
+        need_ud = (3 in material_set) or nee
         if 1 in material_set:
             us1, us2 = draw2(draw)
             sphere_sample = crng.unit_sphere_from_uniforms(us1, us2)
@@ -1412,6 +1424,26 @@ def _trace_kernel(
                 bs2 = crng.unit_ball_from_uniforms(ub1 + kill_f, ub2, ub3)
                 sink_parts.extend([bs2.x, bs2.y, bs2.z])
 
+        if nee:
+            from myraytracer_tpu.render.lights import (
+                SHADOW_EPS, sample_lights,
+            )
+
+            n1, n2 = draw2(draw + jnp.uint32(3))
+            is_lamb_hit = alive & (mt == jnp.int32(1))
+            omega, t_p, weight, ok_s = sample_lights(
+                nee_lights, hit.point, hit.normal, ud, n1, n2
+            )
+            # Shadow sweep: run_hit initialized at the light distance —
+            # t_best < limit afterwards iff the closest hit in [t_min,
+            # limit) exists, the oracle's occlusion predicate exactly.
+            limit = t_p * jnp.float32(1.0 - SHADOW_EPS)
+            sh = run_hit(hit.point, omega, t_init=limit)
+            lit = ~(sh[0] < limit)
+            add = is_lamb_hit & ok_s & lit
+            rad = rad + V3.where(add, atten * hit.albedo * weight, zero3)
+            segs = segs + is_lamb_hit.astype(jnp.float32)  # shadow rays
+            pd = is_lamb_hit.astype(jnp.int32)
         sc = scatter(d, hit, sphere_sample, ball_sample, ud, material_set)
         if "scatter" in abl:
             sc2 = scatter(
@@ -1471,6 +1503,9 @@ def _trace_kernel(
             for p in sink_parts[1:]:
                 acc = acc + p
             segs = segs + acc * kill_f
+        if nee:
+            pd = jnp.where(regen, 0, pd)  # fresh sample, fresh pickup
+            return (o, d, atten, rad, s, b, alive_i, segs, pd)
         return (o, d, atten, rad, s, b, alive_i, segs)
 
     zero = jnp.zeros(shape, jnp.float32)
@@ -1485,6 +1520,8 @@ def _trace_kernel(
         active0.astype(jnp.int32),
         zero,  # segs
     )
+    if nee:
+        init = init + (jnp.zeros(shape, jnp.int32),)  # prev-diffuse flag
     out = jax.lax.while_loop(cond, body, init)
     rad, segs = out[3], out[7]
 
@@ -1546,11 +1583,7 @@ def make_block_renderer(
     regeneration tail — the small-spp progressive fix (BENCH.md).
     """
     del sample_batch
-    if nee_lights:
-        raise NotImplementedError(
-            "next-event estimation is implemented in the jnp oracle only "
-            "(render/integrator.py); use backend='jnp' for nee"
-        )
+    nee_lights = tuple(nee_lights) if nee_lights else None
     frames = int(frames)
     spp_static = int(max_samples) if max_samples else 0
     if frames > 1 and spp_static < 1:
@@ -1606,6 +1639,7 @@ def make_block_renderer(
         spp=spp_static,
         sky=sky,
         lens_draws=not cam.reference_mode,
+        nee_lights=nee_lights,
     )
 
     def block(scene: CompiledScene, key, row0, sample_start, n_valid):
@@ -1773,6 +1807,7 @@ def make_renderer(
     config: KernelConfig = None,
     frames: int = 1,
     sky=None,
+    nee_lights=None,
 ):
     """Jitted single-device frame renderer on the Pallas megakernel.
 
@@ -1786,7 +1821,7 @@ def make_renderer(
         cam, width, height, height, spp, ray_depth,
         t_min=t_min, t_max=t_max, tile_rows=tile_rows, interpret=interpret,
         material_set=material_set, rng_mode=rng_mode, static_ior=static_ior,
-        config=config, frames=frames, sky=sky,
+        config=config, frames=frames, sky=sky, nee_lights=nee_lights,
     )
 
     @jax.jit

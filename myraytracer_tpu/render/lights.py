@@ -35,6 +35,7 @@ from __future__ import annotations
 import math
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from myraytracer_tpu.core.vec import V3
@@ -78,12 +79,19 @@ def extract_lights(world: api.World) -> Tuple[tuple, ...]:
 
 
 def _onb(w: V3):
-    """Branchless orthonormal basis around unit ``w`` (per-lane select)."""
+    """Branchless orthonormal basis around unit ``w`` (per-lane select).
+
+    NaN-free even for degenerate ``w`` (masked-off lanes still flow
+    values through the kernel's gates and the --debug-nans contract):
+    the normalize is epsilon-guarded.
+    """
     use_y = jnp.abs(w.x) > 0.9
     ax = jnp.where(use_y, 0.0, 1.0)
     ay = jnp.where(use_y, 1.0, 0.0)
     a = V3(ax, ay, jnp.zeros_like(ax))
-    u = a.cross(w).normalize()
+    u = a.cross(w)
+    inv = jax.lax.rsqrt(jnp.maximum(u.length_sq(), jnp.float32(1e-24)))
+    u = u * inv
     v = w.cross(u)
     return u, v
 
@@ -187,4 +195,9 @@ def sample_lights(
             weight,
         )
         ok_all = ok_all | (sel & ok_i & (cos_i > 0.0))
+    # Masked-off lanes must still carry finite values (their omega feeds
+    # the shadow sweep's gates before the mask applies).
+    omega = V3.where(ok_all, omega, V3(zero, zero, zero + 1.0))
+    t_point = jnp.where(ok_all, t_point, 1.0)
+    weight = V3.where(ok_all, weight, V3(zero, zero, zero))
     return omega, t_point, weight, ok_all

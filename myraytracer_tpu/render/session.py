@@ -140,14 +140,6 @@ class RenderSession:
         # Scene-uniform dielectric IOR → static kernel constant (exact).
         iors = {s.material.ior for s in world.spheres if s.material.type_id == 3}
         iors |= {m.material.ior for m in world.meshes if m.material.type_id == 3}
-        if config.nee and resolved != "jnp":
-            # NEE is implemented in the oracle integrator; the Pallas
-            # kernel estimator does not sample lights (yet). Loud, not a
-            # silent estimator swap.
-            raise ValueError(
-                "nee=True requires backend 'jnp' (the Pallas kernel has "
-                "no light-sampling path)"
-            )
         self.frame_batch = config.resolve_frame_batch(resolved)
         if self.frame_batch > 1 and config.shard not in ("none", "tiles"):
             # Tile-sharded chips keep contiguous sample windows across

@@ -87,13 +87,30 @@ def test_nee_session_and_checkpoint_provenance(tmp_path):
         other.load_checkpoint(path)
 
 
-def test_nee_requires_jnp_backend():
-    from myraytracer_tpu.render.dispatch import make_session
+@pytest.mark.parametrize("scene_name", ["light", "cornell"])
+def test_nee_kernel_oracle_parity(scene_name):
+    """The Pallas kernel's NEE (shadow sweep with per-lane t-limits)
+    consumes the identical draws and occlusion predicate as the oracle —
+    images match to f32 accumulation tolerance (interpret mode)."""
+    from myraytracer_tpu.kernels.trace import (
+        make_renderer as make_pallas_renderer,
+    )
 
-    cfg = RenderConfig(width=16, height=8, samples_per_frame=1,
-                       ray_depth=2, backend="pallas", nee=True)
-    with pytest.raises(ValueError, match="nee"):
-        make_session(presets.light_scene(), cfg)
+    world = presets.get_scene(scene_name)
+    scene = compile_scene(world)
+    mats = {s.material.type_id for s in world.spheres}
+    mats |= {m.material.type_id for m in world.meshes}
+    kw = dict(material_set=tuple(sorted(mats)), sky=world.ambient,
+              nee_lights=extract_lights(world))
+    jr = make_renderer(world.camera, 16, 8, 2, 4, sample_batch=2, **kw)
+    pr = make_pallas_renderer(world.camera, 16, 8, 2, 4, tile_rows=8,
+                              interpret=True, **kw)
+    a, sa = jr(scene, KEY, 0)
+    b, sb = pr(scene, KEY, 0)
+    a, b = np.asarray(a), np.asarray(b)
+    assert b.max() > 0.1  # lights illuminate through the kernel path
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+    assert float(sa) == float(sb)  # shadow rays counted identically
 
 
 def test_nee_noop_without_lights():
