@@ -124,3 +124,44 @@ def test_nee_noop_without_lights():
                         nee_lights=extract_lights(world))
     b, _ = nee(scene, KEY, 0)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_nee_frame_batching_matches_single_calls():
+    """NEE composes with multi-frame kernel calls: the prev-diffuse carry
+    resets at regeneration. Tolerance is the cross-program FMA-contraction
+    envelope (measured <= 1 ulp on <= 3 pixels; the non-NEE multiframe
+    test stays bitwise), with segment counts exactly equal."""
+    from myraytracer_tpu.kernels.trace import (
+        make_renderer as make_pallas_renderer,
+    )
+
+    world = presets.light_scene()
+    scene = compile_scene(world)
+    kw = dict(material_set=(1, 2, 4), sky=world.ambient,
+              nee_lights=extract_lights(world), tile_rows=8, interpret=True)
+    single = make_pallas_renderer(world.camera, 16, 8, 2, 4, **kw)
+    multi = make_pallas_renderer(world.camera, 16, 8, 2, 4, frames=3, **kw)
+    imgs, segs_m = multi(scene, KEY, 0)
+    segs_total = 0.0
+    for f in range(3):
+        want, segs = single(scene, KEY, f * 2)
+        np.testing.assert_allclose(
+            np.asarray(imgs[f]).transpose(1, 2, 0), np.asarray(want),
+            rtol=1e-6, atol=1e-7,
+        )
+        segs_total += float(segs)
+    assert float(segs_m) == segs_total
+
+
+def test_nee_tile_sharded_bitwise():
+    from myraytracer_tpu.parallel.sharding import make_tile_sharded_renderer
+
+    world = presets.light_scene()
+    scene = compile_scene(world)
+    kw = dict(sky=world.ambient, nee_lights=extract_lights(world),
+              sample_batch=2)
+    single = make_renderer(world.camera, 16, 12, 4, 4, **kw)
+    want, _ = single(scene, KEY, 0)
+    sharded = make_tile_sharded_renderer(world.camera, 16, 12, 4, 4, **kw)
+    got, _ = sharded(scene, KEY, 0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
