@@ -63,6 +63,8 @@ SESSION_PARAMS = {
     "max_framebuffer_weight": float,
     "scene": str,
     "seed": int,
+    # ?nee=1 toggles next-event estimation (render/lights.py).
+    "nee": lambda s: s.lower() not in ("0", "false", ""),
 }
 
 _PAGE = b"""<!doctype html>

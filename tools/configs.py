@@ -6,7 +6,8 @@ BENCH.md scoreboard table.
 
 Env:   CFG_BACKEND (pallas), CFG_FRAMES (4: timed frames per config),
        CFG_SMALL=1 (tiny shapes, jnp — CI smoke), CFG_ONLY (comma list of
-       config names to run, e.g. "light,cornell").
+       config names to run, e.g. "light,cornell"), CFG_NEE=1 (next-event
+       estimation on scenes that have lights).
 
 Configs (BASELINE.md "Benchmark configs to report" + the emissive
 extension scenes):
@@ -80,6 +81,12 @@ def main() -> int:
             static_ior=(iors.pop() if len(iors) == 1 else None),
             sky=world.ambient,
         )
+        if os.environ.get("CFG_NEE", "0") == "1":
+            from myraytracer_tpu.render.lights import extract_lights
+
+            lights = extract_lights(world)
+            if lights:
+                kw["nee_lights"] = lights
         if backend == "pallas":
             from myraytracer_tpu.kernels.trace import make_renderer
         else:
