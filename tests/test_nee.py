@@ -165,3 +165,37 @@ def test_nee_tile_sharded_bitwise():
     sharded = make_tile_sharded_renderer(world.camera, 16, 12, 4, 4, **kw)
     got, _ = sharded(scene, KEY, 0)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_nee_sphere_light_matches_analytic_irradiance():
+    """Closed form: a Lambertian plane under a sphere light centered on
+    the normal axis reflects radiance albedo * L_e * sin^2(theta_max)
+    (E = L_e * pi * sin^2 = L_e * pi * r^2/d^2). depth=1 isolates the NEE
+    term (no scattered continuation is traced), so any pdf normalization
+    error shows up as a systematic scale error, not noise."""
+    from myraytracer_tpu.scene.api import (
+        Camera, DiffuseLight, Lambertian, Sphere, World,
+    )
+
+    albedo, L_e, r, cy = 0.5, 10.0, 5.0, 50.0
+    world = World(
+        spheres=[
+            Sphere((0.0, -1000.5, 0.0), 1000.0,
+                   Lambertian((albedo,) * 3)),
+            Sphere((0.0, cy, 0.0), r, DiffuseLight((L_e,) * 3)),
+        ],
+        camera=Camera(lookfrom=(0.0, 2.0, 0.0), lookat=(0.0, -0.5, 0.0),
+                      vup=(0.0, 0.0, -1.0), vfov_degrees=2.0),
+        ambient=(0.0, 0.0, 0.0),
+    )
+    scene = compile_scene(world)
+    render = make_renderer(world.camera, 16, 8, 256, 1, sample_batch=8,
+                           sky=world.ambient,
+                           nee_lights=extract_lights(world))
+    img, _ = render(scene, KEY, 0)
+    img = np.asarray(img)
+    d = cy + 0.5  # light center to the hit point directly below
+    expected = albedo * L_e * (r * r) / (d * d)
+    np.testing.assert_allclose(img.mean(), expected, rtol=0.02)
+    # And uniformly so (a tiny-fov view of a flat lit plane).
+    np.testing.assert_allclose(img, expected, rtol=0.08)
