@@ -199,3 +199,35 @@ def test_nee_sphere_light_matches_analytic_irradiance():
     np.testing.assert_allclose(img.mean(), expected, rtol=0.02)
     # And uniformly so (a tiny-fov view of a flat lit plane).
     np.testing.assert_allclose(img, expected, rtol=0.08)
+
+
+def test_nee_quad_light_matches_analytic_irradiance():
+    """Triangle-light pdf check: a small quad light far overhead is a
+    point source — E = L_e * A * cos_l * cos_s / d^2, reflected radiance
+    albedo/pi * E (far-field error ~(size/d)^2 ~ 4e-4 here)."""
+    import math
+
+    from myraytracer_tpu.scene.api import (
+        Camera, DiffuseLight, Lambertian, Mesh, Sphere, World,
+    )
+    from myraytracer_tpu.scene.meshgen import quad
+
+    albedo, L_e, h = 0.5, 10.0, 50.0
+    v, f = quad((-0.5, h, -0.5), (0.5, h, -0.5), (0.5, h, 0.5),
+                (-0.5, h, 0.5))
+    world = World(
+        spheres=[Sphere((0.0, -1000.5, 0.0), 1000.0,
+                        Lambertian((albedo,) * 3))],
+        meshes=[Mesh(v, f, DiffuseLight((L_e,) * 3))],
+        camera=Camera(lookfrom=(0.0, 2.0, 0.0), lookat=(0.0, -0.5, 0.0),
+                      vup=(0.0, 0.0, -1.0), vfov_degrees=2.0),
+        ambient=(0.0, 0.0, 0.0),
+    )
+    scene = compile_scene(world)
+    render = make_renderer(world.camera, 16, 8, 512, 1, sample_batch=8,
+                           sky=world.ambient,
+                           nee_lights=extract_lights(world))
+    img, _ = render(scene, KEY, 0)
+    d = h + 0.5
+    expected = albedo / math.pi * L_e * 1.0 / (d * d)
+    np.testing.assert_allclose(np.asarray(img).mean(), expected, rtol=0.02)
