@@ -137,6 +137,8 @@ def main(argv=None) -> int:
     # reference honors a WGPU_BACKEND-style env override (lib.rs:322).
     import os
 
+    if args.frames < 0:
+        raise SystemExit(f"--frames must be >= 0, got {args.frames}")
     backend = args.backend
     if backend == "auto" and os.environ.get("MYRT_BACKEND"):
         backend = os.environ["MYRT_BACKEND"]
@@ -282,6 +284,7 @@ def main(argv=None) -> int:
     # count must be re-derived then.)
     n_steps = -(-args.frames // session.frame_batch)
 
+    previews_written = 0
     with trace_cm:
         try:
             i = 0
@@ -320,7 +323,7 @@ def main(argv=None) -> int:
                             # frame budget under its (possibly different)
                             # frame_batch too.
                             n_steps = -(-args.frames // session.frame_batch)
-                            i = 0
+                            i = 1  # the in-flight step is the 1st
                         t_sync = time.perf_counter()
                         segs_sync = session.segments_traced
                         frames_sync = 0
@@ -370,9 +373,15 @@ def main(argv=None) -> int:
                                 req.get("dist", 1.0),
                             )
                 if args.preview_every and session.frame_count > 0 \
-                        and session.frame_count % args.preview_every == 0:
-                    # All processes fetch (collective under multihost);
-                    # only proc0 touches the filesystem.
+                        and session.frame_count // args.preview_every \
+                        > previews_written:
+                    # Threshold-crossing, not divisibility: frame_count
+                    # advances in frame_batch jumps that rarely land on
+                    # exact multiples. All processes fetch (collective
+                    # under multihost); only proc0 touches the filesystem.
+                    previews_written = (
+                        session.frame_count // args.preview_every
+                    )
                     preview = fetch_array(session.framebuffer)
                     if proc0:
                         write_image(args.out, preview, gamma=args.gamma)

@@ -68,7 +68,7 @@ class RenderConfig:
     def resolve_sample_batch(self) -> int:
         """Samples traced in one vectorized pass.
 
-        Auto mode bounds live wavefront state to roughly 64M lanes' worth of
+        Auto mode bounds live wavefront state to roughly 4M lanes' worth of
         work split sensibly: small frames vectorize many samples at once,
         large frames trace one sample per pass.
         """
@@ -90,7 +90,12 @@ class RenderConfig:
             return 1
         auto = min(64, max(1, 64 // max(1, self.samples_per_frame)))
         if self.max_frames > 0:
+            # Never render past the requested frame count: shrink the
+            # batch to an exact divisor-ish size (ceil split), so e.g.
+            # --frames 100 at auto 64 runs 2x50, not 2x64 = 128 frames.
             auto = min(auto, self.max_frames)
+            steps = -(-self.max_frames // auto)
+            auto = -(-self.max_frames // steps)
         return auto
 
     def replace(self, **kw) -> "RenderConfig":

@@ -1431,7 +1431,7 @@ def _trace_kernel(
 
             n1, n2 = draw2(draw + jnp.uint32(3))
             is_lamb_hit = alive & (mt == jnp.int32(1))
-            omega, t_p, weight, ok_s = sample_lights(
+            omega, t_p, weight, ok_s, usable = sample_lights(
                 nee_lights, hit.point, hit.normal, ud, n1, n2
             )
             # Shadow sweep: run_hit initialized at the light distance —
@@ -1443,7 +1443,9 @@ def _trace_kernel(
             add = is_lamb_hit & ok_s & lit
             rad = rad + V3.where(add, atten * hit.albedo * weight, zero3)
             segs = segs + is_lamb_hit.astype(jnp.float32)  # shadow rays
-            pd = is_lamb_hit.astype(jnp.int32)
+            # Suppress pickup only where NEE could account for every
+            # light (render/lights.py `usable` contract).
+            pd = (is_lamb_hit & usable).astype(jnp.int32)
         sc = scatter(d, hit, sphere_sample, ball_sample, ud, material_set)
         if "scatter" in abl:
             sc2 = scatter(

@@ -42,14 +42,16 @@ class FlatBVH(NamedTuple):
 def build_native(quiet: bool = True) -> bool:
     """Compile native/libmrt_native.so; returns success."""
     try:
+        # Only the library target: a failure building the unrelated
+        # benchmark binary must not disable a working libmrt_native.so.
         subprocess.run(
-            ["make", "-C", str(_NATIVE_DIR)],
+            ["make", "-C", str(_NATIVE_DIR), _LIB_PATH.name],
             check=True,
             capture_output=quiet,
         )
-        return _LIB_PATH.exists()
     except (OSError, subprocess.CalledProcessError):
-        return False
+        pass
+    return _LIB_PATH.exists()
 
 
 def _load() -> Optional[ctypes.CDLL]:

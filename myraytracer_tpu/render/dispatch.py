@@ -67,6 +67,7 @@ def make_session(world: api.World, config: RenderConfig) -> RenderSession:
         # cap — kernels/trace.py TRI_VMEM/SPH_VMEM); only scenes whose
         # AABB *gate* tables alone exceed the SMEM budget (tens of
         # millions of primitives) route to the jnp oracle.
+        downgrade = None
         try:
             from myraytracer_tpu.kernels.trace import fits_in_smem
         except (ImportError, NotImplementedError):
@@ -74,28 +75,28 @@ def make_session(world: api.World, config: RenderConfig) -> RenderSession:
             # factory) so the session's backend provenance — recorded in
             # checkpoints to refuse cross-compiler resumes — matches the
             # jnp renderer that will actually run.
-            import dataclasses
-
-            cfg = dataclasses.replace(config, backend="jnp")
-            return RenderSession(
-                world, cfg, renderer_factory=renderer_factory(cfg)
-            )
-
-        # Margins cover the kernel's exact padded-table re-check (spheres
-        # pad to LEADERS + k*CULL_CHUNK, triangles to k*TRI_CHUNK): this
-        # check must be at least as strict, so auto mode never compiles
-        # into the kernel's ValueError at the boundary.
-        if not fits_in_smem(
-            len(world.spheres) + 192, world.triangle_count + 128,
-            tri_table_in_smem=False, sph_table_in_smem=False,
-        ):
+            downgrade = "pallas unavailable"
+        else:
+            # Margins cover the kernel's exact padded-table re-check
+            # (spheres pad to LEADERS + k*CULL_CHUNK, triangles to
+            # k*TRI_CHUNK): this check must be at least as strict, so
+            # auto mode never compiles into the kernel's ValueError at
+            # the boundary.
+            if not fits_in_smem(
+                len(world.spheres) + 192, world.triangle_count + 128,
+                tri_table_in_smem=False, sph_table_in_smem=False,
+            ):
+                downgrade = (
+                    f"scene ({len(world.spheres)} spheres, "
+                    f"{world.triangle_count} triangles) exceeds the "
+                    f"Pallas kernel's SMEM budget"
+                )
+        if downgrade:
             import dataclasses
             import logging
 
             logging.getLogger("myraytracer_tpu").warning(
-                "scene (%d spheres, %d triangles) exceeds the Pallas "
-                "kernel's SMEM budget; auto backend falls back to jnp",
-                len(world.spheres), world.triangle_count,
+                "%s; auto backend falls back to jnp", downgrade
             )
             cfg = dataclasses.replace(config, backend="jnp")
     return RenderSession(world, cfg, renderer_factory=renderer_factory(cfg))

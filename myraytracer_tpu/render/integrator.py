@@ -129,7 +129,7 @@ def trace(
 
             n1, n2 = crng.uniform2(key, lane_id, draw + jnp.uint32(3))
             is_lamb_hit = alive & (hit.mat_ty == api.MATERIAL_LAMBERTIAN)
-            omega, t_p, weight, ok_s = sample_lights(
+            omega, t_p, weight, ok_s, usable = sample_lights(
                 nee_lights, hit.point, hit.normal, ud, n1, n2
             )
             shadow = closest_hit(hit.point, omega, scene, t_min, t_max)
@@ -137,7 +137,9 @@ def trace(
             add = is_lamb_hit & ok_s & lit
             rad = rad + V3.where(add, atten * hit.albedo * weight, zero)
             segs = segs + is_lamb_hit.astype(jnp.uint32)  # shadow rays
-            prev_diff = is_lamb_hit
+            # Suppress pickup only where NEE could account for every
+            # light (render/lights.py `usable` contract).
+            prev_diff = is_lamb_hit & usable
         sc = scatter(d, hit, sphere_sample, ball_sample, ud)
         alive = alive & sc.ok  # absorbed → retire black (shader.wgsl:349-350)
 

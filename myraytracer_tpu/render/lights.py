@@ -163,15 +163,23 @@ def _sample_one(light, p: V3, u1, u2):
 
 def sample_lights(
     lights, p: V3, n: V3, pick_u, u1, u2
-) -> Tuple[V3, jnp.ndarray, V3, jnp.ndarray]:
+) -> Tuple[V3, jnp.ndarray, V3, jnp.ndarray, jnp.ndarray]:
     """Pick one light uniformly and sample it (compute-all-select — the
     light count is a static handful, and selects keep the jnp oracle and
     the Pallas kernel bitwise-identical).
 
-    Returns ``(omega, t_point, weight V3, ok)`` where ``weight`` is
+    Returns ``(omega, t_point, weight V3, add, usable)``. ``weight`` is
     ``emit * cos(theta) * inv_pdf * n_lights / pi`` — multiply by
-    ``throughput * albedo`` and mask by the shadow test for the direct
-    contribution at a Lambertian hit with normal ``n``.
+    ``throughput * albedo``, mask by ``add`` and the shadow test for the
+    direct contribution at a Lambertian hit with normal ``n``.
+
+    ``usable`` is True only where EVERY light is structurally sampleable
+    from ``p`` (e.g. the point is not inside a sphere light). Where it is
+    False the caller must skip NEE entirely AND keep emission pickup for
+    the next hit (pure BSDF estimator at that bounce) — suppressing
+    pickup for a light NEE cannot account for would silently lose its
+    energy. Each bounce thus uses exactly one unbiased estimator,
+    selected by a deterministic property of the shading point.
     """
     nl = len(lights)
     pick = jnp.minimum(
@@ -181,7 +189,8 @@ def sample_lights(
     omega = V3(zero, zero, zero + 1.0)
     t_point = zero
     weight = V3(zero, zero, zero)
-    ok_all = zero > 1.0  # all-False
+    add = zero > 1.0  # all-False
+    usable = zero < 1.0  # all-True
     for i, light in enumerate(lights):
         o_i, t_i, inv_pdf_i, ok_i, emit = _sample_one(light, p, u1, u2)
         cos_i = o_i.dot(n)
@@ -194,10 +203,14 @@ def sample_lights(
             V3(emit[0] * w_scale, emit[1] * w_scale, emit[2] * w_scale),
             weight,
         )
-        ok_all = ok_all | (sel & ok_i & (cos_i > 0.0))
+        # cos <= 0 is a zero-integrand sample (NEE still covers the
+        # light in expectation); ok_i False is structural.
+        add = add | (sel & ok_i & (cos_i > 0.0))
+        usable = usable & ok_i
+    add = add & usable
     # Masked-off lanes must still carry finite values (their omega feeds
     # the shadow sweep's gates before the mask applies).
-    omega = V3.where(ok_all, omega, V3(zero, zero, zero + 1.0))
-    t_point = jnp.where(ok_all, t_point, 1.0)
-    weight = V3.where(ok_all, weight, V3(zero, zero, zero))
-    return omega, t_point, weight, ok_all
+    omega = V3.where(add, omega, V3(zero, zero, zero + 1.0))
+    t_point = jnp.where(add, t_point, 1.0)
+    weight = V3.where(add, weight, V3(zero, zero, zero))
+    return omega, t_point, weight, add, usable

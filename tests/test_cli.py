@@ -132,3 +132,30 @@ def test_cli_ambient_rejects_bad_input(tmp_path):
     with pytest.raises(SystemExit):
         cli.main(BASE + ["--frames", "1", "--ambient", "a,b,c",
                          "--out", str(tmp_path / "x.png")])
+
+
+def test_cli_rejects_negative_frames(tmp_path):
+    with pytest.raises(SystemExit):
+        cli.main(BASE + ["--frames", "-3", "--out", str(tmp_path / "x.png")])
+
+
+def test_auto_frame_batch_never_overshoots_frames():
+    """--frames 100 at spp 1 must render exactly 100 frames (2x50), not
+    round a 64-frame auto batch up to 128."""
+    from myraytracer_tpu.config import RenderConfig
+
+    cfg = RenderConfig(samples_per_frame=1, max_frames=100)
+    fb = cfg.resolve_frame_batch("pallas")
+    steps = -(-100 // fb)
+    assert steps * fb == 100
+    # Overshoot is bounded by steps-1 frames (the ceil split), never by
+    # a whole 64-frame batch; divisible counts are exact.
+    for frames in (1, 2, 7, 63, 64, 65, 128, 1000):
+        fb = RenderConfig(samples_per_frame=1,
+                          max_frames=frames).resolve_frame_batch("pallas")
+        steps = -(-frames // fb)
+        assert 0 <= steps * fb - frames < steps
+    for frames in (64, 128, 192, 100):
+        fb = RenderConfig(samples_per_frame=1,
+                          max_frames=frames).resolve_frame_batch("pallas")
+        assert -(-frames // fb) * fb == frames

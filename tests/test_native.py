@@ -100,3 +100,19 @@ def test_obj_scene_end_to_end(tmp_path):
     img, segs = render(scene, crng.key_from_seed(0), 0)
     assert np.isfinite(np.asarray(img)).all()
     assert float(segs) > 0
+
+
+def test_obj_python_tolerates_malformed_tokens(tmp_path):
+    """Fallback parity with the native loader's sscanf/strtol tolerance:
+    a bad vertex line is skipped, a face index keeps its leading digits."""
+    import numpy as np
+
+    from myraytracer_tpu.native.obj_py import load_obj_python
+
+    p = tmp_path / "m.obj"
+    p.write_text(
+        "v 0 0 0\nv 1 0 x\nv 1 0 0\nv 0 1 0\nf 1 2 3a\n"
+    )
+    v, t = load_obj_python(p)
+    assert v.shape == (3, 3)  # the malformed vertex was skipped
+    np.testing.assert_array_equal(t, [[0, 1, 2]])  # '3a' -> 3

@@ -231,3 +231,33 @@ def test_nee_quad_light_matches_analytic_irradiance():
     d = h + 0.5
     expected = albedo / math.pi * L_e * 1.0 / (d * d)
     np.testing.assert_allclose(np.asarray(img).mean(), expected, rtol=0.02)
+
+
+def test_nee_inside_light_keeps_energy():
+    """A surface enclosed by a dome light cannot cone-sample it (inside
+    the sphere): NEE must fall back to the pure-BSDF estimator with
+    pickup kept — bitwise the non-NEE image — instead of rendering black
+    (the energy-loss bug this guards against)."""
+    from myraytracer_tpu.scene.api import (
+        Camera, DiffuseLight, Lambertian, Sphere, World,
+    )
+
+    world = World(
+        spheres=[
+            Sphere((0.0, -1000.5, 0.0), 1000.0,
+                   Lambertian((0.6, 0.6, 0.6))),
+            Sphere((0.0, 0.0, 0.0), 100.0, DiffuseLight((2.0, 2.0, 2.0))),
+        ],
+        camera=Camera(lookfrom=(0.0, 2.0, 4.0), lookat=(0.0, 0.0, 0.0),
+                      vup=(0.0, 1.0, 0.0), vfov_degrees=40.0),
+        ambient=(0.0, 0.0, 0.0),
+    )
+    scene = compile_scene(world)
+    kw = dict(sky=world.ambient, sample_batch=2)
+    a, _ = make_renderer(world.camera, 16, 8, 4, 6, **kw)(scene, KEY, 0)
+    b, _ = make_renderer(world.camera, 16, 8, 4, 6,
+                         nee_lights=extract_lights(world), **kw)(
+        scene, KEY, 0)
+    a, b = np.asarray(a), np.asarray(b)
+    assert a.mean() > 0.5  # the dome illuminates everything
+    np.testing.assert_array_equal(b, a)
