@@ -7,7 +7,8 @@ BENCH.md scoreboard table.
 Env:   CFG_BACKEND (pallas), CFG_FRAMES (4: timed frames per config),
        CFG_SMALL=1 (tiny shapes, jnp — CI smoke), CFG_ONLY (comma list of
        config names to run, e.g. "light,cornell"), CFG_NEE=1 (next-event
-       estimation on scenes that have lights).
+       estimation on scenes that have lights; CFG_NEE=both times each
+       light scene twice — off then on — in the same process).
 
 Configs (BASELINE.md "Benchmark configs to report" + the emissive
 extension scenes):
@@ -67,7 +68,21 @@ def main() -> int:
 
     key = crng.key_from_seed(0)
     rows = []
-    for name, scene_name, w, h, spp, depth in configs:
+    nee_env = os.environ.get("CFG_NEE", "0")
+    runs = []
+    for cfg in configs:
+        # CFG_NEE=both times each light-carrying config twice (off, on)
+        # in the same process — the methodology-honest A/B (BENCH.md).
+        runs.append((cfg, False))
+        if nee_env in ("1", "both"):
+            from myraytracer_tpu.render.lights import extract_lights
+
+            if extract_lights(get_scene(cfg[1], seed=0)):
+                if nee_env == "1":
+                    runs[-1] = (cfg, True)
+                else:
+                    runs.append((cfg, True))
+    for (name, scene_name, w, h, spp, depth), use_nee in runs:
         world = get_scene(scene_name, seed=0)
         scene = compile_scene(world, spatial_sort=len(world.spheres) > 64 or world.triangle_count > 64)
         mats = {s.material.type_id for s in world.spheres}
@@ -81,12 +96,11 @@ def main() -> int:
             static_ior=(iors.pop() if len(iors) == 1 else None),
             sky=world.ambient,
         )
-        if os.environ.get("CFG_NEE", "0") == "1":
+        if use_nee:
             from myraytracer_tpu.render.lights import extract_lights
 
-            lights = extract_lights(world)
-            if lights:
-                kw["nee_lights"] = lights
+            name = name + "+nee"
+            kw["nee_lights"] = extract_lights(world)
         if backend == "pallas":
             from myraytracer_tpu.kernels.trace import make_renderer
         else:
