@@ -123,7 +123,76 @@ def build_parser() -> argparse.ArgumentParser:
         help="with --serve: drag/wheel in the browser orbits the camera "
         "(runtime camera operand — no recompiles; general-mode scenes)",
     )
+    p.add_argument(
+        "--adaptive", type=int, nargs="?", const=0, default=None,
+        metavar="BLOCKS",
+        help="variance-guided adaptive sampling (extension): spend the "
+        "--frames sample budget where the image is still noisy, at "
+        "pixel-block granularity (render/adaptive.py). Optional value = "
+        "blocks re-rendered per round (default ~1/4 of the grid). "
+        "Headless only (no --serve/--shard/checkpointing)",
+    )
     return p
+
+
+def _run_adaptive(args, config, world) -> int:
+    """Adaptive-sampling render loop (see render/adaptive.py).
+
+    ``--frames N`` is the budget of N uniform frames' worth of samples;
+    the session reallocates it toward high-variance pixel blocks after a
+    two-cover bootstrap.
+    """
+    import numpy as np
+
+    from myraytracer_tpu.parallel.sharding import fetch_array
+    from myraytracer_tpu.render.adaptive import AdaptiveSession
+
+    session = AdaptiveSession(world, config, n_sel=max(0, args.adaptive))
+    budget = args.frames * config.samples_per_frame * (
+        session.width * session.height
+    )
+    round_cost = (
+        session.n_sel * session.block_h * session.block_w
+        * config.samples_per_frame
+    )
+    log.info(
+        "adaptive render %dx%d spp/round=%d depth=%d budget=%d frames "
+        "(%d blocks of %dx%d, %d per round) backend=%s",
+        session.width, session.height, config.samples_per_frame,
+        config.ray_depth, args.frames, session.n_blocks, session.block_w,
+        session.block_h, session.n_sel, session.backend_resolved,
+    )
+    t_sync = time.perf_counter()
+    segs_sync = 0.0
+    # The bootstrap (two full covers — variance needs two rounds per
+    # block) always runs, even past a tiny budget: every pixel must be
+    # rendered at least once for a complete image.
+    session.bootstrap()
+    while session.samples_spent + round_cost <= budget:
+        session.step()
+        now = time.perf_counter()
+        if now - t_sync >= 1.0:
+            fetch_array(session.framebuffer)  # force (honest timing)
+            segs = session.segments_traced
+            dt = time.perf_counter() - t_sync
+            log.info(
+                "rounds=%d spent=%.1f%% of budget Mrays/s=%.1f",
+                session.rounds, 100.0 * session.samples_spent / budget,
+                (segs - segs_sync) / dt / 1e6,
+            )
+            t_sync, segs_sync = time.perf_counter(), segs
+    final = fetch_array(session.framebuffer)
+    smap = session.spp_map
+    log.info(
+        "adaptive done: rounds=%d samples=%d (%.1f%% of budget) "
+        "spp min/mean/max=%d/%.1f/%d",
+        session.rounds, session.samples_spent,
+        100.0 * session.samples_spent / budget,
+        smap.min(), float(smap.mean()), smap.max(),
+    )
+    write_image(args.out, np.asarray(final), gamma=args.gamma)
+    log.info("wrote %s", args.out)
+    return 0
 
 
 def main(argv=None) -> int:
@@ -179,7 +248,7 @@ def main(argv=None) -> int:
 
     from myraytracer_tpu.render.dispatch import make_session
 
-    def build_session(scene_name: str, config: RenderConfig):
+    def build_world(scene_name: str, config: RenderConfig):
         if args.obj:
             from myraytracer_tpu.scene.presets import obj_scene
 
@@ -205,6 +274,10 @@ def main(argv=None) -> int:
                 world.spheres, camera=world.camera, meshes=world.meshes,
                 ambient=amb,
             )
+        return world
+
+    def build_session(scene_name: str, config: RenderConfig):
+        world = build_world(scene_name, config)
         session = make_session(world, config)
         log.info(
             "rendering scene=%s %dx%d spp/frame=%d depth=%d frames=%s "
@@ -218,6 +291,21 @@ def main(argv=None) -> int:
 
     scene_name = args.scene
     config = make_config()
+
+    if args.adaptive is not None:
+        for bad, name in (
+            (args.serve is not None, "--serve"),
+            (args.shard != "none", "--shard"),
+            (args.checkpoint, "--checkpoint"),
+            (args.resume, "--resume"),
+            (args.multihost is not None, "--multihost"),
+            (args.frame_batch, "--frame-batch"),
+            (args.frames == 0, "--frames 0 (needs a bounded budget)"),
+        ):
+            if bad:
+                raise SystemExit(f"--adaptive does not compose with {name}")
+        return _run_adaptive(args, config, build_world(scene_name, config))
+
     world, session = build_session(scene_name, config)
     if args.resume:
         session.load_checkpoint(args.resume)

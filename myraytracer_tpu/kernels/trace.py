@@ -498,7 +498,13 @@ def _trace_kernel(
     sky=None,
     lens_draws: bool = True,
     nee_lights=None,
+    adaptive: bool = False,
 ):
+    if adaptive:
+        # Adaptive mode (make_adaptive_renderer): two extra scalar-prefetch
+        # operands give each grid step its own pixel block and per-block
+        # sample cursor — one compiled kernel renders any block subset.
+        bid_ref, samp0_ref, rest = rest[0], rest[1], rest[2:]
     if sph_vmem:
         sf_ref, rest = rest[0], rest[1:]
 
@@ -551,7 +557,9 @@ def _trace_kernel(
     ray_gen = ray_gen_factory(camf_ref)
 
     key = (meta_ref[0], meta_ref[1])
-    sample_start = meta_ref[2]
+    # Adaptive rounds give every tile its own sample cursor (a pixel's
+    # n-th sample is the same draw no matter when its block is scheduled).
+    sample_start = samp0_ref[tile] if adaptive else meta_ref[2]
     n_valid_i = meta_ref[3].astype(jnp.int32)
     row0 = row0_ref[0]
 
@@ -592,8 +600,16 @@ def _trace_kernel(
         jax.lax.broadcasted_iota(jnp.int32, shape, 0) * jnp.int32(LANES)
         + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     )
-    bx = tile % jnp.int32(blocks_x)
-    by = tile // jnp.int32(blocks_x)
+    if adaptive:
+        # The tile's pixel block is chosen by the prefetch operand, not
+        # the grid position. The sentinel id (one past the block grid)
+        # maps every lane out of image: the tile retires before its
+        # first bounce and contributes nothing (padding short rounds).
+        bid = bid_ref[tile].astype(jnp.int32)
+    else:
+        bid = tile
+    bx = bid % jnp.int32(blocks_x)
+    by = bid // jnp.int32(blocks_x)
     ix = bx * jnp.int32(BLOCK_W) + local % jnp.int32(BLOCK_W)
     iy_local = by * jnp.int32(block_h) + local // jnp.int32(BLOCK_W)
     in_image = (ix < jnp.int32(width)) & (iy_local < jnp.int32(n_rows))
@@ -1545,6 +1561,100 @@ def _trace_kernel(
     segs_ref[...] = segs * w
 
 
+def _prepare_scene_operands(
+    scene: CompiledScene, material_set, kc: KernelConfig, kernel,
+    use_packed_cam: bool, default_cam,
+):
+    """Per-call scene-operand packing shared by the uniform and adaptive
+    renderers: table placement (SMEM scalar prefetch vs VMEM), prefetch
+    array construction, runtime-camera selection, and the kernel partial
+    specialized to the scene's static facts.
+
+    Returns ``(prefetch_ops, extra_in, extra_specs, kern)`` where
+    ``prefetch_ops`` is the 7-tuple ``(sf_smem, aabb, saabb, trf_smem,
+    traabb, tsaabb, camf)`` (callers append meta/row0/... after it),
+    ``extra_in``/``extra_specs`` carry the optional VMEM tables, and
+    ``kern`` is the kernel with scene-shape kwargs bound.
+    """
+    n_t = scene.tris.v0.x.shape[0] if scene.has_triangles else 0
+    # Triangle-table placement: SMEM (scalar prefetch, fastest) while
+    # the whole prefetch set fits; else the 14-row table moves to
+    # VMEM (no practical size cap) and only its AABB gate tables stay
+    # in SMEM. KernelConfig.TRI_VMEM forces either way.
+    tri_vmem = kc.TRI_VMEM
+    if tri_vmem is None:
+        tri_vmem = bool(n_t) and not fits_in_smem(
+            scene.padded_size, n_t, kc
+        )
+    sph_vmem = kc.SPH_VMEM
+    if sph_vmem is None:
+        sph_vmem = not fits_in_smem(
+            scene.padded_size, n_t, kc, tri_table_in_smem=not tri_vmem
+        )
+    if not fits_in_smem(scene.padded_size, n_t, kc,
+                        tri_table_in_smem=not tri_vmem,
+                        sph_table_in_smem=not sph_vmem):
+        raise ValueError(
+            f"scene's AABB gate tables alone exceed the SMEM budget "
+            f"(~{estimated_prefetch_bytes(scene.padded_size, n_t, kc, not tri_vmem, not sph_vmem)} "
+            f"bytes of {SMEM_BUDGET}): {scene.padded_size} spheres + "
+            f"{n_t} triangles. Use the jnp backend for scenes this "
+            f"large."
+        )
+    sf, aabb, saabb, trf, traabb, tsaabb = _scene_to_prefetch(
+        scene, material_set, kc
+    )
+    if use_packed_cam and scene.cam is not None:
+        camf = jnp.asarray(scene.cam, jnp.float32)
+    else:
+        camf = default_cam
+    n_spheres = int(sf.shape[1])
+    n_tris = int(trf.shape[1]) if scene.has_triangles else 0
+    extra_in = ()
+    extra_specs = []
+    if tri_vmem:
+        # VMEM table layout is [T, 14]: the dynamic triangle index
+        # must ride the SUBLANE dim (Mosaic rejects dynamic lane
+        # indices). The 14-wide lane dim pads to 128 under tiling
+        # (~9x bloat: 512 B/triangle of VMEM — ~190k triangles in a
+        # ~100 MB budget, 12x the SMEM cap). Pads are degenerate
+        # (zero-edge) triangles.
+        tpad = (-trf.shape[1]) % 8
+        trf_vmem_arr = jnp.pad(trf, ((0, 0), (0, tpad))).T
+        trf_smem = jnp.zeros((14, 1), jnp.float32)  # dummy operand
+    else:
+        trf_smem = trf
+    if sph_vmem:
+        # Same scheme for the sphere table ([N, 9]); VMEM pad rows
+        # are never swept (sweep counts stop at n_spheres).
+        spad = (-sf.shape[1]) % 8
+        sf_vmem_arr = jnp.pad(sf, ((0, 0), (0, spad))).T
+        sf_smem = jnp.zeros((9, 1), jnp.float32)  # dummy operand
+        extra_in += (sf_vmem_arr,)
+        extra_specs.append(pl.BlockSpec(
+            sf_vmem_arr.shape, lambda t, *_: (0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+    else:
+        sf_smem = sf
+    if tri_vmem:
+        extra_in += (trf_vmem_arr,)
+        extra_specs.append(pl.BlockSpec(
+            trf_vmem_arr.shape, lambda t, *_: (0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+    kern = functools.partial(
+        kernel, n_spheres=n_spheres, n_tris=n_tris,
+        cull=(kc.FORCE_CULL if kc.FORCE_CULL is not None
+              else n_spheres > kc.CULL_MIN),
+        tri_vmem=tri_vmem, sph_vmem=sph_vmem,
+    )
+    return (
+        (sf_smem, aabb, saabb, trf_smem, traabb, tsaabb, camf),
+        extra_in, extra_specs, kern,
+    )
+
+
 def make_block_renderer(
     cam: Camera,
     width: int,
@@ -1645,65 +1755,10 @@ def make_block_renderer(
     )
 
     def block(scene: CompiledScene, key, row0, sample_start, n_valid):
-        n_t = scene.tris.v0.x.shape[0] if scene.has_triangles else 0
-        # Triangle-table placement: SMEM (scalar prefetch, fastest) while
-        # the whole prefetch set fits; else the 14-row table moves to
-        # VMEM (no practical size cap) and only its AABB gate tables stay
-        # in SMEM. KernelConfig.TRI_VMEM forces either way.
-        tri_vmem = kc.TRI_VMEM
-        if tri_vmem is None:
-            tri_vmem = bool(n_t) and not fits_in_smem(
-                scene.padded_size, n_t, kc
-            )
-        sph_vmem = kc.SPH_VMEM
-        if sph_vmem is None:
-            sph_vmem = not fits_in_smem(
-                scene.padded_size, n_t, kc, tri_table_in_smem=not tri_vmem
-            )
-        if not fits_in_smem(scene.padded_size, n_t, kc,
-                            tri_table_in_smem=not tri_vmem,
-                            sph_table_in_smem=not sph_vmem):
-            raise ValueError(
-                f"scene's AABB gate tables alone exceed the SMEM budget "
-                f"(~{estimated_prefetch_bytes(scene.padded_size, n_t, kc, not tri_vmem, not sph_vmem)} "
-                f"bytes of {SMEM_BUDGET}): {scene.padded_size} spheres + "
-                f"{n_t} triangles. Use the jnp backend for scenes this "
-                f"large."
-            )
-        sf, aabb, saabb, trf, traabb, tsaabb = _scene_to_prefetch(
-            scene, material_set, kc
-        )
-        if cam.reference_mode or kc.STATIC_CAM or scene.cam is None:
-            camf = default_cam
-        else:
-            camf = jnp.asarray(scene.cam, jnp.float32)
-        n_spheres = int(sf.shape[1])
-        n_tris = int(trf.shape[1]) if scene.has_triangles else 0
-        if tri_vmem:
-            # VMEM table layout is [T, 14]: the dynamic triangle index
-            # must ride the SUBLANE dim (Mosaic rejects dynamic lane
-            # indices). The 14-wide lane dim pads to 128 under tiling
-            # (~9x bloat: 512 B/triangle of VMEM — ~190k triangles in a
-            # ~100 MB budget, 12x the SMEM cap). Pads are degenerate
-            # (zero-edge) triangles.
-            tpad = (-trf.shape[1]) % 8
-            trf_vmem_arr = jnp.pad(trf, ((0, 0), (0, tpad))).T
-            trf_smem = jnp.zeros((14, 1), jnp.float32)  # dummy operand
-        else:
-            trf_smem = trf
-        if sph_vmem:
-            # Same scheme for the sphere table ([N, 9]); VMEM pad rows
-            # are never swept (sweep counts stop at n_spheres).
-            spad = (-sf.shape[1]) % 8
-            sf_vmem_arr = jnp.pad(sf, ((0, 0), (0, spad))).T
-            sf_smem = jnp.zeros((9, 1), jnp.float32)  # dummy operand
-        else:
-            sf_smem = sf
-        kern = functools.partial(
-            kernel, n_spheres=n_spheres, n_tris=n_tris,
-            cull=(kc.FORCE_CULL if kc.FORCE_CULL is not None
-                  else n_spheres > kc.CULL_MIN),
-            tri_vmem=tri_vmem, sph_vmem=sph_vmem,
+        prefetch_ops, extra_in, extra_specs, kern = _prepare_scene_operands(
+            scene, material_set, kc, kernel,
+            use_packed_cam=not (cam.reference_mode or kc.STATIC_CAM),
+            default_cam=default_cam,
         )
 
         meta = jnp.stack(
@@ -1733,24 +1788,10 @@ def make_block_renderer(
             img_spec = seg_spec
             img_shape = jax.ShapeDtypeStruct((out_rows, LANES), jnp.float32)
             scratch = []
-        in_specs = []
-        extra_in = ()
-        if sph_vmem:
-            in_specs.append(pl.BlockSpec(
-                sf_vmem_arr.shape, lambda t, *_: (0, 0),
-                memory_space=pltpu.VMEM,
-            ))
-            extra_in += (sf_vmem_arr,)
-        if tri_vmem:
-            in_specs.append(pl.BlockSpec(
-                trf_vmem_arr.shape, lambda t, *_: (0, 0),
-                memory_space=pltpu.VMEM,
-            ))
-            extra_in += (trf_vmem_arr,)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=9,
             grid=(n_tiles,),
-            in_specs=in_specs,
+            in_specs=extra_specs,
             out_specs=[img_spec] * 3 + [seg_spec],
             scratch_shapes=scratch,
         )
@@ -1761,8 +1802,7 @@ def make_block_renderer(
             out_shape=[img_shape] * 3
             + [jax.ShapeDtypeStruct((out_rows, LANES), jnp.float32)],
             interpret=interpret,
-        )(sf_smem, aabb, saabb, trf_smem, traabb, tsaabb, camf, meta,
-          row0_arr, *extra_in)
+        )(*prefetch_ops, meta, row0_arr, *extra_in)
 
         def unscramble(a):
             # Output rows are tile-major and each tile's tile_rows×128
@@ -1790,6 +1830,142 @@ def make_block_renderer(
         return img_sum, jnp.sum(segs)
 
     return block
+
+
+def make_adaptive_renderer(
+    cam: Camera,
+    width: int,
+    height: int,
+    n_sel: int,
+    max_samples: int,
+    ray_depth: int,
+    t_min: float = 1e-3,
+    t_max: float = 1e4,
+    tile_rows: int = DEFAULT_TILE_ROWS,
+    interpret: bool = False,
+    material_set=None,
+    rng_mode: str = "threefry",
+    static_ior=None,
+    config: KernelConfig = None,
+    sky=None,
+    nee_lights=None,
+):
+    """Adaptive-sampling block renderer (render/adaptive.py's device path).
+
+    Returns ``render(scene, key, block_ids, samp0) -> (block_sums
+    [n_sel, block_h, BLOCK_W, 3] f32, segments f32 scalar)``: one kernel
+    call renders the ``n_sel`` chosen pixel blocks, each over its own
+    per-pixel sample window ``[samp0[i], samp0[i] + max_samples)``. The
+    block list and cursors are scalar-prefetch operands, so every round
+    of an adaptive session reuses one compiled kernel. ``block_ids`` may
+    contain the sentinel ``blocks_x * blocks_y`` for padding (renders
+    nothing). Same RNG contract as the uniform kernel: per-pixel sample
+    streams are scheduling-independent, so each block's sums are bitwise
+    what the uniform kernel produces at the same per-pixel counts
+    (tests/test_adaptive.py).
+    """
+    nee_lights = tuple(nee_lights) if nee_lights else None
+    spp = int(max_samples)
+    if spp < 1:
+        raise ValueError("adaptive rendering requires a positive spp")
+    kc = config or DEFAULT_CONFIG
+    BLOCK_W = kc.BLOCK_W
+    if static_ior is not None:
+        static_ior = float(static_ior)
+    if sky is not None:
+        sky = tuple(float(c) for c in sky)
+    if material_set is None:
+        material_set = (1, 2, 3)
+    material_set = tuple(sorted(set(material_set)))
+    if ray_depth > crng.MAX_DEPTH:
+        raise ValueError(f"ray_depth {ray_depth} exceeds MAX_DEPTH {crng.MAX_DEPTH}")
+    if cam.reference_mode or kc.STATIC_CAM:
+        static_gen = cam_mod.make_ray_generator(cam, width, height)
+        ray_gen_factory = lambda ref: static_gen  # noqa: E731
+        default_cam = jnp.zeros((1,), jnp.float32)
+    else:
+        ray_gen_factory = lambda ref: (  # noqa: E731
+            lambda ix, iy, u1, u2, l1, l2: cam_mod.rays_from_packed(
+                ref, width, height, ix, iy, u1, u2, l1, l2
+            )
+        )
+        default_cam = jnp.asarray(cam_mod.pack_camera(cam, width, height))
+
+    tile_size = tile_rows * LANES
+    block_h = tile_size // BLOCK_W
+    n_sel = int(n_sel)
+    out_rows = n_sel * tile_rows
+
+    kernel = functools.partial(
+        _trace_kernel,
+        material_set=material_set,
+        rng_mode=rng_mode,
+        width=width,
+        n_rows=height,  # blocks address the full image (row0 = 0)
+        depth=int(ray_depth),
+        t_min=float(t_min),
+        t_max=float(t_max),
+        tile_rows=tile_rows,
+        ray_gen_factory=ray_gen_factory,
+        static_ior=static_ior,
+        cfg=kc,
+        frames=1,
+        spp=spp,
+        sky=sky,
+        lens_draws=not cam.reference_mode,
+        nee_lights=nee_lights,
+        adaptive=True,
+    )
+
+    def render(scene: CompiledScene, key, block_ids, samp0):
+        prefetch_ops, extra_in, extra_specs, kern = _prepare_scene_operands(
+            scene, material_set, kc, kernel,
+            use_packed_cam=not (cam.reference_mode or kc.STATIC_CAM),
+            default_cam=default_cam,
+        )
+        meta = jnp.stack(
+            [
+                jnp.asarray(key[0], jnp.uint32),
+                jnp.asarray(key[1], jnp.uint32),
+                jnp.uint32(0),  # sample_start comes from samp0 per tile
+                jnp.uint32(spp),
+            ]
+        )
+        row0_arr = jnp.zeros((1,), jnp.uint32)
+        bid_arr = jnp.asarray(block_ids, jnp.uint32).reshape(n_sel)
+        samp0_arr = jnp.asarray(samp0, jnp.uint32).reshape(n_sel)
+
+        out_spec = pl.BlockSpec(
+            (tile_rows, LANES), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=11,
+            grid=(n_sel,),
+            in_specs=extra_specs,
+            out_specs=[out_spec] * 4,
+            scratch_shapes=[],
+        )
+        r, g, b, segs = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((out_rows, LANES), jnp.float32)
+            ] * 4,
+            interpret=interpret,
+        )(*prefetch_ops, meta, row0_arr, bid_arr, samp0_arr, *extra_in)
+
+        # Each tile's [tile_rows, 128] lanes are one row-major
+        # block_h x BLOCK_W pixel block; no gather needed.
+        sums = jnp.stack(
+            [
+                a.reshape(n_sel, block_h, BLOCK_W)
+                for a in (r, g, b)
+            ],
+            axis=-1,
+        )
+        return sums, jnp.sum(segs)
+
+    return render
 
 
 def make_renderer(

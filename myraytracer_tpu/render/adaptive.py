@@ -1,0 +1,425 @@
+"""Variance-guided adaptive sampling (extension; no reference counterpart).
+
+The reference spreads samples uniformly: every pixel gets
+``samples_per_frame`` draws per redraw (``shader.wgsl:378``), so the sky
+pixels of the RTiOW final scene get the same budget as the glass ones —
+most of the work refines pixels that converged long ago. Adaptive
+sampling reallocates the budget: the image is split into the kernel's
+native pixel blocks, each block tracks the variance of its per-round
+mean estimates, and every round renders only the ``n_sel`` blocks with
+the largest expected error reduction.
+
+TPU-first design decisions:
+
+* **Block granularity, static shapes.** The unit of work is the Pallas
+  megakernel's own BLOCK_W x block_h pixel tile, and every round renders
+  exactly ``n_sel`` of them — one compiled kernel serves all rounds. The
+  selected block list and each block's sample cursor are scalar-prefetch
+  operands (``kernels/trace.make_adaptive_renderer``), not shapes.
+* **Contiguous per-pixel sample streams.** A pixel's n-th sample is the
+  same threefry draw no matter when its block was scheduled, so an
+  adaptive render of a block is bitwise a uniform render of that block
+  at the same per-pixel count (tests/test_adaptive.py) and resolution of
+  the estimator stays a plain per-pixel mean — no weights, no bias from
+  reordering.
+* **Fully on-device rounds.** One jitted call per round computes the
+  block scores, selects the top-n_sel blocks (``lax.top_k``), gathers
+  their sample cursors, renders them, and folds the sums into the
+  framebuffer/variance state — the host never reads a score, so rounds
+  pipeline like the streaming frame loop (no per-round tunnel sync).
+
+Scoring: for a block rendered r rounds of k samples, each pixel's
+round-means m_i are iid with Var(m) = sigma^2/k, estimated by
+S2 = (s2 - s1^2/r)/(r-1). The pixel's current MSE is S2/r; one more
+round shrinks it to S2/(r+1), so the expected reduction is
+S2/(r(r+1)) — the block score is the pixel mean of that. Blocks with
+r < 2 score +inf (the bootstrap covers every block twice first).
+
+Like any variance-guided stopping rule this trades the uniform
+estimator's exact unbiasedness for a data-dependent allocation (pixels
+whose early samples looked noisy get more). The estimator per pixel is
+still a plain mean of its first n samples; measured bias on the test
+scenes is below the reference estimator's own seed noise
+(tests/test_adaptive.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from myraytracer_tpu.config import RenderConfig
+from myraytracer_tpu.core import rng as crng
+from myraytracer_tpu.render import camera as cam_mod
+from myraytracer_tpu.render.integrator import render_sample_batch
+from myraytracer_tpu.render.lights import extract_lights as _extract_lights
+from myraytracer_tpu.scene import api
+from myraytracer_tpu.scene.compile import compile_scene
+
+
+def block_geometry(width, height, block_w, block_h):
+    """Block-grid shape for an image: (blocks_x, blocks_y, n_blocks)."""
+    bx = -(-width // block_w)
+    by = -(-height // block_h)
+    return bx, by, bx * by
+
+
+def make_adaptive_oracle(
+    cam,
+    width: int,
+    height: int,
+    n_sel: int,
+    max_samples: int,
+    ray_depth: int,
+    block_w: int,
+    block_h: int,
+    t_min: float = 1e-3,
+    t_max: float = 1e4,
+    sky=None,
+    nee_lights=None,
+    material_set=None,
+    static_ior=None,
+):
+    """Pure-jnp adaptive block renderer (oracle; CPU path).
+
+    Returns ``render(scene, key, block_ids, samp0) -> (block_sums
+    [n_sel, block_h, block_w, 3] f32, segments f32 scalar)``: for each
+    selected block, the SUM of radiance over per-pixel sample indices
+    ``[samp0[i], samp0[i] + max_samples)``. ``block_ids`` may contain the
+    sentinel ``blocks_x * blocks_y`` (one past the grid) for padding —
+    sentinel lanes trace nothing and contribute zero.
+
+    Same RNG contract as the uniform renderers: a pixel's sample stream
+    depends only on (key, pixel, sample index), so adaptive scheduling
+    never changes any sample's value.
+    """
+    del material_set, static_ior  # oracle keeps all branches
+    del n_sel  # the oracle renders whatever id list it is handed
+    if ray_depth > crng.MAX_DEPTH:
+        raise ValueError(f"ray_depth {ray_depth} exceeds MAX_DEPTH {crng.MAX_DEPTH}")
+    blocks_x, _, _ = block_geometry(width, height, block_w, block_h)
+    static_gen = cam_mod.make_ray_generator(cam, width, height)
+    lanes = block_h * block_w
+    spp = int(max_samples)
+    nee_lights = tuple(nee_lights) if nee_lights else None
+
+    def render(scene, key, block_ids, samp0):
+        if scene.cam is not None and not cam.reference_mode:
+            ray_gen = lambda ix, iy, u1, u2, l1, l2: (  # noqa: E731
+                cam_mod.rays_from_packed(
+                    scene.cam, width, height, ix, iy, u1, u2, l1, l2
+                )
+            )
+        else:
+            ray_gen = static_gen
+        bid = jnp.asarray(block_ids, jnp.uint32).astype(jnp.int32)[:, None]
+        s0 = jnp.asarray(samp0, jnp.uint32)[:, None]
+        local = jnp.arange(lanes, dtype=jnp.int32)[None, :]
+        ix = (bid % blocks_x) * block_w + local % block_w
+        iy = (bid // blocks_x) * block_h + local // block_w
+        in_image = (ix < width) & (iy < height)
+        # Sentinel / edge-pad lanes still trace (static shapes); clamp
+        # their coordinates so the camera math stays finite, then zero
+        # their contribution.
+        ixc = jnp.clip(ix, 0, width - 1)
+        iyc = jnp.clip(iy, 0, height - 1)
+        lane_id = (iyc * width + ixc).astype(jnp.uint32)
+
+        def one_sample(carry, j):
+            acc_x, acc_y, acc_z, segs_total = carry
+            sample_id = jnp.broadcast_to(s0 + j, (bid.shape[0], lanes))
+            rad, segs = render_sample_batch(
+                scene, ray_gen, ixc, iyc, lane_id, sample_id, key,
+                ray_depth, t_min, t_max, sky=sky,
+                lens_draws=not cam.reference_mode, nee_lights=nee_lights,
+            )
+            w = in_image.astype(jnp.float32)
+            return (
+                acc_x + rad.x * w,
+                acc_y + rad.y * w,
+                acc_z + rad.z * w,
+                segs_total + jnp.sum(segs.astype(jnp.float32) * w),
+            ), None
+
+        zero = jnp.zeros((bid.shape[0], lanes), jnp.float32)
+        (ax, ay, az, segs), _ = jax.lax.scan(
+            one_sample, (zero, zero, zero, jnp.float32(0.0)),
+            jnp.arange(spp, dtype=jnp.uint32),
+        )
+        sums = jnp.stack([ax, ay, az], axis=-1)
+        return sums.reshape(bid.shape[0], block_h, block_w, 3), segs
+
+    return render
+
+
+# --- on-device statistics (one jitted scatter per round) -------------------
+
+
+@jax.jit
+def _update_stats(fbB, s1, s2, n_b, r_b, idx, sums, k):
+    """Fold one round's block sums into the running state.
+
+    fbB  [n_blocks+1, bh, bw, 3]  per-pixel running mean
+    s1/s2 [n_blocks+1, bh, bw]    sums of per-round mean luminance (and sq)
+    n_b/r_b [n_blocks+1]          per-block sample / round counts
+    idx  [n_sel] i32              selected block indices (sentinel rows
+                                  land in the spare last slot)
+    sums [n_sel, bh, bw, 3]       radiance sums of this round
+    k    i32                      samples per pixel this round
+    """
+    kf = k.astype(jnp.float32)
+    m = sums / kf  # this round's per-pixel mean
+    n_old = n_b[idx].astype(jnp.float32)[:, None, None, None]
+    new_mean = (fbB[idx] * n_old + sums) / (n_old + kf)
+    fbB = fbB.at[idx].set(new_mean)
+    lum = jnp.mean(m, axis=-1)
+    s1 = s1.at[idx].add(lum)
+    s2 = s2.at[idx].add(lum * lum)
+    n_b = n_b.at[idx].add(k)
+    r_b = r_b.at[idx].add(1)
+    return fbB, s1, s2, n_b, r_b
+
+
+@jax.jit
+def _block_scores(s1, s2, r_b):
+    """Expected per-pixel MSE reduction of re-rendering each block.
+
+    Blocks with r < 2 rounds score +inf (must bootstrap); the spare
+    sentinel row is excluded by the caller (it slices [:n_blocks]).
+    """
+    r = r_b.astype(jnp.float32)[:, None, None]
+    var_m = (s2 - s1 * s1 / jnp.maximum(r, 1.0)) / jnp.maximum(r - 1.0, 1.0)
+    var_m = jnp.maximum(var_m, 0.0)  # cancellation can go tiny-negative
+    score = jnp.mean(var_m, axis=(1, 2)) / (
+        jnp.maximum(r[:, 0, 0], 1.0) * (r[:, 0, 0] + 1.0)
+    )
+    return jnp.where(r_b < 2, jnp.float32(jnp.inf), score)
+
+
+class AdaptiveSession:
+    """Adaptive-budget render session.
+
+    Unlike :class:`render.session.RenderSession` (the reference's uniform
+    progressive loop), a step renders ``n_sel`` chosen blocks of
+    ``samples_per_frame`` samples each. ``run_budget(total)`` spends a
+    total per-image sample budget (in units of uniform frames) and
+    returns the framebuffer. Checkpointing and sharding are not supported
+    in this mode (use the uniform session); the camera is fixed for the
+    session's lifetime (accumulation assumes one view).
+    """
+
+    def __init__(
+        self,
+        world: api.World,
+        config: RenderConfig = RenderConfig(),
+        n_sel: int = 0,
+        renderer_factory=None,
+        interpret: bool = False,
+    ):
+        if config.shard != "none":
+            raise ValueError("adaptive sampling does not compose with "
+                             "sharding yet; use shard='none'")
+        self.world = world
+        self.config = config
+        self.width, self.height = config.resolve_size()
+        resolved = config.backend
+        if resolved == "auto":
+            resolved = "pallas" if jax.default_backend() == "tpu" else "jnp"
+        self.backend_resolved = resolved
+
+        from myraytracer_tpu.kernels import trace as ktrace
+
+        kc = ktrace.DEFAULT_CONFIG
+        self.block_w = kc.BLOCK_W
+        self.block_h = ktrace.DEFAULT_TILE_ROWS * ktrace.LANES // kc.BLOCK_W
+        self.blocks_x, self.blocks_y, self.n_blocks = block_geometry(
+            self.width, self.height, self.block_w, self.block_h
+        )
+        self.sentinel = self.n_blocks  # one-past-grid block id: renders nothing
+        if n_sel <= 0:
+            n_sel = max(1, self.n_blocks // 4)
+        self.n_sel = min(n_sel, self.n_blocks)
+
+        self.scene = compile_scene(
+            world,
+            spatial_sort=len(world.spheres) > 64 or world.triangle_count > 64,
+            triangle_bvh=(resolved == "jnp" and world.triangle_count > 512),
+        )
+        if not world.camera.reference_mode:
+            self.scene = self.scene._replace(
+                cam=jnp.asarray(
+                    cam_mod.pack_camera(world.camera, self.width, self.height)
+                )
+            )
+        self.key = crng.key_from_seed(config.seed)
+
+        materials = {s.material.type_id for s in world.spheres}
+        materials |= {m.material.type_id for m in world.meshes}
+        iors = {s.material.ior for s in world.spheres if s.material.type_id == 3}
+        iors |= {m.material.ior for m in world.meshes if m.material.type_id == 3}
+        kwargs = dict(
+            t_min=config.t_min, t_max=config.t_max,
+            material_set=tuple(sorted(materials)) or None,
+            static_ior=(iors.pop() if len(iors) == 1 else None),
+            sky=world.ambient,
+            nee_lights=_extract_lights(world) if config.nee else None,
+        )
+        if renderer_factory is not None:
+            factory = renderer_factory
+        elif resolved == "pallas":
+            factory = lambda **kw: ktrace.make_adaptive_renderer(  # noqa: E731
+                interpret=interpret, **kw
+            )
+        else:
+            factory = lambda **kw: jax.jit(make_adaptive_oracle(  # noqa: E731
+                block_w=self.block_w, block_h=self.block_h, **kw
+            ))
+        self._render = factory(
+            cam=world.camera, width=self.width, height=self.height,
+            n_sel=self.n_sel, max_samples=config.samples_per_frame,
+            ray_depth=config.ray_depth, **kwargs,
+        )
+
+        nb1 = self.n_blocks + 1  # spare row absorbs sentinel scatters
+        bshape = (nb1, self.block_h, self.block_w)
+        self._state = (
+            jnp.zeros(bshape + (3,), jnp.float32),  # fbB: per-pixel mean
+            jnp.zeros(bshape, jnp.float32),  # s1: sum of round means (lum)
+            jnp.zeros(bshape, jnp.float32),  # s2: sum of squared round means
+            jnp.zeros((nb1,), jnp.int32),  # n_b: per-block sample count
+            jnp.zeros((nb1,), jnp.int32),  # r_b: per-block round count
+            jnp.zeros((nb1,), jnp.uint32),  # cursor: per-block sample start
+        )
+        self.rounds = 0
+        self.samples_spent = 0  # total per-pixel samples x pixels rendered
+        self._bootstrapped = False
+        self._segs_pending = []
+        self._segs_total = 0.0
+
+        k = self.config.samples_per_frame
+        n_blocks, n_sel_static = self.n_blocks, self.n_sel
+
+        def round_ids(scene, key, state, ids_u32):
+            """One round of the given block ids — render + fold stats."""
+            fbB, s1, s2, n_b, r_b, cursor = state
+            idx = jnp.minimum(ids_u32.astype(jnp.int32), n_blocks)
+            samp0 = cursor[idx]  # sentinel reads the (unused) spare slot
+            sums, segs = self._render(scene, key, ids_u32, samp0)
+            fbB, s1, s2, n_b, r_b = _update_stats(
+                fbB, s1, s2, n_b, r_b, idx, sums, jnp.int32(k)
+            )
+            cursor = cursor.at[idx].add(jnp.uint32(k))
+            return (fbB, s1, s2, n_b, r_b, cursor), segs
+
+        def round_auto(scene, key, state):
+            """One fully on-device adaptive round: score, select top-n_sel,
+            render, update. No host syncs — rounds pipeline."""
+            _, s1, s2, _, r_b, _ = state
+            scores = _block_scores(s1, s2, r_b)[:n_blocks]
+            _, top = jax.lax.top_k(scores, n_sel_static)
+            return round_ids(scene, key, state, top.astype(jnp.uint32))
+
+        self._round_ids = jax.jit(round_ids)
+        self._round_auto = jax.jit(round_auto)
+
+    # -- internals ----------------------------------------------------------
+
+    def _check_cursor_headroom(self, extra_rounds: int = 1) -> None:
+        # Worst case, one block absorbed every round so far plus the next:
+        # its cursor is bounded by (rounds + extra) * k. Host-side counters
+        # only — no device sync.
+        k = self.config.samples_per_frame
+        worst = (self.rounds + extra_rounds) * k
+        if worst * crng.DRAWS_PER_SAMPLE > 0xFFFFFFFF:
+            raise RuntimeError(
+                "per-pixel sample cursor could overflow the uint32 "
+                "draw-index space: the RNG stream would alias"
+            )
+
+    def bootstrap(self, covers: int = 2) -> None:
+        """Render every block ``covers`` times (variance needs r >= 2)."""
+        k = self.config.samples_per_frame
+        for _ in range(covers):
+            all_ids = np.arange(self.n_blocks, dtype=np.int64)
+            for i in range(0, self.n_blocks, self.n_sel):
+                ids = all_ids[i : i + self.n_sel]
+                pad = self.n_sel - len(ids)
+                ids_p = np.concatenate(
+                    [ids, np.full(pad, self.sentinel, np.int64)]
+                )
+                self._check_cursor_headroom()
+                self._state, segs = self._round_ids(
+                    self.scene, self.key, self._state,
+                    jnp.asarray(ids_p, jnp.uint32),
+                )
+                self.rounds += 1
+                self.samples_spent += len(ids) * self.block_h * self.block_w * k
+                self._segs_pending.append(segs)
+        self._bootstrapped = True
+
+    def step(self) -> None:
+        """One adaptive round: score, select top-n_sel, render, update."""
+        if not self._bootstrapped:
+            self.bootstrap()
+            return
+        self._check_cursor_headroom()
+        self._state, segs = self._round_auto(self.scene, self.key, self._state)
+        self.rounds += 1
+        self.samples_spent += (
+            self.n_sel * self.block_h * self.block_w
+            * self.config.samples_per_frame
+        )
+        self._segs_pending.append(segs)
+
+    def run_budget(self, uniform_frames: int) -> jnp.ndarray:
+        """Spend the sample budget of ``uniform_frames`` uniform frames
+        (bootstrap included), then return the framebuffer."""
+        budget = (
+            int(uniform_frames) * self.config.samples_per_frame
+            * self.width * self.height
+        )
+        round_cost = (
+            self.n_sel * self.block_h * self.block_w
+            * self.config.samples_per_frame
+        )
+        while self.samples_spent + round_cost <= budget:
+            self.step()
+        return self.framebuffer
+
+    # -- outputs --------------------------------------------------------------
+
+    @property
+    def framebuffer(self) -> jnp.ndarray:
+        """Current per-pixel mean image [H, W, 3] (unscrambled blocks)."""
+        fb = self._state[0][: self.n_blocks].reshape(
+            self.blocks_y, self.blocks_x, self.block_h, self.block_w, 3
+        )
+        fb = fb.transpose(0, 2, 1, 3, 4).reshape(
+            self.blocks_y * self.block_h, self.blocks_x * self.block_w, 3
+        )
+        return fb[: self.height, : self.width]
+
+    @property
+    def spp_map(self) -> np.ndarray:
+        """Per-pixel accumulated sample count [H, W] (diagnostics;
+        forces a host read)."""
+        n = np.asarray(self._state[3][: self.n_blocks])
+        m = np.repeat(
+            np.repeat(
+                n.reshape(self.blocks_y, self.blocks_x), self.block_h, axis=0
+            ),
+            self.block_w, axis=1,
+        )
+        return m[: self.height, : self.width]
+
+    @property
+    def segments_traced(self) -> float:
+        if self._segs_pending:
+            pending, self._segs_pending = self._segs_pending, []
+            self._segs_total += float(
+                np.asarray(
+                    jax.device_get(jnp.stack(pending)), dtype=np.float64
+                ).sum()
+            )
+        return self._segs_total
