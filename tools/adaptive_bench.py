@@ -92,11 +92,17 @@ def main():
             seed=0, backend="pallas",
         )
         sess = AdaptiveSession(world, cfg, n_sel=NSEL)
-        sess.bootstrap()  # compile warms here too
+        sess.bootstrap()  # warms _round_ids (and the Mosaic kernel)
+        # Warm _round_auto WITHOUT spending budget: each session's jit is a
+        # fresh closure, so its XLA (re)compile would otherwise land inside
+        # the timed region (AOT lower+compile leaves session state untouched).
+        sess._round_auto.lower(sess.scene, sess.key, sess._state).compile()
+        r0 = sess.rounds
         t0 = time.perf_counter()
         fb = sess.run_budget(budget)
         fb_np = np.asarray(fb)  # forces the round chain
         t_a = time.perf_counter() - t0
+        n_rounds = sess.rounds - r0
         # Bootstrap time is excluded from t_a but its samples count toward
         # the budget (run_budget already accounts for them).
         e_a = rmse(fb_np, img_ref)
@@ -106,6 +112,7 @@ def main():
         print(
             f"budget {total_spp:4d} spp | uniform rmse {e_u:.5f} ({t_u:6.2f}s)"
             f" | adaptive rmse {e_a:.5f} ({t_a:6.2f}s post-bootstrap,"
+            f" {n_rounds} rounds = {1e3*t_a/max(n_rounds,1):.0f} ms/round,"
             f" {sess.samples_spent/(W*H):6.1f} spp spent,"
             f" block spp {smap.min()}..{smap.max()})",
             flush=True,
