@@ -403,6 +403,15 @@ def _scene_to_prefetch(scene: CompiledScene, material_set, cfg: "KernelConfig"):
     Returns (f32 table, chunk AABBs, triangle table, triangle AABBs).
     """
     CULL_CHUNK = cfg.CULL_CHUNK
+    if scene.tex_ty is not None:
+        # Temporary: kernel texture support lands with the texture rows
+        # (render/textures.py); until then refuse loudly rather than
+        # silently rendering the base colors. dispatch.make_session
+        # auto-falls back to the jnp oracle for textured scenes.
+        raise NotImplementedError(
+            "the Pallas kernel does not trace textured scenes yet; "
+            "use backend='jnp'"
+        )
     is_pad = scene.radius_sq < 0.0
     arx, fzp = _pack_mat_bits(
         scene.albedo.x, scene.fuzz, scene.mat_ty.astype(jnp.int32),

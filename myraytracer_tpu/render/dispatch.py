@@ -91,6 +91,10 @@ def make_session(world: api.World, config: RenderConfig) -> RenderSession:
                     f"{world.triangle_count} triangles) exceeds the "
                     f"Pallas kernel's SMEM budget"
                 )
+            elif world.texture_set:
+                # Temporary until kernel texture rows land
+                # (kernels/trace.py guard).
+                downgrade = "textured scene (kernel support pending)"
         if downgrade:
             import dataclasses
             import logging

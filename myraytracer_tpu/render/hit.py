@@ -52,6 +52,11 @@ class Hit(NamedTuple):
     albedo: V3
     fuzz: jnp.ndarray
     ior: jnp.ndarray
+    # Procedural-texture record (extension; None on untextured scenes —
+    # render/textures.py replaces ``albedo`` at the hit point when set).
+    tex_ty: jnp.ndarray = None  # i32 (api.TEXTURE_*)
+    albedo2: V3 = None
+    tex_scale: jnp.ndarray = None
 
 
 def _chunk_size(n_prims: int, n_lanes: int) -> int:
@@ -327,6 +332,13 @@ def closest_hit(
     s_albedo = V3(take(scene.albedo.x), take(scene.albedo.y), take(scene.albedo.z))
     s_fuzz = take(scene.fuzz)
     s_ior = take(scene.ior)
+    textured = scene.tex_ty is not None
+    if textured:
+        s_tex = take(scene.tex_ty)
+        s_alb2 = V3(take(scene.albedo2.x), take(scene.albedo2.y), take(scene.albedo2.z))
+        s_tsc = take(scene.tex_scale)
+    else:
+        s_tex = s_alb2 = s_tsc = None
 
     if scene.has_triangles:
         tr = scene.tris
@@ -348,6 +360,14 @@ def closest_hit(
         fuzz = jnp.where(tri_wins, tk(tr.fuzz), s_fuzz)
         ior = jnp.where(tri_wins, tk(tr.ior), s_ior)
         idx = jnp.where(tri_wins, it, is_)
+        if textured:
+            s_tex = jnp.where(tri_wins, tk(tr.tex_ty), s_tex)
+            s_alb2 = V3.where(
+                tri_wins,
+                V3(tk(tr.albedo2.x), tk(tr.albedo2.y), tk(tr.albedo2.z)),
+                s_alb2,
+            )
+            s_tsc = jnp.where(tri_wins, tk(tr.tex_scale), s_tsc)
     else:
         normal, mat_ty, albedo, fuzz, ior, idx = (
             s_normal, s_mat, s_albedo, s_fuzz, s_ior, is_,
@@ -369,4 +389,7 @@ def closest_hit(
         albedo=unflat3(albedo),
         fuzz=unflat(fuzz),
         ior=unflat(ior),
+        tex_ty=unflat(s_tex) if textured else None,
+        albedo2=unflat3(s_alb2) if textured else None,
+        tex_scale=unflat(s_tsc) if textured else None,
     )

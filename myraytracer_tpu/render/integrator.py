@@ -38,6 +38,7 @@ from myraytracer_tpu.core.vec import V3
 from myraytracer_tpu.render import camera as cam_mod
 from myraytracer_tpu.render.hit import closest_hit
 from myraytracer_tpu.render.materials import color_sky, scatter
+from myraytracer_tpu.render.textures import apply_texture
 from myraytracer_tpu.scene import api
 from myraytracer_tpu.scene.api import Camera
 from myraytracer_tpu.scene.compile import CompiledScene
@@ -88,6 +89,10 @@ def trace(
         segs = segs + alive.astype(jnp.uint32)
 
         hit = closest_hit(o, d, scene, t_min, t_max)
+        # Procedural albedo at the hit point (no-op on untextured scenes);
+        # every consumer below (emission pickup, NEE, scatter) then sees
+        # the effective color — render/textures.py.
+        hit = apply_texture(hit)
 
         # Miss → attenuation * sky, retire (shader.wgsl:343-345).
         miss = alive & ~hit.mask

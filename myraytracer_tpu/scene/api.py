@@ -30,6 +30,12 @@ MATERIAL_METAL = 2  # lib.rs:646
 MATERIAL_DIELECTRIC = 3  # extension
 MATERIAL_LIGHT = 4  # extension (emissive)
 
+# Procedural texture type ids (extension; RTiOW book 2 ch. 4-5 analog —
+# the reference has constant colors only). Evaluated by render/textures.py.
+TEXTURE_SOLID = 0
+TEXTURE_CHECKER = 1
+TEXTURE_MARBLE = 2
+
 
 def _check_nonnegative(name: str, *values: float) -> None:
     # Albedo/fuzz nonnegativity is part of the API contract (they are
@@ -45,15 +51,70 @@ def _check_nonnegative(name: str, *values: float) -> None:
 
 
 @dataclasses.dataclass(frozen=True)
-class Lambertian:
-    """Diffuse material (reference api::Lambertian, lib.rs:613-615)."""
+class Checker:
+    """3-D checker texture (extension; RTiOW book 2 ch. 4.3 semantics).
 
-    albedo: Vec3
+    ``even``/``odd`` are the two cell colors; ``scale`` is cells per unit
+    length (the book's ``inv_scale`` is ``1/scale``). Usable as a
+    ``Lambertian`` albedo. Colors must be nonnegative and ``scale``
+    positive: the kernel packs the texture type into the sign bits of the
+    odd color / scale rows (the ``_pack_mat_bits`` idiom).
+    """
+
+    even: Vec3
+    odd: Vec3
+    scale: float = 1.0
+
+    tex_id = TEXTURE_CHECKER
+
+    def __post_init__(self):
+        _check_nonnegative("Checker.even", *self.even)
+        _check_nonnegative("Checker.odd", *self.odd)
+        if not self.scale > 0:
+            raise ValueError(f"Checker.scale must be positive, got {self.scale}")
+
+
+@dataclasses.dataclass(frozen=True)
+class Marble:
+    """Turbulent band texture (extension; RTiOW book 2 ch. 5.7 semantics,
+    with tableless hash noise and an exact triangle-wave band —
+    core/noise.py). ``color`` is the base color, ``scale`` the band
+    frequency along z. Usable as a ``Lambertian`` albedo.
+    """
+
+    color: Vec3 = (1.0, 1.0, 1.0)
+    scale: float = 1.0
+
+    tex_id = TEXTURE_MARBLE
+
+    def __post_init__(self):
+        _check_nonnegative("Marble.color", *self.color)
+        if not self.scale > 0:
+            raise ValueError(f"Marble.scale must be positive, got {self.scale}")
+
+
+Texture = Union[Checker, Marble]
+
+
+@dataclasses.dataclass(frozen=True)
+class Lambertian:
+    """Diffuse material (reference api::Lambertian, lib.rs:613-615).
+
+    ``albedo`` is a constant color (the reference's contract) or a
+    procedural :class:`Checker`/:class:`Marble` texture (extension).
+    """
+
+    albedo: Union[Vec3, Texture]
 
     type_id = MATERIAL_LAMBERTIAN
 
     def __post_init__(self):
-        _check_nonnegative("Lambertian.albedo", *self.albedo)
+        if not isinstance(self.albedo, (Checker, Marble)):
+            _check_nonnegative("Lambertian.albedo", *self.albedo)
+
+    @property
+    def tex_id(self) -> int:
+        return getattr(self.albedo, "tex_id", TEXTURE_SOLID)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -205,3 +266,28 @@ class World:
     @property
     def triangle_count(self) -> int:
         return sum(len(m) for m in self.meshes)
+
+    @property
+    def material_set(self) -> Tuple[int, ...]:
+        """Sorted material-type ids present (kernel specialization knob)."""
+        mats = {s.material.type_id for s in self.spheres}
+        mats |= {m.material.type_id for m in self.meshes}
+        return tuple(sorted(mats))
+
+    @property
+    def texture_set(self) -> Tuple[int, ...]:
+        """Sorted procedural-texture ids present (empty = untextured)."""
+        texs = {getattr(s.material, "tex_id", TEXTURE_SOLID) for s in self.spheres}
+        texs |= {getattr(m.material, "tex_id", TEXTURE_SOLID) for m in self.meshes}
+        texs.discard(TEXTURE_SOLID)
+        return tuple(sorted(texs))
+
+    @property
+    def static_ior(self) -> Optional[float]:
+        """The scene-uniform dielectric IOR, or None if mixed/absent."""
+        iors = {
+            p.material.ior
+            for p in (*self.spheres, *self.meshes)
+            if p.material.type_id == MATERIAL_DIELECTRIC
+        }
+        return iors.pop() if len(iors) == 1 else None

@@ -64,6 +64,10 @@ class CompiledTriangles(NamedTuple):
     ior: jnp.ndarray
     mat_ty: jnp.ndarray  # i32
     bvh: Optional[CompiledTriangleBVH] = None
+    # Procedural-texture rows (None on untextured scenes; see CompiledScene).
+    tex_ty: Optional[jnp.ndarray] = None  # [T] i32
+    albedo2: Optional[V3] = None  # [T] each (checker ODD color)
+    tex_scale: Optional[jnp.ndarray] = None  # [T] f32
 
     @property
     def padded_size(self) -> int:
@@ -91,6 +95,14 @@ class CompiledScene(NamedTuple):
     # time instead of the renderer's construction-time camera — camera
     # motion then needs no recompile (same compiled kernel, new operand).
     cam: Optional[jnp.ndarray] = None
+    # Procedural-texture rows (extension; render/textures.py). None on
+    # untextured scenes — the pytree structure then matches pre-texture
+    # scenes exactly, so untextured renders compile to identical code.
+    # ``albedo`` doubles as the solid / checker-EVEN / marble base color;
+    # ``albedo2`` is the checker ODD color; ``tex_scale`` the frequency.
+    tex_ty: Optional[jnp.ndarray] = None  # [N] i32 (api.TEXTURE_*)
+    albedo2: Optional[V3] = None  # [N] each
+    tex_scale: Optional[jnp.ndarray] = None  # [N] f32
 
     @property
     def padded_size(self) -> int:
@@ -107,10 +119,30 @@ def _pad(a: np.ndarray, n: int, fill) -> np.ndarray:
     return out
 
 
+def _texture_row(m: api.Material):
+    """Denormalized (tex_ty, albedo2, tex_scale) for one material.
+
+    Solid materials get ``(TEXTURE_SOLID, (0,0,0), 0.0)``; textured
+    Lambertians carry their second color and scale (the base color rides
+    the ordinary albedo row — see ``_material_row``).
+    """
+    a = getattr(m, "albedo", None)
+    if isinstance(a, api.Checker):
+        return api.TEXTURE_CHECKER, a.odd, a.scale
+    if isinstance(a, api.Marble):
+        return api.TEXTURE_MARBLE, (0.0, 0.0, 0.0), a.scale
+    return api.TEXTURE_SOLID, (0.0, 0.0, 0.0), 0.0
+
+
 def _material_row(m: api.Material):
     """Denormalized (albedo, fuzz, ior, type) for one material."""
     if isinstance(m, api.Lambertian):
-        return m.albedo, 0.0, 1.0, m.type_id
+        a = m.albedo
+        if isinstance(a, api.Checker):
+            a = a.even  # base color row; odd rides the texture rows
+        elif isinstance(a, api.Marble):
+            a = a.color
+        return a, 0.0, 1.0, m.type_id
     if isinstance(m, api.Metal):
         return m.albedo, m.fuzz, 1.0, m.type_id
     if isinstance(m, api.Dielectric):
@@ -123,7 +155,8 @@ def _material_row(m: api.Material):
 
 
 def _compile_triangles(
-    meshes, pad_to: int, with_bvh: bool, spatial_sort: bool
+    meshes, pad_to: int, with_bvh: bool, spatial_sort: bool,
+    textured: bool = False,
 ) -> CompiledTriangles:
     t = sum(len(m) for m in meshes)
     tpad = max(pad_to, -(-max(t, 1) // pad_to) * pad_to)
@@ -134,11 +167,15 @@ def _compile_triangles(
     fuzz = np.zeros((t,), np.float32)
     ior = np.ones((t,), np.float32)
     mat_ty = np.zeros((t,), np.int32)
+    tex_ty = np.zeros((t,), np.int32)
+    albedo2 = np.zeros((t, 3), np.float32)
+    tex_scale = np.zeros((t,), np.float32)
 
     k = 0
     for mesh in meshes:
         verts = np.asarray(mesh.vertices, np.float32)
         alb, fz, io, ty = _material_row(mesh.material)
+        tty, a2, tsc = _texture_row(mesh.material)
         tri = np.asarray(mesh.triangles, np.int32).reshape(-1, 3)
         n_m = tri.shape[0]
         if n_m == 0:
@@ -151,6 +188,9 @@ def _compile_triangles(
         fuzz[k:k + n_m] = fz
         ior[k:k + n_m] = io
         mat_ty[k:k + n_m] = ty
+        tex_ty[k:k + n_m] = tty
+        albedo2[k:k + n_m] = a2
+        tex_scale[k:k + n_m] = tsc
         k += n_m
 
     if spatial_sort and not with_bvh and t > 64:
@@ -162,6 +202,9 @@ def _compile_triangles(
         v0, e1, e2 = v0[order], e1[order], e2[order]
         albedo, fuzz, ior, mat_ty = (
             albedo[order], fuzz[order], ior[order], mat_ty[order],
+        )
+        tex_ty, albedo2, tex_scale = (
+            tex_ty[order], albedo2[order], tex_scale[order],
         )
 
     bvh = None
@@ -177,6 +220,7 @@ def _compile_triangles(
         perm = flat.order
         v0, e1, e2 = v0[perm], e1[perm], e2[perm]
         albedo, fuzz, ior, mat_ty = albedo[perm], fuzz[perm], ior[perm], mat_ty[perm]
+        tex_ty, albedo2, tex_scale = tex_ty[perm], albedo2[perm], tex_scale[perm]
         bvh = CompiledTriangleBVH(
             lo=V3(
                 jnp.asarray(flat.nodes_min[:, 0]),
@@ -207,6 +251,14 @@ def _compile_triangles(
         ior=jnp.asarray(_pad(ior, tpad, 1.0)),
         mat_ty=jnp.asarray(_pad(mat_ty, tpad, api.MATERIAL_NONE)),
         bvh=bvh,
+        tex_ty=(
+            jnp.asarray(_pad(tex_ty, tpad, api.TEXTURE_SOLID))
+            if textured else None
+        ),
+        albedo2=mkv3(albedo2) if textured else None,
+        tex_scale=(
+            jnp.asarray(_pad(tex_scale, tpad, 0.0)) if textured else None
+        ),
     )
 
 
@@ -283,16 +335,26 @@ def compile_scene(
     fuzz = np.zeros((n,), np.float32)
     ior = np.ones((n,), np.float32)
     mat_ty = np.zeros((n,), np.int32)
+    tex_ty = np.zeros((n,), np.int32)
+    albedo2 = np.zeros((n, 3), np.float32)
+    tex_scale = np.zeros((n,), np.float32)
 
     for i, s in enumerate(world.spheres):
         center[i] = s.center
         radius[i] = s.radius
         albedo[i], fuzz[i], ior[i], mat_ty[i] = _material_row(s.material)
+        tex_ty[i], albedo2[i], tex_scale[i] = _texture_row(s.material)
+
+    # Texture rows exist only on textured scenes (one global switch for
+    # spheres and meshes): the untextured pytree is unchanged, so every
+    # existing compile stays bitwise identical.
+    textured = bool(world.texture_set)
 
     radius_sq = radius * radius
     # Pad slots: radius_sq = -1 makes them unhittable (see module docstring).
     center_p = _pad(center, npad, 0.0)
     albedo_p = _pad(albedo, npad, 0.0)
+    albedo2_p = _pad(albedo2, npad, 0.0)
     return CompiledScene(
         center=V3(
             jnp.asarray(center_p[:, 0]),
@@ -319,10 +381,18 @@ def compile_scene(
                 # traversal is future work).
                 with_bvh=bool(triangle_bvh),
                 spatial_sort=spatial_sort,
+                textured=textured,
             )
             if world.meshes
             else None
         ),
+        tex_ty=jnp.asarray(_pad(tex_ty, npad, api.TEXTURE_SOLID)) if textured else None,
+        albedo2=V3(
+            jnp.asarray(albedo2_p[:, 0]),
+            jnp.asarray(albedo2_p[:, 1]),
+            jnp.asarray(albedo2_p[:, 2]),
+        ) if textured else None,
+        tex_scale=jnp.asarray(_pad(tex_scale, npad, 0.0)) if textured else None,
     )
 
 
@@ -356,7 +426,10 @@ def compile_reference_layout(world: api.World) -> Dict[str, object]:
         sphere_mat_tys.append(m.type_id)
         if isinstance(m, api.Lambertian):
             sphere_mat_idxs.append(len(lamb_albedos))
-            lamb_albedos.append([*m.albedo, 1.0])
+            # Textured albedo (extension) has no reference-layout slot;
+            # its base color stands in (the reference predates textures).
+            a = _material_row(m)[0]
+            lamb_albedos.append([*a, 1.0])
         elif isinstance(m, api.Metal):
             sphere_mat_idxs.append(len(metal_albedos))
             metal_albedos.append([*m.albedo, 1.0])

@@ -16,9 +16,11 @@ import numpy as np
 
 from myraytracer_tpu.scene.api import (
     Camera,
+    Checker,
     Dielectric,
     DiffuseLight,
     Lambertian,
+    Marble,
     Metal,
     Sphere,
     World,
@@ -292,6 +294,32 @@ def obj_scene(path, material=None) -> World:
     )
 
 
+def texture_scene() -> World:
+    """Procedural-texture showcase (extension; RTiOW book-2 ch. 4-5 look):
+    checkered ground, marble center sphere, glass and metal flanks.
+    Textures are evaluated in both compute paths (render/textures.py)."""
+    return World(
+        spheres=[
+            Sphere(
+                (0.0, -1000.0, 0.0), 1000.0,
+                Lambertian(Checker((0.8, 0.8, 0.8), (0.15, 0.35, 0.15),
+                                   scale=1.6)),
+            ),
+            Sphere((0.0, 1.0, 0.0), 1.0,
+                   Lambertian(Marble((0.95, 0.88, 0.78), scale=4.0))),
+            Sphere((-2.2, 1.0, 0.0), 1.0, Dielectric(1.5)),
+            Sphere((2.2, 1.0, 0.0), 1.0, Metal((0.8, 0.7, 0.6), fuzz=0.05)),
+        ],
+        camera=Camera(
+            lookfrom=(6.5, 2.2, 6.5),
+            lookat=(0.0, 1.0, 0.0),
+            vup=(0.0, 1.0, 0.0),
+            vfov_degrees=28.0,
+            aperture=0.0,
+        ),
+    )
+
+
 SCENES = {
     "reference": reference_scene,
     "lambertian": lambertian_sphere_scene,
@@ -301,6 +329,7 @@ SCENES = {
     "mesh": mesh_scene,
     "light": light_scene,
     "cornell": cornell_scene,
+    "texture": texture_scene,
 }
 
 
