@@ -52,10 +52,13 @@ def hash3(ix: jnp.ndarray, iy: jnp.ndarray, iz: jnp.ndarray) -> jnp.ndarray:
 
 
 def _corner(ix, iy, iz) -> jnp.ndarray:
-    """Lattice corner value in [0, 1): top 24 hash bits scaled (exact)."""
-    return (hash3(ix, iy, iz) >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
-        1.0 / (1 << 24)
-    )
+    """Lattice corner value in [0, 1): top 24 hash bits scaled (exact).
+
+    The 24-bit value converts via int32 — Mosaic has no u32→f32 cast
+    (same detour as the kernel's hardware-PRNG path).
+    """
+    h24 = (hash3(ix, iy, iz) >> jnp.uint32(8)).astype(jnp.int32)
+    return h24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
 def value_noise(p: V3) -> jnp.ndarray:

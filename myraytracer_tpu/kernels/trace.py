@@ -93,6 +93,7 @@ from myraytracer_tpu.core.vec import V3
 from myraytracer_tpu.render import camera as cam_mod
 from myraytracer_tpu.render.hit import TRI_DET_EPS, Hit
 from myraytracer_tpu.render.materials import color_sky, scatter
+from myraytracer_tpu.render.textures import apply_texture
 from myraytracer_tpu.scene.api import Camera
 from myraytracer_tpu.scene.compile import LEADERS, CompiledScene
 
@@ -258,9 +259,22 @@ def resolve_tri_chunk(cfg: "KernelConfig", n_tris: int) -> int:
     raise AssertionError("unreachable")
 
 
+def sph_table_rows(textured: bool) -> int:
+    """Sphere-table rows: cx cy cz r ar ag ab fz ior (+ a2r a2g a2b tsc
+    on textured scenes — render/textures.py)."""
+    return 13 if textured else 9
+
+
+def tri_table_rows(textured: bool) -> int:
+    """Triangle-table rows: v0(3) e1(3) e2(3) albedo(3) fuzz ior (+ the
+    4 texture rows on textured scenes)."""
+    return 18 if textured else 14
+
+
 def estimated_prefetch_bytes(
     n_spheres: int, n_tris: int, cfg: "KernelConfig" = None,
     tri_table_in_smem: bool = True, sph_table_in_smem: bool = True,
+    textured: bool = False,
 ) -> int:
     """Upper-bound bytes of the kernel's SMEM prefetch operands.
 
@@ -270,9 +284,11 @@ def estimated_prefetch_bytes(
     """
     cfg = cfg or DEFAULT_CONFIG
     tc = resolve_tri_chunk(cfg, n_tris)
-    sph = (9 * (n_spheres + LEADERS + cfg.CULL_CHUNK)
-           if sph_table_in_smem else 9)
-    tri = 14 * (n_tris + tc) if (n_tris and tri_table_in_smem) else 14
+    srows = sph_table_rows(textured)
+    trows = tri_table_rows(textured)
+    sph = (srows * (n_spheres + LEADERS + cfg.CULL_CHUNK)
+           if sph_table_in_smem else srows)
+    tri = trows * (n_tris + tc) if (n_tris and tri_table_in_smem) else trows
     chunks = (n_spheres // cfg.CULL_CHUNK + 1) + (n_tris // tc + 1)
     supers = chunks // cfg.SUPER + 2
     # Non-table operands: packed camera (19) + meta (4) + row0 (1).
@@ -283,11 +299,13 @@ def estimated_prefetch_bytes(
 def fits_in_smem(
     n_spheres: int, n_tris: int, cfg: "KernelConfig" = None,
     tri_table_in_smem: bool = True, sph_table_in_smem: bool = True,
+    textured: bool = False,
 ) -> bool:
     # Keep headroom for Mosaic's own SMEM use (control state, etc.).
     return (
         estimated_prefetch_bytes(
-            n_spheres, n_tris, cfg, tri_table_in_smem, sph_table_in_smem
+            n_spheres, n_tris, cfg, tri_table_in_smem, sph_table_in_smem,
+            textured,
         )
         <= SMEM_BUDGET - 64 * 1024
     )
@@ -334,26 +352,43 @@ def _super_aabb(aabb, cfg: "KernelConfig"):
     return jnp.concatenate([lo, hi], axis=0)
 
 
-def _tri_prefetch(scene: CompiledScene, material_set, cfg: "KernelConfig"):
+def _tex_ids(texture_set) -> tuple:
+    """Texture-id alphabet for the sign-bit packing: solid (0) is always
+    present (pads / untextured primitives)."""
+    return tuple(sorted({0, *texture_set}))
+
+
+def _tri_prefetch(
+    scene: CompiledScene, material_set, cfg: "KernelConfig", texture_set=(),
+):
+    textured = bool(texture_set)
     TRI_CHUNK = resolve_tri_chunk(
         cfg, scene.tris.v0.x.shape[0] if scene.has_triangles else 0
     )
     # Triangle tables: rows v0(3), e1(3), e2(3), albedo(3), fuzz, ior —
     # material type packed into albedo_r/fuzz signs exactly as for
-    # spheres. A dummy degenerate row keeps the prefetch arity fixed for
+    # spheres (+ the 4 texture rows on textured scenes, packed the same
+    # way). A dummy degenerate row keeps the prefetch arity fixed for
     # triangle-free scenes (n_tris=0 skips the sweep statically).
     if scene.has_triangles:
         tr = scene.tris
         tarx, tfzp = _pack_mat_bits(
             tr.albedo.x, tr.fuzz, tr.mat_ty.astype(jnp.int32), material_set
         )
-        trf = jnp.stack([
+        rows = [
             tr.v0.x, tr.v0.y, tr.v0.z,
             tr.e1.x, tr.e1.y, tr.e1.z,
             tr.e2.x, tr.e2.y, tr.e2.z,
             tarx, tr.albedo.y, tr.albedo.z,
             tfzp, tr.ior,
-        ])
+        ]
+        if textured:
+            ta2r, tscp = _pack_mat_bits(
+                tr.albedo2.x, tr.tex_scale, tr.tex_ty.astype(jnp.int32),
+                _tex_ids(texture_set),
+            )
+            rows += [ta2r, tr.albedo2.y, tr.albedo2.z, tscp]
+        trf = jnp.stack(rows)
         tpad = (-trf.shape[1]) % TRI_CHUNK
         if tpad:
             trf = jnp.pad(trf, ((0, 0), (0, tpad)))  # degenerate pads
@@ -378,12 +413,14 @@ def _tri_prefetch(scene: CompiledScene, material_set, cfg: "KernelConfig"):
         ])
         traabb = jnp.concatenate([tlo, thi], axis=0)
     else:
-        trf = jnp.zeros((14, 1), jnp.float32)
+        trf = jnp.zeros((tri_table_rows(textured), 1), jnp.float32)
         traabb = jnp.zeros((6, 1), jnp.float32)
     return trf, traabb, _super_aabb(traabb, cfg)
 
 
-def _scene_to_prefetch(scene: CompiledScene, material_set, cfg: "KernelConfig"):
+def _scene_to_prefetch(
+    scene: CompiledScene, material_set, cfg: "KernelConfig", texture_set=(),
+):
     """Pack the SoA scene into the SMEM prefetch layout.
 
     Rows of the f32 table: cx, cy, cz, r (signed radius), albedo_r,
@@ -392,6 +429,10 @@ def _scene_to_prefetch(scene: CompiledScene, material_set, cfg: "KernelConfig"):
     kernel derives ``radius² = r·r`` (the same IEEE product the scene
     compiler stores) and ``1/r`` (correctly-rounded divide — identical to
     the compiled ``inv_radius``), so one row replaces two.
+
+    Textured scenes (render/textures.py) add rows 9-12: albedo2_r,
+    albedo2_g, albedo2_b, tex_scale, with the texture-type index packed
+    into the sign bits of albedo2_r/tex_scale by the same scheme.
 
     Pad slots — both the scene compiler's (``radius_sq < 0``) and the
     CULL_CHUNK alignment pads added here — are relocated to
@@ -403,33 +444,38 @@ def _scene_to_prefetch(scene: CompiledScene, material_set, cfg: "KernelConfig"):
     Returns (f32 table, chunk AABBs, triangle table, triangle AABBs).
     """
     CULL_CHUNK = cfg.CULL_CHUNK
-    if scene.tex_ty is not None:
-        # Temporary: kernel texture support lands with the texture rows
-        # (render/textures.py); until then refuse loudly rather than
-        # silently rendering the base colors. dispatch.make_session
-        # auto-falls back to the jnp oracle for textured scenes.
-        raise NotImplementedError(
-            "the Pallas kernel does not trace textured scenes yet; "
-            "use backend='jnp'"
+    textured = bool(texture_set)
+    if textured != (scene.tex_ty is not None):
+        raise ValueError(
+            "texture_set/scene mismatch: the kernel was built with "
+            f"texture_set={texture_set!r} but the scene "
+            f"{'carries' if scene.tex_ty is not None else 'lacks'} texture "
+            "rows — pass texture_set=world.texture_set to the renderer "
+            "factory"
         )
     is_pad = scene.radius_sq < 0.0
     arx, fzp = _pack_mat_bits(
         scene.albedo.x, scene.fuzz, scene.mat_ty.astype(jnp.int32),
         material_set,
     )
-    f32 = jnp.stack(
-        [
-            jnp.where(is_pad, jnp.float32(PAD_CENTER), scene.center.x),
-            scene.center.y,
-            scene.center.z,
-            scene.radius,  # pads: 1.0 (harmless — relocated far away)
-            arx,
-            scene.albedo.y,
-            scene.albedo.z,
-            fzp,
-            scene.ior,
-        ]
-    )
+    rows = [
+        jnp.where(is_pad, jnp.float32(PAD_CENTER), scene.center.x),
+        scene.center.y,
+        scene.center.z,
+        scene.radius,  # pads: 1.0 (harmless — relocated far away)
+        arx,
+        scene.albedo.y,
+        scene.albedo.z,
+        fzp,
+        scene.ior,
+    ]
+    if textured:
+        a2r, tscp = _pack_mat_bits(
+            scene.albedo2.x, scene.tex_scale, scene.tex_ty.astype(jnp.int32),
+            _tex_ids(texture_set),
+        )
+        rows += [a2r, scene.albedo2.y, scene.albedo2.z, tscp]
+    f32 = jnp.stack(rows)
     # The first LEADERS slots sweep unconditionally (compile_scene hoists
     # the largest spheres there); chunk-AABB culling covers only the rest,
     # so pad the table to LEADERS + k*CULL_CHUNK.
@@ -448,7 +494,7 @@ def _scene_to_prefetch(scene: CompiledScene, material_set, cfg: "KernelConfig"):
             f32,
             jnp.zeros((6, 1), jnp.float32),
             jnp.zeros((6, 1), jnp.float32),
-            *_tri_prefetch(scene, material_set, cfg),
+            *_tri_prefetch(scene, material_set, cfg, texture_set),
         )
     is_pad = ck[0] > jnp.float32(1e29)
     r_abs = jnp.abs(ck[3])
@@ -465,7 +511,7 @@ def _scene_to_prefetch(scene: CompiledScene, material_set, cfg: "KernelConfig"):
 
     return (
         f32, aabb, _super_aabb(aabb, cfg),
-        *_tri_prefetch(scene, material_set, cfg),
+        *_tri_prefetch(scene, material_set, cfg, texture_set),
     )
 
 
@@ -499,6 +545,7 @@ def _trace_kernel(
     cull: bool,
     rng_mode: str,
     cfg: KernelConfig,
+    texture_set=(),
     static_ior=None,
     frames: int = 1,
     spp: int = 0,
@@ -718,9 +765,19 @@ def _trace_kernel(
         if (3 in material_set) and static_ior is None:
             rec_rows += [8]
             rec_inits += [ones]
+        if texture_set:
+            # Texture record: albedo2 (odd/unused color) + scale, with the
+            # texture-type index in the sign bits of rows 9/12 (the
+            # _pack_mat_bits idiom). Statically absent on untextured
+            # scenes — their sweep carry is unchanged.
+            rec_rows += [9, 10, 11, 12]
+            rec_inits += [zero, zero, zero, zero]
         merged = MERGED_FETCH
         # Triangle-table row holding the same quantity as sphere row k:
-        tri_row_of = {4: 9, 5: 10, 6: 11, 7: 12, 8: 13}
+        tri_row_of = {
+            4: 9, 5: 10, 6: 11, 7: 12, 8: 13,
+            9: 14, 10: 15, 11: 16, 12: 17,  # texture rows
+        }
 
         # --- closest hit: scalar-sphere sweep with running min ------------
         # With MERGED_FETCH the sweep carry also holds the provisional
@@ -1375,13 +1432,47 @@ def _trace_kernel(
                 )
         front = normal.dot(d) <= 0.0
         normal = V3.where(front, normal, -normal)
+        if texture_set:
+            # Texture record decode — the mat-decode scheme on rows 9/12.
+            a2rp, a2y, a2z, tscp = recd[9], recd[10], recd[11], recd[12]
+            tids = _tex_ids(texture_set)
+            t0 = (
+                jax.lax.bitcast_convert_type(a2rp, jnp.uint32)
+                >> jnp.uint32(31)
+            ).astype(jnp.int32)
+            a2x = jnp.abs(a2rp)
+            if len(tids) == 2:
+                tsc = tscp  # bit 1 unused → scale row never sign-flipped
+                tex = jnp.where(
+                    t0 == 1, jnp.int32(tids[1]), jnp.int32(tids[0])
+                )
+            else:
+                t1 = (
+                    jax.lax.bitcast_convert_type(tscp, jnp.uint32)
+                    >> jnp.uint32(31)
+                ).astype(jnp.int32)
+                tsc = jnp.abs(tscp)
+                tex = jnp.where(
+                    t1 == 1, jnp.int32(tids[2]),
+                    jnp.where(t0 == 1, jnp.int32(tids[1]), jnp.int32(tids[0])),
+                )
+            tex_fields = dict(
+                tex_ty=tex, albedo2=V3(a2x, a2y, a2z), tex_scale=tsc,
+            )
+        else:
+            tex_fields = {}
         hit = Hit(
             # In merged mode the winner index is never materialized (the
             # record rides the sweep carry); scatter does not consume idx.
             t=t_best, idx=(jnp.zeros(shape, jnp.int32) if merged else i_best),
             mask=hit_mask, point=point, normal=normal,
             front_face=front, mat_ty=mt, albedo=V3(ax, ay, az), fuzz=fz, ior=io,
+            **tex_fields,
         )
+        # Procedural albedo at the hit point (statically pruned when the
+        # scene is untextured) — the same shared evaluation the oracle
+        # applies (render/textures.py), so the paths stay bitwise equal.
+        hit = apply_texture(hit, texture_set or None)
 
         # --- miss → sky, retire (shader.wgsl:343-345) ---------------------
         miss = alive & ~hit_mask
@@ -1572,7 +1663,7 @@ def _trace_kernel(
 
 def _prepare_scene_operands(
     scene: CompiledScene, material_set, kc: KernelConfig, kernel,
-    use_packed_cam: bool, default_cam,
+    use_packed_cam: bool, default_cam, texture_set=(),
 ):
     """Per-call scene-operand packing shared by the uniform and adaptive
     renderers: table placement (SMEM scalar prefetch vs VMEM), prefetch
@@ -1586,32 +1677,35 @@ def _prepare_scene_operands(
     ``kern`` is the kernel with scene-shape kwargs bound.
     """
     n_t = scene.tris.v0.x.shape[0] if scene.has_triangles else 0
+    textured = bool(texture_set)
     # Triangle-table placement: SMEM (scalar prefetch, fastest) while
-    # the whole prefetch set fits; else the 14-row table moves to
+    # the whole prefetch set fits; else the 14/18-row table moves to
     # VMEM (no practical size cap) and only its AABB gate tables stay
     # in SMEM. KernelConfig.TRI_VMEM forces either way.
     tri_vmem = kc.TRI_VMEM
     if tri_vmem is None:
         tri_vmem = bool(n_t) and not fits_in_smem(
-            scene.padded_size, n_t, kc
+            scene.padded_size, n_t, kc, textured=textured
         )
     sph_vmem = kc.SPH_VMEM
     if sph_vmem is None:
         sph_vmem = not fits_in_smem(
-            scene.padded_size, n_t, kc, tri_table_in_smem=not tri_vmem
+            scene.padded_size, n_t, kc, tri_table_in_smem=not tri_vmem,
+            textured=textured,
         )
     if not fits_in_smem(scene.padded_size, n_t, kc,
                         tri_table_in_smem=not tri_vmem,
-                        sph_table_in_smem=not sph_vmem):
+                        sph_table_in_smem=not sph_vmem,
+                        textured=textured):
         raise ValueError(
             f"scene's AABB gate tables alone exceed the SMEM budget "
-            f"(~{estimated_prefetch_bytes(scene.padded_size, n_t, kc, not tri_vmem, not sph_vmem)} "
+            f"(~{estimated_prefetch_bytes(scene.padded_size, n_t, kc, not tri_vmem, not sph_vmem, textured)} "
             f"bytes of {SMEM_BUDGET}): {scene.padded_size} spheres + "
             f"{n_t} triangles. Use the jnp backend for scenes this "
             f"large."
         )
     sf, aabb, saabb, trf, traabb, tsaabb = _scene_to_prefetch(
-        scene, material_set, kc
+        scene, material_set, kc, texture_set
     )
     if use_packed_cam and scene.cam is not None:
         camf = jnp.asarray(scene.cam, jnp.float32)
@@ -1630,15 +1724,15 @@ def _prepare_scene_operands(
         # (zero-edge) triangles.
         tpad = (-trf.shape[1]) % 8
         trf_vmem_arr = jnp.pad(trf, ((0, 0), (0, tpad))).T
-        trf_smem = jnp.zeros((14, 1), jnp.float32)  # dummy operand
+        trf_smem = jnp.zeros((tri_table_rows(textured), 1), jnp.float32)
     else:
         trf_smem = trf
     if sph_vmem:
-        # Same scheme for the sphere table ([N, 9]); VMEM pad rows
+        # Same scheme for the sphere table ([N, 9|13]); VMEM pad rows
         # are never swept (sweep counts stop at n_spheres).
         spad = (-sf.shape[1]) % 8
         sf_vmem_arr = jnp.pad(sf, ((0, 0), (0, spad))).T
-        sf_smem = jnp.zeros((9, 1), jnp.float32)  # dummy operand
+        sf_smem = jnp.zeros((sph_table_rows(textured), 1), jnp.float32)
         extra_in += (sf_vmem_arr,)
         extra_specs.append(pl.BlockSpec(
             sf_vmem_arr.shape, lambda t, *_: (0, 0),
@@ -1683,6 +1777,7 @@ def make_block_renderer(
     frames: int = 1,
     sky=None,
     nee_lights=None,
+    texture_set=None,
 ):
     """Pallas implementation of the block-renderer protocol.
 
@@ -1718,6 +1813,7 @@ def make_block_renderer(
     if material_set is None:
         material_set = (1, 2, 3)
     material_set = tuple(sorted(set(material_set)))
+    texture_set = tuple(sorted(set(texture_set))) if texture_set else ()
     if ray_depth > crng.MAX_DEPTH:
         raise ValueError(f"ray_depth {ray_depth} exceeds MAX_DEPTH {crng.MAX_DEPTH}")
     # Reference-mode camera is fixed by contract (shader.wgsl:360-361) and
@@ -1746,6 +1842,7 @@ def make_block_renderer(
     kernel = functools.partial(
         _trace_kernel,
         material_set=material_set,
+        texture_set=texture_set,
         rng_mode=rng_mode,
         width=width,
         n_rows=n_rows,
@@ -1767,7 +1864,7 @@ def make_block_renderer(
         prefetch_ops, extra_in, extra_specs, kern = _prepare_scene_operands(
             scene, material_set, kc, kernel,
             use_packed_cam=not (cam.reference_mode or kc.STATIC_CAM),
-            default_cam=default_cam,
+            default_cam=default_cam, texture_set=texture_set,
         )
 
         meta = jnp.stack(
@@ -1858,6 +1955,7 @@ def make_adaptive_renderer(
     config: KernelConfig = None,
     sky=None,
     nee_lights=None,
+    texture_set=None,
 ):
     """Adaptive-sampling block renderer (render/adaptive.py's device path).
 
@@ -1886,6 +1984,7 @@ def make_adaptive_renderer(
     if material_set is None:
         material_set = (1, 2, 3)
     material_set = tuple(sorted(set(material_set)))
+    texture_set = tuple(sorted(set(texture_set))) if texture_set else ()
     if ray_depth > crng.MAX_DEPTH:
         raise ValueError(f"ray_depth {ray_depth} exceeds MAX_DEPTH {crng.MAX_DEPTH}")
     if cam.reference_mode or kc.STATIC_CAM:
@@ -1908,6 +2007,7 @@ def make_adaptive_renderer(
     kernel = functools.partial(
         _trace_kernel,
         material_set=material_set,
+        texture_set=texture_set,
         rng_mode=rng_mode,
         width=width,
         n_rows=height,  # blocks address the full image (row0 = 0)
@@ -1930,7 +2030,7 @@ def make_adaptive_renderer(
         prefetch_ops, extra_in, extra_specs, kern = _prepare_scene_operands(
             scene, material_set, kc, kernel,
             use_packed_cam=not (cam.reference_mode or kc.STATIC_CAM),
-            default_cam=default_cam,
+            default_cam=default_cam, texture_set=texture_set,
         )
         meta = jnp.stack(
             [
@@ -1995,6 +2095,7 @@ def make_renderer(
     frames: int = 1,
     sky=None,
     nee_lights=None,
+    texture_set=None,
 ):
     """Jitted single-device frame renderer on the Pallas megakernel.
 
@@ -2009,6 +2110,7 @@ def make_renderer(
         t_min=t_min, t_max=t_max, tile_rows=tile_rows, interpret=interpret,
         material_set=material_set, rng_mode=rng_mode, static_ior=static_ior,
         config=config, frames=frames, sky=sky, nee_lights=nee_lights,
+        texture_set=texture_set,
     )
 
     @jax.jit

@@ -176,6 +176,7 @@ def make_tile_sharded_renderer(
     nee_lights=None,
     block_factory=None,
     frames: int = 1,
+    texture_set=None,
 ):
     """Shard image rows across the mesh; each chip renders its rows locally.
 
@@ -207,7 +208,7 @@ def make_tile_sharded_renderer(
         cam, width, height, rows_per, spp, ray_depth,
         t_min=t_min, t_max=t_max, sample_batch=sample_batch,
         material_set=material_set, static_ior=static_ior, sky=sky,
-        nee_lights=nee_lights, **extra,
+        nee_lights=nee_lights, texture_set=texture_set, **extra,
     )
     if frames > 1 and not native_frames:
         single = block
@@ -277,6 +278,7 @@ def make_sample_sharded_renderer(
     nee_lights=None,
     block_factory=None,
     frames: int = 1,
+    texture_set=None,
 ):
     """Each chip renders the full frame for a disjoint sample window; the
     partial sums reduce over ICI with psum."""
@@ -296,7 +298,7 @@ def make_sample_sharded_renderer(
         cam, width, height, height, per_dev, ray_depth,
         t_min=t_min, t_max=t_max, sample_batch=sample_batch,
         material_set=material_set, static_ior=static_ior, sky=sky,
-        nee_lights=nee_lights,
+        nee_lights=nee_lights, texture_set=texture_set,
     )
 
     def local(scene, key, sample_base):
@@ -340,6 +342,7 @@ def make_hybrid_sharded_renderer(
     nee_lights=None,
     block_factory=None,
     frames: int = 1,
+    texture_set=None,
 ):
     """2-D mesh: image rows sharded over "tiles", samples over "samples".
 
@@ -367,7 +370,7 @@ def make_hybrid_sharded_renderer(
         cam, width, height, rows_per, per_dev, ray_depth,
         t_min=t_min, t_max=t_max, sample_batch=sample_batch,
         material_set=material_set, static_ior=static_ior, sky=sky,
-        nee_lights=nee_lights,
+        nee_lights=nee_lights, texture_set=texture_set,
     )
 
     def local(scene, key, sample_base):

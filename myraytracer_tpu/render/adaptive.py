@@ -80,6 +80,7 @@ def make_adaptive_oracle(
     nee_lights=None,
     material_set=None,
     static_ior=None,
+    texture_set=None,
 ):
     """Pure-jnp adaptive block renderer (oracle; CPU path).
 
@@ -94,7 +95,8 @@ def make_adaptive_oracle(
     depends only on (key, pixel, sample index), so adaptive scheduling
     never changes any sample's value.
     """
-    del material_set, static_ior  # oracle keeps all branches
+    del material_set, static_ior, texture_set  # oracle keeps all branches
+    # (and reads texture rows straight off the compiled scene)
     del n_sel  # the oracle renders whatever id list it is handed
     if ray_depth > crng.MAX_DEPTH:
         raise ValueError(f"ray_depth {ray_depth} exceeds MAX_DEPTH {crng.MAX_DEPTH}")
@@ -281,6 +283,7 @@ class AdaptiveSession:
             static_ior=(iors.pop() if len(iors) == 1 else None),
             sky=world.ambient,
             nee_lights=_extract_lights(world) if config.nee else None,
+            texture_set=world.texture_set or None,
         )
         if renderer_factory is not None:
             factory = renderer_factory

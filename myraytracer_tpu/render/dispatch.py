@@ -85,16 +85,13 @@ def make_session(world: api.World, config: RenderConfig) -> RenderSession:
             if not fits_in_smem(
                 len(world.spheres) + 192, world.triangle_count + 128,
                 tri_table_in_smem=False, sph_table_in_smem=False,
+                textured=bool(world.texture_set),
             ):
                 downgrade = (
                     f"scene ({len(world.spheres)} spheres, "
                     f"{world.triangle_count} triangles) exceeds the "
                     f"Pallas kernel's SMEM budget"
                 )
-            elif world.texture_set:
-                # Temporary until kernel texture rows land
-                # (kernels/trace.py guard).
-                downgrade = "textured scene (kernel support pending)"
         if downgrade:
             import dataclasses
             import logging

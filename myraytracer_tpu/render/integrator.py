@@ -216,6 +216,7 @@ def make_block_renderer(
     static_ior=None,
     sky=None,
     nee_lights=None,
+    texture_set=None,
 ):
     """Build the composable rendering primitive.
 
@@ -230,8 +231,9 @@ def make_block_renderer(
     """
     if ray_depth > crng.MAX_DEPTH:
         raise ValueError(f"ray_depth {ray_depth} exceeds MAX_DEPTH {crng.MAX_DEPTH}")
-    del material_set, static_ior  # the oracle keeps all branches (it is
-    # the reference; static_ior is a Pallas-kernel specialization knob)
+    del material_set, static_ior, texture_set  # the oracle keeps all
+    # branches and reads texture rows straight off the compiled scene
+    # (these are Pallas-kernel specialization knobs)
     b = max(1, min(int(sample_batch), int(max_samples)))
     n_batches = -(-int(max_samples) // b)
     static_gen = cam_mod.make_ray_generator(cam, width, height)
@@ -315,6 +317,7 @@ def make_renderer(
     frames: int = 1,
     sky=None,
     nee_lights=None,
+    texture_set=None,
 ):
     """Build a jitted single-device frame renderer.
 
@@ -337,7 +340,7 @@ def make_renderer(
         cam, width, height, height, spp, ray_depth,
         t_min=t_min, t_max=t_max, sample_batch=sample_batch,
         material_set=material_set, static_ior=static_ior, sky=sky,
-        nee_lights=nee_lights,
+        nee_lights=nee_lights, texture_set=texture_set,
     )
 
     if frames > 1:

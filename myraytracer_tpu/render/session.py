@@ -159,6 +159,7 @@ class RenderSession:
             material_set=tuple(sorted(materials)) or None,
             static_ior=(iors.pop() if len(iors) == 1 else None),
             sky=world.ambient,
+            texture_set=world.texture_set or None,
             **extra,
             **(
                 {"nee_lights": _extract_lights(world)}

@@ -27,6 +27,7 @@ CONFIGS = [
     ("final_48x32", "final", 48, 32, 2, 8),
     ("light_32x18", "light", 32, 18, 4, 8),
     ("cornell_32x18", "cornell", 32, 18, 4, 8),
+    ("texture_32x18", "texture", 32, 18, 4, 8),
 ]
 
 

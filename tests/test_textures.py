@@ -193,6 +193,87 @@ def test_textured_mesh_renders():
     assert np.isfinite(img).all() and img.std() > 0.02
 
 
+def test_kernel_texture_parity():
+    """Pallas megakernel (interpret mode) matches the oracle on textured
+    scenes — shared texture evaluation + exact record packing."""
+    from myraytracer_tpu.kernels.trace import make_renderer as make_pallas
+
+    w = _textured_world()
+    scene = compile_scene(w)
+    key = crng.key_from_seed(0)
+    jr = make_renderer(w.camera, 16, 8, 2, 4, sample_batch=2)
+    pr = make_pallas(
+        w.camera, 16, 8, 2, 4, tile_rows=8, interpret=True,
+        material_set=w.material_set, texture_set=w.texture_set,
+    )
+    a, sa = jr(scene, key, 0)
+    b, sb = pr(scene, key, 0)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6)
+    assert float(sa) == float(sb)
+
+
+def test_kernel_texture_parity_single_family():
+    """One-texture scenes exercise the 2-id decode branch (scale row
+    carries no sign bit)."""
+    from myraytracer_tpu.kernels.trace import make_renderer as make_pallas
+
+    w = api.World(
+        spheres=[
+            api.Sphere((0, -100.5, -1), 100, api.Lambertian(CHECKER)),
+            api.Sphere((0, 0, -1), 0.5, api.Lambertian((0.3, 0.5, 0.7))),
+        ],
+    )
+    scene = compile_scene(w)
+    key = crng.key_from_seed(1)
+    jr = make_renderer(w.camera, 16, 8, 2, 4, sample_batch=2)
+    pr = make_pallas(
+        w.camera, 16, 8, 2, 4, tile_rows=8, interpret=True,
+        material_set=w.material_set, texture_set=w.texture_set,
+    )
+    a, _ = jr(scene, key, 0)
+    b, _ = pr(scene, key, 0)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6)
+
+
+def test_kernel_textured_mesh_parity():
+    from myraytracer_tpu.kernels.trace import make_renderer as make_pallas
+
+    quad = api.Mesh(
+        vertices=[(-3, -0.5, -4), (3, -0.5, -4), (3, -0.5, 1), (-3, -0.5, 1)],
+        triangles=[(0, 1, 2), (0, 2, 3)],
+        material=api.Lambertian(CHECKER),
+    )
+    w = api.World(
+        spheres=[api.Sphere((0, 0, -1.5), 0.5,
+                            api.Lambertian(api.Marble((0.9, 0.8, 0.7), 3.0)))],
+        meshes=[quad],
+    )
+    scene = compile_scene(w)
+    key = crng.key_from_seed(2)
+    jr = make_renderer(w.camera, 16, 8, 2, 4, sample_batch=2)
+    pr = make_pallas(
+        w.camera, 16, 8, 2, 4, tile_rows=8, interpret=True,
+        material_set=w.material_set, texture_set=w.texture_set,
+    )
+    a, sa = jr(scene, key, 0)
+    b, sb = pr(scene, key, 0)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6)
+    assert float(sa) == float(sb)
+
+
+def test_kernel_texture_set_mismatch_raises():
+    from myraytracer_tpu.kernels.trace import make_renderer as make_pallas
+
+    w = _textured_world()
+    scene = compile_scene(w)
+    pr = make_pallas(
+        w.camera, 16, 8, 1, 2, tile_rows=8, interpret=True,
+        material_set=w.material_set,  # texture_set omitted
+    )
+    with pytest.raises(ValueError, match="texture_set"):
+        pr(scene, crng.key_from_seed(0), 0)
+
+
 def test_textured_render_shows_pattern():
     # The checkered ground must produce a bimodal brightness distribution
     # in the lower image half (both cell colors visible).
@@ -235,3 +316,50 @@ def test_textured_render_shows_pattern():
     i1 = np.asarray(r1(compile_scene(w_solid), crng.key_from_seed(1), 0)[0])
     i2 = np.asarray(r2(compile_scene(w_plain), crng.key_from_seed(1), 0)[0])
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_textured_session_pallas_matches_jnp():
+    """End-to-end dispatch: a textured world on backend='pallas'
+    (interpret mode off-TPU) blends the same frames as the jnp oracle —
+    no more auto-downgrade for textured scenes."""
+    from myraytracer_tpu.config import RenderConfig
+    from myraytracer_tpu.render.dispatch import make_session
+
+    w = _textured_world()
+    # frame_batch pinned: auto resolution differs per backend (pallas
+    # batches ~64 samples/call), so one step() would blend different
+    # sample counts — a sampling difference, not a renderer one.
+    cfg = RenderConfig(width=16, height=8, samples_per_frame=2, ray_depth=4,
+                       frame_batch=1)
+    a = make_session(w, cfg)
+    b = make_session(w, cfg.replace(backend="pallas"))
+    fa = np.asarray(a.step())
+    fb = np.asarray(b.step())
+    np.testing.assert_allclose(fb, fa, rtol=1e-5, atol=1e-6)
+
+
+def test_textured_sharded_parity():
+    """Tile-sharded textured render is bitwise the unsharded one (the
+    texture rows reach each device's block via the replicated scene)."""
+    from myraytracer_tpu.config import RenderConfig
+    from myraytracer_tpu.render.dispatch import make_session
+
+    w = _textured_world()
+    cfg = RenderConfig(width=16, height=8, samples_per_frame=2, ray_depth=4)
+    a = make_session(w, cfg)
+    b = make_session(w, cfg.replace(shard="tiles"))
+    np.testing.assert_array_equal(np.asarray(a.step()), np.asarray(b.step()))
+
+
+def test_textured_adaptive_session():
+    """AdaptiveSession accepts textured worlds (texture_set threads to
+    the factory; the oracle ignores it and reads the scene rows)."""
+    from myraytracer_tpu.config import RenderConfig
+    from myraytracer_tpu.render.adaptive import AdaptiveSession
+
+    w = _textured_world()
+    cfg = RenderConfig(width=64, height=32, samples_per_frame=2, ray_depth=4)
+    s = AdaptiveSession(w, cfg, n_sel=2)
+    s.step()
+    img = np.asarray(s.framebuffer)
+    assert np.isfinite(img).all() and img.std() > 0.0
