@@ -119,16 +119,26 @@ class Lambertian:
 
 @dataclasses.dataclass(frozen=True)
 class Metal:
-    """Fuzzy mirror (reference api::Metal, lib.rs:618-621)."""
+    """Fuzzy mirror (reference api::Metal, lib.rs:618-621).
 
-    albedo: Vec3
+    ``albedo`` (the reflection tint) is a constant color or, as with
+    :class:`Lambertian`, a procedural texture (extension) — the tint is
+    then evaluated at the hit point.
+    """
+
+    albedo: Union[Vec3, Texture]
     fuzz: float = 0.0
 
     type_id = MATERIAL_METAL
 
     def __post_init__(self):
-        _check_nonnegative("Metal.albedo", *self.albedo)
+        if not isinstance(self.albedo, (Checker, Marble)):
+            _check_nonnegative("Metal.albedo", *self.albedo)
         _check_nonnegative("Metal.fuzz", self.fuzz)
+
+    @property
+    def tex_id(self) -> int:
+        return getattr(self.albedo, "tex_id", TEXTURE_SOLID)
 
 
 @dataclasses.dataclass(frozen=True)

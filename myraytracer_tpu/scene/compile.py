@@ -134,17 +134,22 @@ def _texture_row(m: api.Material):
     return api.TEXTURE_SOLID, (0.0, 0.0, 0.0), 0.0
 
 
+def _base_color(a):
+    """Solid albedo, or a texture's base color (the even/band color —
+    the second color and scale ride the texture rows, ``_texture_row``)."""
+    if isinstance(a, api.Checker):
+        return a.even
+    if isinstance(a, api.Marble):
+        return a.color
+    return a
+
+
 def _material_row(m: api.Material):
     """Denormalized (albedo, fuzz, ior, type) for one material."""
     if isinstance(m, api.Lambertian):
-        a = m.albedo
-        if isinstance(a, api.Checker):
-            a = a.even  # base color row; odd rides the texture rows
-        elif isinstance(a, api.Marble):
-            a = a.color
-        return a, 0.0, 1.0, m.type_id
+        return _base_color(m.albedo), 0.0, 1.0, m.type_id
     if isinstance(m, api.Metal):
-        return m.albedo, m.fuzz, 1.0, m.type_id
+        return _base_color(m.albedo), m.fuzz, 1.0, m.type_id
     if isinstance(m, api.Dielectric):
         return (0.0, 0.0, 0.0), 0.0, m.ior, m.type_id
     if isinstance(m, api.DiffuseLight):

@@ -363,3 +363,32 @@ def test_textured_adaptive_session():
     s.step()
     img = np.asarray(s.framebuffer)
     assert np.isfinite(img).all() and img.std() > 0.0
+
+
+def test_textured_metal_parity_and_effect():
+    """Checker-tinted Metal: the kernel matches the oracle, and the
+    reflection tint really varies across the mirror (both backends read
+    the texture at the hit point, material-agnostic)."""
+    from myraytracer_tpu.kernels.trace import make_renderer as make_pallas
+
+    w = api.World(
+        spheres=[
+            api.Sphere((0, -100.5, -1), 100, api.Metal(CHECKER)),
+            api.Sphere((0, 0, -1), 0.5, api.Lambertian((0.7, 0.3, 0.3))),
+        ],
+    )
+    assert w.texture_set == (api.TEXTURE_CHECKER,)
+    scene = compile_scene(w)
+    key = crng.key_from_seed(4)
+    jr = make_renderer(w.camera, 32, 16, 2, 4, sample_batch=2)
+    pr = make_pallas(
+        w.camera, 32, 16, 2, 4, tile_rows=16, interpret=True,
+        material_set=w.material_set, texture_set=w.texture_set,
+    )
+    a, sa = jr(scene, key, 0)
+    b, sb = pr(scene, key, 0)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6)
+    assert float(sa) == float(sb)
+    # Lower half shows the checkered mirror: clearly bimodal brightness.
+    low = np.asarray(a)[10:, :, 1]
+    assert low.std() > 0.05
