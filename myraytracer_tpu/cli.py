@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
         "emissive scenes; extension)",
     )
     p.add_argument(
+        "--qmc", action="store_true",
+        help="low-discrepancy camera sampling: scrambled-Sobol sub-pixel "
+        "jitter + lens draws (faster convergence per sample; deterministic "
+        "and backend/shard invariant like the default stream; extension)",
+    )
+    p.add_argument(
         "--ambient", default=None, metavar="R,G,B",
         help="constant background color overriding the scene's sky "
         "(e.g. 0,0,0 for emissive-only illumination; extension — the "
@@ -242,6 +248,7 @@ def main(argv=None) -> int:
             frame_batch=frame_batch,
             max_frames=max(0, args.frames),
             nee=args.nee,
+            qmc=args.qmc,
         )
         base.update(over)
         return RenderConfig(**base)

@@ -53,6 +53,13 @@ class RenderConfig:
     # a different sample stream than the default estimator (so it is part
     # of checkpoint provenance). No-op on scenes without DiffuseLight.
     nee: bool = False
+    # Low-discrepancy camera sampling: the sub-pixel jitter and lens-disk
+    # dimension pairs come from a per-pixel XOR-scrambled Sobol (0,2)
+    # sequence instead of threefry (core/rng.py) — better convergence per
+    # sample on smooth integrands, still deterministic and backend/shard
+    # invariant. A different sample stream than the default estimator
+    # (checkpoint provenance, like nee).
+    qmc: bool = False
 
     def resolve_size(self) -> Tuple[int, int]:
         """Apply the reference's 0-means-derive rule (lib.rs:113-134)."""

@@ -142,6 +142,92 @@ def unit_disk_from_uniforms(u1: jnp.ndarray, u2: jnp.ndarray) -> Tuple[jnp.ndarr
     return r * jnp.cos(phi), r * jnp.sin(phi)
 
 
+# -- Low-discrepancy camera sampling (the opt-in ``qmc`` config knob) --------
+#
+# The camera dimensions (sub-pixel jitter; lens disk) dominate a pixel
+# estimator's variance structure, and pure-random draws leave 1/sqrt(N)
+# clumping there. When QMC is enabled, those two dimension PAIRS come from
+# an XOR-scrambled Sobol (0,2) sequence indexed by the per-pixel sample
+# counter instead of threefry: every prefix of 4^k consecutive samples per
+# pixel is perfectly stratified over the pixel footprint (and the lens
+# disk), which converges faster on smooth integrands. The scramble is a
+# per-(pixel, dimension-pair) random digital shift derived from the render
+# key, so neighbouring pixels stay decorrelated, determinism is preserved
+# (pure function of key/pixel/sample — batching/sharding/backend invariant,
+# like every other draw), and the (0,2)-net stratification survives (an
+# XOR scramble permutes elementary intervals onto elementary intervals).
+# Bounce-dimension draws stay threefry: QMC gains decay fast past the
+# first few dimensions and path regeneration makes per-bounce Sobol
+# indexing pay bookkeeping for nothing.
+#
+# Both integrator paths (jnp oracle; Pallas megakernel) call these exact
+# functions, so QMC frames are bitwise identical across backends, exactly
+# like the default stream.
+
+# Direction vectors of the canonical second Sobol dimension. 24 bits
+# suffice: draw ids are sample_id * DRAWS_PER_SAMPLE in uint32, so sample
+# indices stay < 2^24 (render/session.py guards the cursor).
+QMC_BITS = 24
+_SOBOL2_DIRS = []
+_d = 1 << 31
+for _ in range(QMC_BITS):
+    _SOBOL2_DIRS.append(_d)
+    _d ^= _d >> 1
+del _d
+
+# Reserved draw-slot words for the scramble derivation (one threefry per
+# camera pair, same cost as the uniform draws QMC replaces). The session
+# cursor guard keeps real draw ids clear of these.
+QMC_SCRAMBLE_SLOTS = 2
+
+
+def _reverse_bits32(v: jnp.ndarray) -> jnp.ndarray:
+    """Bitwise reversal of a uint32 (the van der Corput radical inverse)."""
+    v = jnp.asarray(v, jnp.uint32)
+    v = ((v & jnp.uint32(0x0000FFFF)) << 16) | (v >> 16)
+    v = ((v & jnp.uint32(0x00FF00FF)) << 8) | ((v >> 8) & jnp.uint32(0x00FF00FF))
+    v = ((v & jnp.uint32(0x0F0F0F0F)) << 4) | ((v >> 4) & jnp.uint32(0x0F0F0F0F))
+    v = ((v & jnp.uint32(0x33333333)) << 2) | ((v >> 2) & jnp.uint32(0x33333333))
+    v = ((v & jnp.uint32(0x55555555)) << 1) | ((v >> 1) & jnp.uint32(0x55555555))
+    return v
+
+
+def sobol02(
+    n: jnp.ndarray, scramble0: jnp.ndarray, scramble1: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """XOR-scrambled Sobol (0,2) pair for sample index ``n`` (uint32).
+
+    Dimension 0 is the van der Corput sequence (bit reversal); dimension 1
+    is the canonical second Sobol dimension (direction-number XOR fold,
+    unrolled over the 24 usable index bits — vector select/xor ops only,
+    Mosaic-compatible). Returns two U[0,1) float32 arrays.
+    """
+    n = jnp.asarray(n, jnp.uint32)
+    x = _reverse_bits32(n) ^ jnp.asarray(scramble0, jnp.uint32)
+    y = jnp.asarray(scramble1, jnp.uint32)
+    zero = jnp.uint32(0)
+    for b, dv in enumerate(_SOBOL2_DIRS):
+        bit = (n >> jnp.uint32(b)) & jnp.uint32(1)
+        y = y ^ jnp.where(bit != zero, jnp.uint32(dv), zero)
+    return _to_unit_f32(x), _to_unit_f32(y)
+
+
+def qmc_camera_uniforms(
+    key, lane_id: jnp.ndarray, sample_id: jnp.ndarray, pair: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scrambled-Sobol camera pair: ``pair`` 0 = sub-pixel jitter, 1 = lens.
+
+    Each dimension pair gets an independent per-pixel digital shift
+    (padded-replication decorrelation between the jitter and lens planes),
+    derived under the render key from the reserved top draw words.
+    """
+    s0, s1 = threefry2x32(
+        key,
+        (jnp.asarray(lane_id, jnp.uint32), jnp.uint32(0xFFFFFFFE + pair)),
+    )
+    return sobol02(sample_id, s0, s1)
+
+
 def unit_sphere(key, lane_id, draw_id) -> V3:
     u1, u2 = uniform2(key, lane_id, draw_id)
     return unit_sphere_from_uniforms(u1, u2)

@@ -555,6 +555,7 @@ def _trace_kernel(
     lens_draws: bool = True,
     nee_lights=None,
     adaptive: bool = False,
+    qmc: bool = False,
 ):
     if adaptive:
         # Adaptive mode (make_adaptive_renderer): two extra scalar-prefetch
@@ -709,6 +710,17 @@ def _trace_kernel(
     def camera_ray(s_vec):
         """Camera ray for per-lane sample index vector (oracle draw slots)."""
         sample_id = sample_start + s_vec.astype(jnp.uint32)
+        if qmc:
+            # Scrambled-Sobol camera pairs (core/rng.py) — the same pure
+            # functions the jnp oracle calls, so QMC frames stay bitwise
+            # identical across backends. The slot 0/1 threefry draws are
+            # skipped (absolute slots: nothing else shifts).
+            u1, u2 = crng.qmc_camera_uniforms(key, lane_id, sample_id, 0)
+            if lens_draws:
+                l1, l2 = crng.qmc_camera_uniforms(key, lane_id, sample_id, 1)
+            else:
+                l1 = l2 = jnp.zeros(shape, jnp.float32)
+            return ray_gen(ix, iy, u1, u2, l1, l2)
         cam_draw = sample_id * jnp.uint32(crng.DRAWS_PER_SAMPLE)
         u1, u2 = draw2(cam_draw)
         if lens_draws:
@@ -1778,6 +1790,7 @@ def make_block_renderer(
     sky=None,
     nee_lights=None,
     texture_set=None,
+    qmc: bool = False,
 ):
     """Pallas implementation of the block-renderer protocol.
 
@@ -1858,6 +1871,7 @@ def make_block_renderer(
         sky=sky,
         lens_draws=not cam.reference_mode,
         nee_lights=nee_lights,
+        qmc=qmc,
     )
 
     def block(scene: CompiledScene, key, row0, sample_start, n_valid):
@@ -1956,6 +1970,7 @@ def make_adaptive_renderer(
     sky=None,
     nee_lights=None,
     texture_set=None,
+    qmc: bool = False,
 ):
     """Adaptive-sampling block renderer (render/adaptive.py's device path).
 
@@ -2024,6 +2039,7 @@ def make_adaptive_renderer(
         lens_draws=not cam.reference_mode,
         nee_lights=nee_lights,
         adaptive=True,
+        qmc=qmc,
     )
 
     def render(scene: CompiledScene, key, block_ids, samp0):
@@ -2096,6 +2112,7 @@ def make_renderer(
     sky=None,
     nee_lights=None,
     texture_set=None,
+    qmc: bool = False,
 ):
     """Jitted single-device frame renderer on the Pallas megakernel.
 
@@ -2110,7 +2127,7 @@ def make_renderer(
         t_min=t_min, t_max=t_max, tile_rows=tile_rows, interpret=interpret,
         material_set=material_set, rng_mode=rng_mode, static_ior=static_ior,
         config=config, frames=frames, sky=sky, nee_lights=nee_lights,
-        texture_set=texture_set,
+        texture_set=texture_set, qmc=qmc,
     )
 
     @jax.jit

@@ -177,6 +177,7 @@ def make_tile_sharded_renderer(
     block_factory=None,
     frames: int = 1,
     texture_set=None,
+    qmc: bool = False,
 ):
     """Shard image rows across the mesh; each chip renders its rows locally.
 
@@ -208,7 +209,7 @@ def make_tile_sharded_renderer(
         cam, width, height, rows_per, spp, ray_depth,
         t_min=t_min, t_max=t_max, sample_batch=sample_batch,
         material_set=material_set, static_ior=static_ior, sky=sky,
-        nee_lights=nee_lights, texture_set=texture_set, **extra,
+        nee_lights=nee_lights, texture_set=texture_set, qmc=qmc, **extra,
     )
     if frames > 1 and not native_frames:
         single = block
@@ -279,6 +280,7 @@ def make_sample_sharded_renderer(
     block_factory=None,
     frames: int = 1,
     texture_set=None,
+    qmc: bool = False,
 ):
     """Each chip renders the full frame for a disjoint sample window; the
     partial sums reduce over ICI with psum."""
@@ -298,7 +300,7 @@ def make_sample_sharded_renderer(
         cam, width, height, height, per_dev, ray_depth,
         t_min=t_min, t_max=t_max, sample_batch=sample_batch,
         material_set=material_set, static_ior=static_ior, sky=sky,
-        nee_lights=nee_lights, texture_set=texture_set,
+        nee_lights=nee_lights, texture_set=texture_set, qmc=qmc,
     )
 
     def local(scene, key, sample_base):
@@ -343,6 +345,7 @@ def make_hybrid_sharded_renderer(
     block_factory=None,
     frames: int = 1,
     texture_set=None,
+    qmc: bool = False,
 ):
     """2-D mesh: image rows sharded over "tiles", samples over "samples".
 
@@ -370,7 +373,7 @@ def make_hybrid_sharded_renderer(
         cam, width, height, rows_per, per_dev, ray_depth,
         t_min=t_min, t_max=t_max, sample_batch=sample_batch,
         material_set=material_set, static_ior=static_ior, sky=sky,
-        nee_lights=nee_lights, texture_set=texture_set,
+        nee_lights=nee_lights, texture_set=texture_set, qmc=qmc,
     )
 
     def local(scene, key, sample_base):

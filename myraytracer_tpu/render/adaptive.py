@@ -81,6 +81,7 @@ def make_adaptive_oracle(
     material_set=None,
     static_ior=None,
     texture_set=None,
+    qmc: bool = False,
 ):
     """Pure-jnp adaptive block renderer (oracle; CPU path).
 
@@ -135,6 +136,7 @@ def make_adaptive_oracle(
                 scene, ray_gen, ixc, iyc, lane_id, sample_id, key,
                 ray_depth, t_min, t_max, sky=sky,
                 lens_draws=not cam.reference_mode, nee_lights=nee_lights,
+                qmc=qmc,
             )
             w = in_image.astype(jnp.float32)
             return (
@@ -283,6 +285,7 @@ class AdaptiveSession:
             static_ior=(iors.pop() if len(iors) == 1 else None),
             sky=world.ambient,
             nee_lights=_extract_lights(world) if config.nee else None,
+            qmc=config.qmc,
             texture_set=world.texture_set or None,
         )
         if renderer_factory is not None:

@@ -184,17 +184,27 @@ def render_sample_batch(
     sky=None,
     lens_draws: bool = True,
     nee_lights=None,
+    qmc: bool = False,
 ) -> Tuple[V3, jnp.ndarray]:
     """Camera-generate and trace one batch of (pixel, sample) lanes."""
     # Camera draw slots: 0 = sub-pixel jitter, 1 = lens disk. Draws are
     # keyed by ABSOLUTE slot, so skipping slot 1 for cameras that ignore
-    # it (reference mode) shifts nothing else in the stream.
-    cam_draw = sample_id * jnp.uint32(crng.DRAWS_PER_SAMPLE)
-    u1, u2 = crng.uniform2(key, lane_id, cam_draw)
-    if lens_draws:
-        l1, l2 = crng.uniform2(key, lane_id, cam_draw + jnp.uint32(1))
+    # it (reference mode) shifts nothing else in the stream. Under QMC
+    # both camera pairs come from the scrambled Sobol sequence instead
+    # (core/rng.py) and the slot 0/1 draws are skipped entirely.
+    if qmc:
+        u1, u2 = crng.qmc_camera_uniforms(key, lane_id, sample_id, 0)
+        if lens_draws:
+            l1, l2 = crng.qmc_camera_uniforms(key, lane_id, sample_id, 1)
+        else:
+            l1 = l2 = jnp.zeros_like(u1)
     else:
-        l1 = l2 = jnp.zeros_like(u1)
+        cam_draw = sample_id * jnp.uint32(crng.DRAWS_PER_SAMPLE)
+        u1, u2 = crng.uniform2(key, lane_id, cam_draw)
+        if lens_draws:
+            l1, l2 = crng.uniform2(key, lane_id, cam_draw + jnp.uint32(1))
+        else:
+            l1 = l2 = jnp.zeros_like(u1)
     o, d = ray_gen(ix, iy, u1, u2, l1, l2)
     return trace(
         o, d, lane_id, sample_id, key, scene, depth, t_min, t_max, sky=sky,
@@ -217,6 +227,7 @@ def make_block_renderer(
     sky=None,
     nee_lights=None,
     texture_set=None,
+    qmc: bool = False,
 ):
     """Build the composable rendering primitive.
 
@@ -275,7 +286,7 @@ def make_block_renderer(
                 scene, ray_gen, ix_b, iy_b, lane_b, sample_id,
                 key, ray_depth, t_min, t_max, sky=sky,
                 lens_draws=not cam.reference_mode,
-                nee_lights=nee_lights,
+                nee_lights=nee_lights, qmc=qmc,
             )
             w = in_range.astype(jnp.float32)
             acc = acc + V3(
@@ -318,6 +329,7 @@ def make_renderer(
     sky=None,
     nee_lights=None,
     texture_set=None,
+    qmc: bool = False,
 ):
     """Build a jitted single-device frame renderer.
 
@@ -340,7 +352,7 @@ def make_renderer(
         cam, width, height, height, spp, ray_depth,
         t_min=t_min, t_max=t_max, sample_batch=sample_batch,
         material_set=material_set, static_ior=static_ior, sky=sky,
-        nee_lights=nee_lights, texture_set=texture_set,
+        nee_lights=nee_lights, texture_set=texture_set, qmc=qmc,
     )
 
     if frames > 1:

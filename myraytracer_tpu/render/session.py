@@ -165,6 +165,7 @@ class RenderSession:
                 {"nee_lights": _extract_lights(world)}
                 if config.nee else {}
             ),
+            **({"qmc": True} if config.qmc else {}),
         )
 
         self.framebuffer = jnp.zeros((self.height, self.width, 3), jnp.float32)
@@ -210,7 +211,10 @@ class RenderSession:
             self.sample_cursor
             + self.config.samples_per_frame * self.frame_batch
         )
-        if next_cursor * crng.DRAWS_PER_SAMPLE > 0xFFFFFFFF:
+        # QMC reserves the top two draw words for its per-pixel scrambles
+        # (core/rng.py QMC_SCRAMBLE_SLOTS).
+        cap = 0xFFFFFFFF - (crng.QMC_SCRAMBLE_SLOTS if self.config.qmc else 0)
+        if next_cursor * crng.DRAWS_PER_SAMPLE > cap:
             # The threefry draw index is sample_id * DRAWS_PER_SAMPLE +
             # slot in uint32: past ~16.9M samples/pixel it would wrap and
             # silently reuse the earliest samples' draws. Loud, per the
@@ -321,6 +325,7 @@ class RenderSession:
             "t_min": self.config.t_min,
             "t_max": self.config.t_max,
             "nee": self.config.nee,
+            "qmc": self.config.qmc,
             # Exact-continuation provenance: the scene content, the compute
             # path that produced the stream, and the sharding mode.
             "scene": self.scene_fingerprint,
@@ -364,6 +369,13 @@ class RenderSession:
                 raise ValueError(
                     f"checkpoint {field}={meta[field]} != session {have}"
                 )
+        # Stream provenance added after v-1 checkpoints existed: absent
+        # means the default estimator (False), not "unknown".
+        if bool(meta.get("qmc", False)) != self.config.qmc:
+            raise ValueError(
+                f"checkpoint qmc={meta.get('qmc', False)} != session "
+                f"{self.config.qmc}: different sample streams"
+            )
         if meta["scene"] != self.scene_fingerprint:
             raise ValueError(
                 f"checkpoint scene fingerprint {meta['scene']} != session "

@@ -65,6 +65,8 @@ SESSION_PARAMS = {
     "seed": int,
     # ?nee=1 toggles next-event estimation (render/lights.py).
     "nee": lambda s: s.lower() not in ("0", "false", ""),
+    # ?qmc=1 toggles low-discrepancy camera sampling (core/rng.py).
+    "qmc": lambda s: s.lower() not in ("0", "false", ""),
 }
 
 _PAGE = b"""<!doctype html>
