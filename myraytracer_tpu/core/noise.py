@@ -31,7 +31,7 @@ from myraytracer_tpu.core.vec import V3
 TURBULENCE_OCTAVES = 7
 
 
-def _mix32(h: jnp.ndarray) -> jnp.ndarray:
+def lowbias32(h: jnp.ndarray) -> jnp.ndarray:
     """lowbias32: a well-distributed 32-bit integer finalizer (u32 → u32)."""
     h = h ^ (h >> jnp.uint32(16))
     h = h * jnp.uint32(0x7FEB352D)
@@ -48,7 +48,7 @@ def hash3(ix: jnp.ndarray, iy: jnp.ndarray, iz: jnp.ndarray) -> jnp.ndarray:
         ^ iy.astype(jnp.uint32) * jnp.uint32(0xD8163841)
         ^ iz.astype(jnp.uint32) * jnp.uint32(0xCB1AB31F)
     )
-    return _mix32(h)
+    return lowbias32(h)
 
 
 def _corner(ix, iy, iz) -> jnp.ndarray:

@@ -26,6 +26,7 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
+from myraytracer_tpu.core.noise import lowbias32
 from myraytracer_tpu.core.vec import V3
 
 TAU = 6.283185307179586
@@ -147,27 +148,33 @@ def unit_disk_from_uniforms(u1: jnp.ndarray, u2: jnp.ndarray) -> Tuple[jnp.ndarr
 # The camera dimensions (sub-pixel jitter; lens disk) dominate a pixel
 # estimator's variance structure, and pure-random draws leave 1/sqrt(N)
 # clumping there. When QMC is enabled, those two dimension PAIRS come from
-# an XOR-scrambled Sobol (0,2) sequence indexed by the per-pixel sample
-# counter instead of threefry: every prefix of 4^k consecutive samples per
-# pixel is perfectly stratified over the pixel footprint (and the lens
-# disk), which converges faster on smooth integrands. The scramble is a
-# per-(pixel, dimension-pair) random digital shift derived from the render
-# key, so neighbouring pixels stay decorrelated, determinism is preserved
-# (pure function of key/pixel/sample — batching/sharding/backend invariant,
-# like every other draw), and the (0,2)-net stratification survives (an
-# XOR scramble permutes elementary intervals onto elementary intervals).
-# Bounce-dimension draws stay threefry: QMC gains decay fast past the
-# first few dimensions and path regeneration makes per-bounce Sobol
-# indexing pay bookkeeping for nothing.
+# a Sobol (0,2) sequence indexed by the per-pixel sample counter instead of
+# threefry: every prefix of 4^k consecutive samples per pixel is perfectly
+# stratified over the pixel footprint (and the lens disk), which converges
+# faster on smooth integrands. Randomization follows Burley's hash-based
+# Owen scrambling ("Practical Hash-based Owen Scrambling", JCGT 2020):
+# per (pixel, dimension-pair) the sample *index* is Owen-shuffled and each
+# output dimension is Owen-scrambled under independent seeds derived from
+# the render key. The index shuffle is what decorrelates the padded jitter
+# and lens pairs — with a plain digital shift both pairs would read the
+# SAME Sobol point XOR a constant, collapsing the 4-D camera sample set
+# onto a 2-D manifold per pixel. Owen scrambling maps elementary intervals
+# onto elementary intervals, so (0,2)-net stratification survives for every
+# power-of-2 prefix, neighbouring pixels stay decorrelated, and determinism
+# is preserved (pure function of key/pixel/sample — batching/sharding/
+# backend invariant, like every other draw). Bounce-dimension draws stay
+# threefry: QMC gains decay fast past the first few dimensions and path
+# regeneration makes per-bounce Sobol indexing pay bookkeeping for nothing.
 #
 # Both integrator paths (jnp oracle; Pallas megakernel) call these exact
 # functions, so QMC frames are bitwise identical across backends, exactly
 # like the default stream.
 
-# Direction vectors of the canonical second Sobol dimension. 24 bits
-# suffice: draw ids are sample_id * DRAWS_PER_SAMPLE in uint32, so sample
-# indices stay < 2^24 (render/session.py guards the cursor).
-QMC_BITS = 24
+# Direction vectors of the canonical second Sobol dimension. All 32 index
+# bits are honored: the Owen index shuffle maps sample ids across the full
+# uint32 range, and it also keeps the generator exact for any cursor the
+# session's uint32 draw-space guard admits (~16.9M samples/pixel).
+QMC_BITS = 32
 _SOBOL2_DIRS = []
 _d = 1 << 31
 for _ in range(QMC_BITS):
@@ -192,40 +199,82 @@ def _reverse_bits32(v: jnp.ndarray) -> jnp.ndarray:
     return v
 
 
+def _sobol2_bits(n: jnp.ndarray) -> jnp.ndarray:
+    """Canonical second Sobol dimension of index ``n`` as raw uint32 bits.
+
+    Direction-number XOR fold, unrolled over all 32 index bits — vector
+    select/xor ops only, Mosaic-compatible.
+    """
+    n = jnp.asarray(n, jnp.uint32)
+    y = jnp.zeros_like(n)
+    zero = jnp.uint32(0)
+    for b, dv in enumerate(_SOBOL2_DIRS):
+        bit = (n >> jnp.uint32(b)) & jnp.uint32(1)
+        y = y ^ jnp.where(bit != zero, jnp.uint32(dv), zero)
+    return y
+
+
 def sobol02(
     n: jnp.ndarray, scramble0: jnp.ndarray, scramble1: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """XOR-scrambled Sobol (0,2) pair for sample index ``n`` (uint32).
 
     Dimension 0 is the van der Corput sequence (bit reversal); dimension 1
-    is the canonical second Sobol dimension (direction-number XOR fold,
-    unrolled over the 24 usable index bits — vector select/xor ops only,
-    Mosaic-compatible). Returns two U[0,1) float32 arrays.
+    is the canonical second Sobol dimension. The scramble words are plain
+    digital shifts (see ``qmc_camera_uniforms`` for the stronger Owen
+    randomization the renderer actually uses). Returns two U[0,1) float32
+    arrays.
     """
     n = jnp.asarray(n, jnp.uint32)
     x = _reverse_bits32(n) ^ jnp.asarray(scramble0, jnp.uint32)
-    y = jnp.asarray(scramble1, jnp.uint32)
-    zero = jnp.uint32(0)
-    for b, dv in enumerate(_SOBOL2_DIRS):
-        bit = (n >> jnp.uint32(b)) & jnp.uint32(1)
-        y = y ^ jnp.where(bit != zero, jnp.uint32(dv), zero)
+    y = _sobol2_bits(n) ^ jnp.asarray(scramble1, jnp.uint32)
     return _to_unit_f32(x), _to_unit_f32(y)
+
+
+def _laine_karras(x: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
+    """Laine–Karras permutation: an Owen scramble in reversed-bit order.
+
+    Bit i of the output depends only on bits 0..i of the input (carries and
+    the ``x * even`` products propagate strictly upward), which is exactly
+    the nested-interval structure Owen scrambling requires. Constants from
+    Burley, "Practical Hash-based Owen Scrambling" (JCGT 2020) — a
+    published algorithm, not copied code. u32 add/mul/xor only (the same
+    vector ops core/noise.py's lattice hash already lowers under Mosaic).
+    """
+    x = jnp.asarray(x, jnp.uint32) + jnp.asarray(seed, jnp.uint32)
+    x = x ^ (x * jnp.uint32(0x6C50B47C))
+    x = x ^ (x * jnp.uint32(0xB82F1E52))
+    x = x ^ (x * jnp.uint32(0xC7AFE638))
+    x = x ^ (x * jnp.uint32(0x8D22F6E6))
+    return x
+
+
+def owen_scramble(x: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
+    """Hash-based Owen (nested uniform) scramble of uint32 fraction bits."""
+    return _reverse_bits32(_laine_karras(_reverse_bits32(x), seed))
 
 
 def qmc_camera_uniforms(
     key, lane_id: jnp.ndarray, sample_id: jnp.ndarray, pair: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Scrambled-Sobol camera pair: ``pair`` 0 = sub-pixel jitter, 1 = lens.
+    """Owen-scrambled Sobol camera pair: ``pair`` 0 = sub-pixel jitter,
+    1 = lens.
 
-    Each dimension pair gets an independent per-pixel digital shift
-    (padded-replication decorrelation between the jitter and lens planes),
-    derived under the render key from the reserved top draw words.
+    Per (pixel, pair) the sample index is Owen-shuffled and each output
+    dimension Owen-scrambled under independent seeds derived from the
+    render key (reserved top draw words + lowbias32 splits). The index
+    shuffle decorrelates the padded jitter/lens planes — each pair sees a
+    different power-of-2-aligned block of the Sobol sequence — while every
+    power-of-2 sample prefix per pair remains a (0,2)-net.
     """
     s0, s1 = threefry2x32(
         key,
         (jnp.asarray(lane_id, jnp.uint32), jnp.uint32(0xFFFFFFFE + pair)),
     )
-    return sobol02(sample_id, s0, s1)
+    idx = owen_scramble(jnp.asarray(sample_id, jnp.uint32), s0)
+    x = owen_scramble(_reverse_bits32(idx), s1)
+    y = owen_scramble(_sobol2_bits(idx), lowbias32(s1))
+    return _to_unit_f32(x), _to_unit_f32(y)
 
 
 def unit_sphere(key, lane_id, draw_id) -> V3:

@@ -353,7 +353,10 @@ class AdaptiveSession:
         # only — no device sync.
         k = self.config.samples_per_frame
         worst = (self.rounds + extra_rounds) * k
-        if worst * crng.DRAWS_PER_SAMPLE > 0xFFFFFFFF:
+        # QMC reserves the top draw words for its per-pixel scramble
+        # derivation — mirror RenderSession.step's tightened cap.
+        cap = 0xFFFFFFFF - (crng.QMC_SCRAMBLE_SLOTS if self.config.qmc else 0)
+        if worst * crng.DRAWS_PER_SAMPLE > cap:
             raise RuntimeError(
                 "per-pixel sample cursor could overflow the uint32 "
                 "draw-index space: the RNG stream would alias"

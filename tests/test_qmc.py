@@ -56,6 +56,45 @@ def test_qmc_camera_uniforms_deterministic_and_pairwise_independent():
     assert not np.array_equal(np.asarray(a1), np.asarray(c1))  # lens != jitter
 
 
+def test_qmc_jitter_lens_planes_decorrelated():
+    """The padded lens pair must not be a digital shift of the jitter pair.
+
+    With a plain per-pair XOR scramble both pairs are the SAME Sobol point
+    xor a constant (measured float correlation ~0.9), collapsing the 4-D
+    camera sample set onto a 2-D manifold per pixel. The Owen index
+    shuffle breaks that: per-pixel correlation between the planes must be
+    near zero in every dimension combination."""
+    n = 4096
+    lane = jnp.zeros(n, jnp.uint32) + jnp.uint32(7)  # one pixel
+    sample = jnp.arange(n, dtype=jnp.uint32)
+    j1, j2 = crng.qmc_camera_uniforms(KEY, lane, sample, 0)
+    l1, l2 = crng.qmc_camera_uniforms(KEY, lane, sample, 1)
+    cols = np.stack([np.asarray(v) for v in (j1, j2, l1, l2)])
+    corr = np.corrcoef(cols)
+    # off-diagonal cross-plane entries: (j1,l1), (j1,l2), (j2,l1), (j2,l2)
+    cross = np.abs(corr[:2, 2:])
+    assert cross.max() < 0.1, corr
+
+
+def test_owen_scramble_is_nested_uniform():
+    """owen_scramble must preserve elementary intervals: points in the same
+    half/quarter/… stay together (the property that keeps (0,2)-nets
+    stratified), while the full map is a bijection on a sample of ids."""
+    x = jnp.arange(1 << 12, dtype=jnp.uint32) << jnp.uint32(20)
+    seed = jnp.uint32(0xC0FFEE01)
+    y = np.asarray(crng.owen_scramble(x, seed))
+    xs = np.asarray(x)
+    for bits in (1, 2, 4, 8):
+        shift = np.uint32(32 - bits)
+        groups = {}
+        for xi, yi in zip(xs >> shift, y >> shift):
+            groups.setdefault(int(xi), set()).add(int(yi))
+        # each input prefix maps to exactly one output prefix, bijectively
+        outs = [next(iter(v)) for v in groups.values()]
+        assert all(len(v) == 1 for v in groups.values())
+        assert len(set(outs)) == len(groups)
+
+
 W_, H_, SPP, DEPTH = 16, 8, 2, 4
 
 
