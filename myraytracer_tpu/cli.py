@@ -401,8 +401,17 @@ def main(argv=None) -> int:
                         # keep the current session, like the reference
                         # page surviving a bad query string.
                         try:
+                            from myraytracer_tpu.viewer import (
+                                validate_config_bounds,
+                            )
+
                             req_scene = sreq.pop("scene", scene_name)
                             req_config = make_config(**sreq)
+                            # Bound the merged config, not just the raw
+                            # query — e.g. ?width=4096 alone must not
+                            # combine with a large CLI height into an
+                            # over-budget rebuild (viewer.SESSION_BOUNDS).
+                            validate_config_bounds(req_config)
                             world, session = build_session(
                                 req_scene, req_config
                             )

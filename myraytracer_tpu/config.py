@@ -54,7 +54,7 @@ class RenderConfig:
     # of checkpoint provenance). No-op on scenes without DiffuseLight.
     nee: bool = False
     # Low-discrepancy camera sampling: the sub-pixel jitter and lens-disk
-    # dimension pairs come from a per-pixel XOR-scrambled Sobol (0,2)
+    # dimension pairs come from a per-pixel Owen-scrambled Sobol (0,2)
     # sequence instead of threefry (core/rng.py) — better convergence per
     # sample on smooth integrands, still deterministic and backend/shard
     # invariant. A different sample stream than the default estimator

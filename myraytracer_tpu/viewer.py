@@ -20,8 +20,12 @@ Endpoints:
                     ``?width=&height=&samples_per_frame=&ray_depth=&``
                     ``max_framebuffer_weight=&scene=&seed=`` queue a
                     session rebuild (the render loop polls
-                    ``pending_session()``), and ``?log_level=`` adjusts
-                    the process log level (``lib.rs:49-67``).
+                    ``pending_session()``), ``?width=0&height=0`` follows
+                    the browser window (the page measures the viewport and
+                    re-navigates — the reference's both-zero size rule,
+                    ``lib.rs:149-154``), ``?log_level=`` adjusts the
+                    process log level (``lib.rs:49-67``), and out-of-bounds
+                    magnitudes are rejected with 400 (``SESSION_BOUNDS``).
 * ``/frame.png``  — the latest accumulated frame, gamma-encoded PNG
 * ``/stats.json`` — frame count, accumulated spp, image size
 * ``/set``        — camera control (``?yaw=&pitch=&dist=`` radians/units);
@@ -48,6 +52,7 @@ from urllib.parse import parse_qs
 
 import numpy as np
 
+from myraytracer_tpu.core.rng import MAX_DEPTH
 from myraytracer_tpu.output.image import encode_png, to_u8
 
 log = logging.getLogger("myraytracer_tpu.viewer")
@@ -69,6 +74,42 @@ SESSION_PARAMS = {
     "qmc": lambda s: s.lower() not in ("0", "false", ""),
 }
 
+# Magnitude bounds on viewer-requested rebuilds. The serving loop rebuilds
+# (and recompiles) sessions on request; without bounds a stray browser tab
+# asking for ?width=16384&samples_per_frame=10000 triggers an unbounded
+# recompile/allocation inside the loop. Within these bounds any request
+# costs at most one modest recompile. 0 stays legal for width/height (the
+# reference's 0-means-derive rule, lib.rs:113-134).
+SESSION_BOUNDS = {
+    "width": (0, 4096),
+    "height": (0, 4096),
+    "samples_per_frame": (1, 4096),
+    "ray_depth": (1, MAX_DEPTH),
+    "max_framebuffer_weight": (0.0, 1.0),
+}
+# Bound on the *resolved* pixel count (the per-dimension bounds alone
+# admit 4096x4096 ≈ 16.8M pixels — 4x the budget).
+MAX_PIXELS = 4 << 20
+
+
+def validate_config_bounds(config) -> None:
+    """Reject a viewer-requested config that would stall the serving loop.
+
+    Raises ValueError (the serving loop's reject-and-keep-serving error
+    class) on out-of-bounds values. Checked against the merged config, not
+    the raw query, so e.g. ?width=4096 alone cannot combine with an
+    already-large height into an over-budget framebuffer.
+    """
+    for k, (lo, hi) in SESSION_BOUNDS.items():
+        v = getattr(config, k)
+        if not lo <= v <= hi:
+            raise ValueError(f"{k}={v} outside viewer bounds [{lo}, {hi}]")
+    w, h = config.resolve_size()
+    if w * h > MAX_PIXELS:
+        raise ValueError(
+            f"{w}x{h} = {w * h} pixels exceeds the viewer bound {MAX_PIXELS}"
+        )
+
 _PAGE = b"""<!doctype html>
 <html>
 <head>
@@ -87,6 +128,19 @@ _PAGE = b"""<!doctype html>
   <span id="hint" style="color:#777"> &mdash; drag to orbit, wheel to zoom</span></div>
 <img id="frame" src="/frame.png" draggable="false">
 <script>
+  // ?width=0&height=0 = follow the window, the reference's size rule
+  // (raytracer/src/lib.rs:149-154): measure the viewport client-side and
+  // re-navigate with concrete values (the server skips the both-zero
+  // request, so exactly one rebuild happens, at the measured size).
+  {
+    const p = new URLSearchParams(location.search);
+    if (p.get("width") === "0" && p.get("height") === "0") {
+      p.set("width", Math.min(4096, Math.max(8, window.innerWidth | 0)));
+      p.set("height", Math.min(4096, Math.max(8,
+        Math.floor(window.innerHeight * 0.92))));
+      location.replace(location.pathname + "?" + p);
+    }
+  }
   const img = document.getElementById("frame");
   const stats = document.getElementById("stats");
   async function tick() {
@@ -164,6 +218,27 @@ class LiveViewer:
                                 except ValueError:
                                     self.send_error(400, f"bad {k}")
                                     return
+                                lo_hi = SESSION_BOUNDS.get(k)
+                                if lo_hi and not (
+                                    lo_hi[0] <= req[k] <= lo_hi[1]
+                                ):
+                                    log.warning(
+                                        "viewer query rejected: %s=%s "
+                                        "outside %s", k, req[k], lo_hi,
+                                    )
+                                    self.send_error(
+                                        400,
+                                        f"{k}={req[k]} outside bounds "
+                                        f"[{lo_hi[0]}, {lo_hi[1]}]",
+                                    )
+                                    return
+                        if req.get("width") == 0 and req.get("height") == 0:
+                            # Both-zero = follow the window (lib.rs:149-154):
+                            # the page script measures the viewport and
+                            # re-navigates with concrete values; don't
+                            # rebuild at the headless default meanwhile.
+                            req.pop("width")
+                            req.pop("height")
                         if req:
                             with viewer._lock:
                                 viewer._session_request = req

@@ -117,6 +117,76 @@ def test_viewer_url_query_session_params():
         viewer.close()
 
 
+def test_viewer_bounds_rejected():
+    """Absurd magnitudes are a 400 at the HTTP layer and never reach the
+    serving loop — a stray tab must not trigger an unbounded recompile or
+    allocation (viewer.SESSION_BOUNDS)."""
+    import urllib.error
+
+    viewer = LiveViewer(0)
+    try:
+        for query in (
+            "/?width=16384",
+            "/?height=-1",
+            "/?samples_per_frame=10000",
+            "/?samples_per_frame=0",
+            "/?ray_depth=100",
+            "/?max_framebuffer_weight=2.5",
+        ):
+            try:
+                _get(viewer.port, query)
+                assert False, f"expected 400 for {query}"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, query
+            assert viewer.pending_session() is None, query
+        # In-bounds requests still queue.
+        _get(viewer.port, "/?width=4096&height=512")
+        assert viewer.pending_session() == {"width": 4096, "height": 512}
+    finally:
+        viewer.close()
+
+
+def test_viewer_merged_config_bounds():
+    """validate_config_bounds rejects over-budget *merged* configs — the
+    per-parameter bounds alone admit 4096x4096 = 4x the pixel budget."""
+    import pytest
+
+    from myraytracer_tpu.config import RenderConfig
+    from myraytracer_tpu.viewer import validate_config_bounds
+
+    validate_config_bounds(RenderConfig(width=2048, height=2048))
+    with pytest.raises(ValueError, match="pixels"):
+        validate_config_bounds(RenderConfig(width=4096, height=4096))
+    with pytest.raises(ValueError, match="ray_depth"):
+        validate_config_bounds(RenderConfig(width=64, height=64, ray_depth=63))
+    # 0-means-derive stays legal and resolves within budget.
+    validate_config_bounds(RenderConfig(width=0, height=0))
+
+
+def test_viewer_follow_window_roundtrip():
+    """?width=0&height=0 = follow the window: the page measures the
+    viewport client-side (script in _PAGE) and the server skips the
+    both-zero request so only the concrete re-navigation rebuilds."""
+    viewer = LiveViewer(0)
+    try:
+        page, _ = _get(viewer.port, "/?width=0&height=0")
+        assert b"location.replace" in page  # the measuring script
+        assert viewer.pending_session() is None  # both-zero skipped
+        # other params in the same query still apply on the first pass
+        _get(viewer.port, "/?width=0&height=0&scene=final")
+        assert viewer.pending_session() == {"scene": "final"}
+        # the concrete re-navigation queues normally
+        _get(viewer.port, "/?width=800&height=600&scene=final")
+        assert viewer.pending_session() == {
+            "width": 800, "height": 600, "scene": "final"
+        }
+        # one-zero (square rule) is not the follow-window case: it queues
+        _get(viewer.port, "/?width=0&height=256")
+        assert viewer.pending_session() == {"width": 0, "height": 256}
+    finally:
+        viewer.close()
+
+
 def test_viewer_log_level_query():
     """?log_level= adjusts the process log level (lib.rs:49-67 parity)."""
     import logging
