@@ -58,6 +58,13 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from myraytracer_tpu.utils.cache import enable_persistent_cache
+
+    # Persistent XLA cache: the headline kernel costs minutes to compile
+    # cold on the remote service (676 s observed in round 2); a warm hit
+    # deserializes in seconds. MYRT_CACHE=0 opts out for cold measurement.
+    enable_persistent_cache()
+
     on_tpu = platform == "tpu"
 
     scene_name = os.environ.get("BENCH_SCENE", "final")
@@ -93,18 +100,46 @@ def main() -> int:
     materials |= {m.material.type_id for m in world.meshes}
     iors = {s.material.ior for s in world.spheres if s.material.type_id == 3}
     iors |= {m.material.ior for m in world.meshes if m.material.type_id == 3}
+    render_kwargs = dict(
+        sample_batch=config.resolve_sample_batch(),
+        material_set=tuple(sorted(materials)) or None,
+        static_ior=(iors.pop() if len(iors) == 1 else None),
+        sky=world.ambient,
+    )
     render = factory(
         world.camera,
         width,
         height,
         config.samples_per_frame,
         config.ray_depth,
-        sample_batch=config.resolve_sample_batch(),
-        material_set=tuple(sorted(materials)) or None,
-        static_ior=(iors.pop() if len(iors) == 1 else None),
-        sky=world.ambient,
+        **render_kwargs,
     )
     key = crng.key_from_seed(0)
+
+    if (
+        on_tpu and resolved == "pallas"
+        and os.environ.get("MYRT_EXPORT_CACHE", "1") != "0"
+    ):
+        # Warm starts skip Python tracing/lowering via the serialized
+        # export (utils/cache.py) — the same execution path RenderSession
+        # uses, so the bench measures what production sessions run. Cold,
+        # this step IS the trace+lower cost (minutes for the big kernel);
+        # warm it is a millisecond deserialize — logged either way.
+        from myraytracer_tpu.utils.cache import export_cached_renderer
+
+        t0 = time.perf_counter()
+        render, used_export = export_cached_renderer(
+            render,
+            (scene, key, jnp.uint32(0)),
+            key_parts=(
+                repr(world.camera), width, height, spp_timed, depth,
+                repr(sorted(render_kwargs.items())),
+            ),
+        )
+        log(
+            f"bench: exec path {'export' if used_export else 'jit'} "
+            f"(renderer build {time.perf_counter() - t0:.1f}s)"
+        )
 
     log(
         f"bench: platform={platform} backend={resolved} scene={scene_name} "

@@ -208,6 +208,14 @@ def main(argv=None) -> int:
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
     )
 
+    # Persistent XLA compilation cache (+ the sessions' export cache):
+    # interactive cold starts were the round-2 defect — the headline
+    # kernel compiled for minutes on the remote service. MYRT_CACHE=0
+    # opts out entirely, MYRT_EXPORT_CACHE=0 keeps plain jit execution.
+    from myraytracer_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     # Backend override via environment when the flag is left at auto — the
     # reference honors a WGPU_BACKEND-style env override (lib.rs:322).
     import os

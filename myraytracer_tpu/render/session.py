@@ -146,13 +146,7 @@ class RenderSession:
             # frame buckets; sample/hybrid shards do not
             # (parallel/sharding.py).
             raise ValueError("frame_batch > 1 requires shard 'none' or 'tiles'")
-        extra = {"frames": self.frame_batch} if self.frame_batch > 1 else {}
-        self._render = factory(
-            world.camera,
-            self.width,
-            self.height,
-            config.samples_per_frame,
-            config.ray_depth,
+        render_kwargs = dict(
             t_min=config.t_min,
             t_max=config.t_max,
             sample_batch=config.resolve_sample_batch(),
@@ -160,13 +154,56 @@ class RenderSession:
             static_ior=(iors.pop() if len(iors) == 1 else None),
             sky=world.ambient,
             texture_set=world.texture_set or None,
-            **extra,
+            **({"frames": self.frame_batch} if self.frame_batch > 1 else {}),
             **(
                 {"nee_lights": _extract_lights(world)}
                 if config.nee else {}
             ),
             **({"qmc": True} if config.qmc else {}),
         )
+        self._render = factory(
+            world.camera,
+            self.width,
+            self.height,
+            config.samples_per_frame,
+            config.ray_depth,
+            **render_kwargs,
+        )
+        # Cold-start mitigation (utils/cache.py): unsharded Pallas sessions
+        # on real TPUs route through a serialized jax.export artifact —
+        # warm starts skip Python tracing/lowering entirely and the XLA
+        # compile hits the persistent cache. The exported module's compiled
+        # arithmetic can differ from plain jit's at the ulp level, so the
+        # execution path is checkpoint provenance (like backend/qmc) and a
+        # session uses one path for its whole life.
+        self.exec_path = "jit"
+        import os as _os
+
+        if (
+            self.backend_resolved == "pallas"
+            and config.shard == "none"
+            and renderer_factory is not None
+            and jax.default_backend() == "tpu"
+            and _os.environ.get("MYRT_EXPORT_CACHE", "1") != "0"
+        ):
+            from myraytracer_tpu.utils import cache as _cache
+
+            if _cache.cache_root() is not None:
+                _cache.enable_persistent_cache()
+                self._render, used_export = _cache.export_cached_renderer(
+                    self._render,
+                    (self.scene, self.key, jnp.uint32(0)),
+                    key_parts=(
+                        repr(world.camera),
+                        self.width,
+                        self.height,
+                        config.samples_per_frame,
+                        config.ray_depth,
+                        repr(sorted(render_kwargs.items())),
+                    ),
+                )
+                if used_export:
+                    self.exec_path = "export"
 
         self.framebuffer = jnp.zeros((self.height, self.width, 3), jnp.float32)
         self.frame_count = 0  # lib.rs:232 sample_count
@@ -325,12 +362,18 @@ class RenderSession:
             "t_min": self.config.t_min,
             "t_max": self.config.t_max,
             "nee": self.config.nee,
+            # NEE estimator generation: "mis" = balance-heuristic MIS
+            # between the shadow ray and BSDF pickup (render/lights.py).
+            # Pre-MIS NEE checkpoints lack the key and refuse to resume —
+            # same draws, different weights, different image.
+            "nee_estimator": "mis" if self.config.nee else None,
             "qmc": self.config.qmc,
             # Exact-continuation provenance: the scene content, the compute
             # path that produced the stream, and the sharding mode.
             "scene": self.scene_fingerprint,
             "backend": self.backend_resolved,
             "shard": self.config.shard,
+            "exec": self.exec_path,
         }
         # fetch_array, not np.asarray: under --multihost the framebuffer is
         # a process-spanning global array (shard_map tile sharding) and a
@@ -369,6 +412,12 @@ class RenderSession:
                 raise ValueError(
                     f"checkpoint {field}={meta[field]} != session {have}"
                 )
+        if self.config.nee and meta.get("nee_estimator") != "mis":
+            raise ValueError(
+                f"checkpoint nee_estimator={meta.get('nee_estimator')!r} != "
+                f"session 'mis': the MIS-weighted NEE image differs from "
+                f"the pre-MIS stream (render/lights.py)"
+            )
         # Stream provenance added after v-1 checkpoints existed: absent
         # means the default estimator (False), not "unknown".
         if bool(meta.get("qmc", False)) != self.config.qmc:
@@ -393,6 +442,17 @@ class RenderSession:
             raise ValueError(
                 f"checkpoint shard={meta['shard']} != session "
                 f"{self.config.shard}"
+            )
+        # Execution-path provenance (added with the export cache; absent in
+        # older checkpoints means plain jit): the exported module's compiled
+        # arithmetic can differ from direct jit's at the ulp level, so an
+        # exact resume stays on the producing path. MYRT_EXPORT_CACHE=0
+        # forces plain jit when an old checkpoint must be continued.
+        if meta.get("exec", "jit") != self.exec_path:
+            raise ValueError(
+                f"checkpoint exec={meta.get('exec', 'jit')} != session "
+                f"{self.exec_path}: the export-cached and plain-jit "
+                f"compiled modules agree only statistically"
             )
         if "camera" in data:
             if self.scene.cam is None:
