@@ -1505,10 +1505,25 @@ def _trace_kernel(
         # emission rides the winner record's albedo slots) ------------------
         if 4 in material_set:
             is_light = alive & (mt == jnp.int32(4))
-            # Under NEE, diffuse-scattered lanes suppress pickup: their
-            # direct light was already added by the shadow ray.
-            pickup = (is_light & (pd == 0)) if nee else is_light
-            rad = rad + V3.where(pickup, atten * hit.albedo, zero3)
+            if nee:
+                # MIS pickup: a lane whose last vertex was diffuse
+                # (pd = scatter cosine > 0) weights emission by the
+                # balance heuristic against the light sampler's density
+                # for the direction it traced (render/lights.py); specular
+                # chains keep full pickup.
+                from myraytracer_tpu.render.lights import light_pdf_at_hit
+
+                piq = light_pdf_at_hit(nee_lights, o, d, hit.t)
+                w_mis = jnp.where(
+                    pd > 0.0,
+                    pd / jnp.maximum(pd + piq, 1e-12),
+                    jnp.float32(1.0),
+                )
+                rad = rad + V3.where(
+                    is_light, atten * hit.albedo * w_mis, zero3
+                )
+            else:
+                rad = rad + V3.where(is_light, atten * hit.albedo, zero3)
             alive = alive & ~is_light
 
         # --- scatter (same draw slots as the oracle) ----------------------
@@ -1552,14 +1567,14 @@ def _trace_kernel(
                 bs2 = crng.unit_ball_from_uniforms(ub1 + kill_f, ub2, ub3)
                 sink_parts.extend([bs2.x, bs2.y, bs2.z])
 
+        is_lamb_hit = alive & (mt == jnp.int32(1))
         if nee:
             from myraytracer_tpu.render.lights import (
                 SHADOW_EPS, sample_lights,
             )
 
             n1, n2 = draw2(draw + jnp.uint32(3))
-            is_lamb_hit = alive & (mt == jnp.int32(1))
-            omega, t_p, weight, ok_s, usable = sample_lights(
+            omega, t_p, contrib, ok_s = sample_lights(
                 nee_lights, hit.point, hit.normal, ud, n1, n2
             )
             # Shadow sweep: run_hit initialized at the light distance —
@@ -1569,11 +1584,8 @@ def _trace_kernel(
             sh = run_hit(hit.point, omega, t_init=limit)
             lit = ~(sh[0] < limit)
             add = is_lamb_hit & ok_s & lit
-            rad = rad + V3.where(add, atten * hit.albedo * weight, zero3)
+            rad = rad + V3.where(add, atten * hit.albedo * contrib, zero3)
             segs = segs + is_lamb_hit.astype(jnp.float32)  # shadow rays
-            # Suppress pickup only where NEE could account for every
-            # light (render/lights.py `usable` contract).
-            pd = (is_lamb_hit & usable).astype(jnp.int32)
         sc = scatter(d, hit, sphere_sample, ball_sample, ud, material_set)
         if "scatter" in abl:
             sc2 = scatter(
@@ -1592,6 +1604,15 @@ def _trace_kernel(
         unit_z = V3(zero, zero, zero + 1.0)
         nd = V3.where(alive, sc.direction, unit_z).normalize()
         d = V3.where(alive, nd, d)
+        if nee:
+            # Cosine of the diffuse scatter (pdf = cos/pi): the MIS
+            # pickup weight's BSDF side at the next hit — same expression
+            # as the oracle, so the paths stay value-identical.
+            pd = jnp.where(
+                alive & is_lamb_hit,
+                jnp.maximum(d.dot(hit.normal), 0.0),
+                jnp.float32(0.0),
+            )
 
         # Depth exhaustion → black contribution (shader.wgsl:357).
         b = jnp.where(alive, b + 1, b)
@@ -1634,7 +1655,8 @@ def _trace_kernel(
                 acc = acc + p
             segs = segs + acc * kill_f
         if nee:
-            pd = jnp.where(regen, 0, pd)  # fresh sample, fresh pickup
+            # Fresh sample, fresh pickup weight.
+            pd = jnp.where(regen, jnp.float32(0.0), pd)
             return (o, d, atten, rad, s, b, alive_i, segs, pd)
         return (o, d, atten, rad, s, b, alive_i, segs)
 
@@ -1651,7 +1673,7 @@ def _trace_kernel(
         zero,  # segs
     )
     if nee:
-        init = init + (jnp.zeros(shape, jnp.int32),)  # prev-diffuse flag
+        init = init + (jnp.zeros(shape, jnp.float32),)  # prev-diffuse cos (MIS)
     out = jax.lax.while_loop(cond, body, init)
     rad, segs = out[3], out[7]
 

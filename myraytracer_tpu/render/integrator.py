@@ -85,7 +85,7 @@ def trace(
         return (i < depth) & jnp.any(alive)
 
     def body(carry):
-        i, o, d, atten, rad, alive, segs, prev_diff = carry
+        i, o, d, atten, rad, alive, segs, prev_cos = carry
         segs = segs + alive.astype(jnp.uint32)
 
         hit = closest_hit(o, d, scene, t_min, t_max)
@@ -111,11 +111,23 @@ def trace(
 
         # Emissive hit → throughput * emission, retire (extension;
         # emission rides the albedo columns — scene/compile.py). Under
-        # NEE, lanes that just diffuse-scattered suppress pickup: their
-        # direct light was already added by the shadow ray.
+        # NEE+MIS, a lane whose last vertex was diffuse (prev_cos > 0)
+        # weights pickup by the balance heuristic against the light
+        # sampler's density for the direction it traced; specular chains
+        # and non-NEE renders keep full pickup (render/lights.py).
         is_light = alive & (hit.mat_ty == api.MATERIAL_LIGHT)
-        pickup = (is_light & ~prev_diff) if nee else is_light
-        rad = rad + V3.where(pickup, atten * hit.albedo, zero)
+        if nee:
+            from myraytracer_tpu.render.lights import light_pdf_at_hit
+
+            piq = light_pdf_at_hit(nee_lights, o, d, hit.t)
+            w_mis = jnp.where(
+                prev_cos > 0.0,
+                prev_cos / jnp.maximum(prev_cos + piq, 1e-12),
+                jnp.float32(1.0),
+            )
+            rad = rad + V3.where(is_light, atten * hit.albedo * w_mis, zero)
+        else:
+            rad = rad + V3.where(is_light, atten * hit.albedo, zero)
         alive = alive & ~is_light
 
         # Scatter draws: slot 0 = unit-sphere; slots 1-2 = unit-ball;
@@ -127,24 +139,21 @@ def trace(
         sphere_sample = crng.unit_sphere_from_uniforms(us1, us2)
         ball_sample = crng.unit_ball_from_uniforms(ub1, ub2, ub3)
 
+        is_lamb_hit = alive & (hit.mat_ty == api.MATERIAL_LAMBERTIAN)
         if nee:
             from myraytracer_tpu.render.lights import (
                 SHADOW_EPS, sample_lights,
             )
 
             n1, n2 = crng.uniform2(key, lane_id, draw + jnp.uint32(3))
-            is_lamb_hit = alive & (hit.mat_ty == api.MATERIAL_LAMBERTIAN)
-            omega, t_p, weight, ok_s, usable = sample_lights(
+            omega, t_p, contrib, ok_s = sample_lights(
                 nee_lights, hit.point, hit.normal, ud, n1, n2
             )
             shadow = closest_hit(hit.point, omega, scene, t_min, t_max)
             lit = ~(shadow.mask & (shadow.t < t_p * (1.0 - SHADOW_EPS)))
             add = is_lamb_hit & ok_s & lit
-            rad = rad + V3.where(add, atten * hit.albedo * weight, zero)
+            rad = rad + V3.where(add, atten * hit.albedo * contrib, zero)
             segs = segs + is_lamb_hit.astype(jnp.uint32)  # shadow rays
-            # Suppress pickup only where NEE could account for every
-            # light (render/lights.py `usable` contract).
-            prev_diff = is_lamb_hit & usable
         sc = scatter(d, hit, sphere_sample, ball_sample, ud)
         alive = alive & sc.ok  # absorbed → retire black (shader.wgsl:349-350)
 
@@ -154,7 +163,16 @@ def trace(
         # safe unit vector so no NaN is ever materialized.
         nd = V3.where(alive, sc.direction, unit_z).normalize()
         d = V3.where(alive, nd, d)
-        return (i + 1, o, d, atten, rad, alive, segs, prev_diff)
+        if nee:
+            # Cosine of the diffuse scatter (the lobe's pdf is cos/pi):
+            # the MIS pickup weight's BSDF side at the NEXT hit. Zero for
+            # specular scatters (full-weight pickup).
+            prev_cos = jnp.where(
+                alive & is_lamb_hit,
+                jnp.maximum(d.dot(hit.normal), 0.0),
+                jnp.float32(0.0),
+            )
+        return (i + 1, o, d, atten, rad, alive, segs, prev_cos)
 
     init = (
         jnp.int32(0),
@@ -164,7 +182,7 @@ def trace(
         V3.zeros(shape),
         jnp.ones(shape, bool),
         jnp.zeros(shape, jnp.uint32),
-        jnp.zeros(shape, bool),  # prev_diff (NEE pickup suppression)
+        jnp.zeros(shape, jnp.float32),  # prev_cos (MIS pickup weight)
     )
     _, _, _, _, rad, _, segs, _ = jax.lax.while_loop(cond, body, init)
     return rad, segs

@@ -170,9 +170,11 @@ def test_nee_tile_sharded_bitwise():
 def test_nee_sphere_light_matches_analytic_irradiance():
     """Closed form: a Lambertian plane under a sphere light centered on
     the normal axis reflects radiance albedo * L_e * sin^2(theta_max)
-    (E = L_e * pi * sin^2 = L_e * pi * r^2/d^2). depth=1 isolates the NEE
-    term (no scattered continuation is traced), so any pdf normalization
-    error shows up as a systematic scale error, not noise."""
+    (E = L_e * pi * sin^2 = L_e * pi * r^2/d^2). depth=2 exercises the
+    full MIS pair — the shadow ray's balance-weighted term plus the BSDF
+    path's complementary pickup must sum to the closed form (the weights
+    summing to one IS the MIS invariant); a pdf normalization error shows
+    up as a systematic scale error, not noise."""
     from myraytracer_tpu.scene.api import (
         Camera, DiffuseLight, Lambertian, Sphere, World,
     )
@@ -189,7 +191,7 @@ def test_nee_sphere_light_matches_analytic_irradiance():
         ambient=(0.0, 0.0, 0.0),
     )
     scene = compile_scene(world)
-    render = make_renderer(world.camera, 16, 8, 256, 1, sample_batch=8,
+    render = make_renderer(world.camera, 16, 8, 256, 2, sample_batch=8,
                            sky=world.ambient,
                            nee_lights=extract_lights(world))
     img, _ = render(scene, KEY, 0)
@@ -204,7 +206,9 @@ def test_nee_sphere_light_matches_analytic_irradiance():
 def test_nee_quad_light_matches_analytic_irradiance():
     """Triangle-light pdf check: a small quad light far overhead is a
     point source — E = L_e * A * cos_l * cos_s / d^2, reflected radiance
-    albedo/pi * E (far-field error ~(size/d)^2 ~ 4e-4 here)."""
+    albedo/pi * E (far-field error ~(size/d)^2 ~ 4e-4 here). depth=2 so
+    the MIS-weighted shadow term and the BSDF pickup complement sum to
+    the closed form."""
     import math
 
     from myraytracer_tpu.scene.api import (
@@ -224,13 +228,101 @@ def test_nee_quad_light_matches_analytic_irradiance():
         ambient=(0.0, 0.0, 0.0),
     )
     scene = compile_scene(world)
-    render = make_renderer(world.camera, 16, 8, 512, 1, sample_batch=8,
+    render = make_renderer(world.camera, 16, 8, 512, 2, sample_batch=8,
                            sky=world.ambient,
                            nee_lights=extract_lights(world))
     img, _ = render(scene, KEY, 0)
     d = h + 0.5
     expected = albedo / math.pi * L_e * 1.0 / (d * d)
     np.testing.assert_allclose(np.asarray(img).mean(), expected, rtol=0.02)
+
+
+def test_mis_contribution_bounded_and_pdf_sides_consistent():
+    """The MIS invariants, directly on render/lights.py:
+
+    1. the shadow-ray contribution is bounded by ``emit`` per channel for
+       ANY geometry (the firefly-killer property unweighted NEE lacks);
+    2. for every direction the sampler generates, light_pdf_at_hit
+       re-derives the same density the sampler used — the two sides of
+       the balance heuristic must agree or the weights don't sum to 1."""
+    import math as m
+
+    import jax.numpy as jnp
+
+    from myraytracer_tpu.core.vec import V3
+    from myraytracer_tpu.render.lights import light_pdf_at_hit, sample_lights
+    from myraytracer_tpu.scene.api import DiffuseLight, Mesh, Sphere, World
+    from myraytracer_tpu.scene.meshgen import quad
+
+    emit = 7.0
+    for world in (
+        World(spheres=[Sphere((0.0, 3.0, 0.0), 1.0,
+                              DiffuseLight((emit,) * 3))]),
+        World(spheres=[], meshes=[Mesh(*quad(
+            (-1.0, 3.0, -1.0), (1.0, 3.0, -1.0), (1.0, 3.0, 1.0),
+            (-1.0, 3.0, 1.0)), DiffuseLight((emit,) * 3))]),
+    ):
+        lights = extract_lights(world)
+        rng = np.random.RandomState(1)
+        n_pts = 256
+        # Shading points scattered around (and right under the edge of)
+        # the light — the near-light/grazing regime.
+        p = V3(*(jnp.asarray(rng.uniform(lo, hi, n_pts), jnp.float32)
+                 for lo, hi in ((-2, 2), (0.0, 2.9), (-2, 2))))
+        n = V3(jnp.zeros(n_pts), jnp.ones(n_pts), jnp.zeros(n_pts))
+        u = [jnp.asarray(rng.uniform(0, 1, n_pts), jnp.float32)
+             for _ in range(3)]
+        omega, t_p, contrib, add = sample_lights(lights, p, n, u[0], u[1], u[2])
+        add = np.asarray(add)
+        assert add.any()
+        c = np.asarray(contrib.x)[add]
+        assert (c <= emit * (1 + 1e-5)).all(), c.max()  # bounded
+        # Side 2: re-derive pi*q from the contribution and compare with
+        # the pickup-side evaluation along the sampled ray.
+        cos = np.asarray(omega.dot(n))[add]
+        piq_sampler = emit * cos / np.maximum(c, 1e-12) - cos
+        piq_eval = np.asarray(
+            light_pdf_at_hit(lights, p, omega, t_p)
+        )[add]
+        np.testing.assert_allclose(
+            piq_eval, piq_sampler, rtol=5e-3, atol=1e-4
+        )
+    del m
+
+
+def test_mis_reduces_near_light_fireflies():
+    """A diffuse floor touching a bright quad light: unweighted NEE's
+    contribution explodes as 1/d^2 near the contact line (the Cornell
+    firefly class); the MIS term is bounded by albedo*emit. Check the
+    rendered max pixel respects the bound (+ indirect slack)."""
+    from myraytracer_tpu.scene.api import (
+        Camera, DiffuseLight, Lambertian, Mesh, Sphere, World,
+    )
+    from myraytracer_tpu.scene.meshgen import quad
+
+    emit, albedo = 50.0, 0.7
+    # Vertical light panel meeting the floor at x=0.
+    v, f = quad((0.0, 0.0, -2.0), (0.0, 2.0, -2.0), (0.0, 2.0, 2.0),
+                (0.0, 0.0, 2.0))
+    world = World(
+        spheres=[Sphere((0.0, -1000.0, 0.0), 1000.0,
+                        Lambertian((albedo,) * 3))],
+        meshes=[Mesh(v, f, DiffuseLight((emit,) * 3))],
+        camera=Camera(lookfrom=(2.0, 1.5, 3.0), lookat=(0.3, 0.0, 0.0),
+                      vup=(0.0, 1.0, 0.0), vfov_degrees=35.0),
+        ambient=(0.0, 0.0, 0.0),
+    )
+    scene = compile_scene(world)
+    render = make_renderer(world.camera, 32, 24, 32, 4, sample_batch=8,
+                           sky=world.ambient,
+                           nee_lights=extract_lights(world))
+    img = np.asarray(render(scene, KEY, 0)[0])
+    assert np.isfinite(img).all()
+    # Direct term <= albedo*emit; pickup <= emit; a pixel can see the
+    # light directly (= emit) but floor pixels' direct+indirect stays
+    # near albedo*emit. The real assertion: nothing blows past the
+    # emitter's own radiance (unweighted NEE produced >> emit spikes).
+    assert img.max() <= emit * (1 + 1e-4), img.max()
 
 
 def test_nee_inside_light_keeps_energy():
