@@ -1,0 +1,102 @@
+"""Binary mesh-scene dump for the native CPU comparison renderer.
+
+``native/mrt_cpu_bench --mesh FILE`` (native/src/cpu_renderer.cpp) is the
+CPU-with-BVH baseline for BASELINE config 5 — the comparison point the
+reference cannot supply (it renders neither meshes nor on CPUs). The
+Python side exports any API ``World``'s triangles, materials, camera, and
+background to a flat little-endian file so both renderers consume the
+*identical* scene.
+
+Format ("MRTMESH1"):
+
+    char    magic[8]      "MRTMESH1"
+    int32   n_mats, n_tris
+    float32 cam[12]       lookfrom xyz, lookat xyz, vup xyz,
+                          vfov_degrees, aperture, focus_dist (resolved)
+    int32   has_ambient
+    float32 ambient[3]
+    n_mats * { int32 type_id; float32 albedo[3], fuzz, ior, emit[3] }
+    n_tris * { float32 v0[3], v1[3], v2[3]; int32 mat_id }
+
+Textured albedos export their base color (the CPU baseline measures
+traversal/shading throughput, not texture parity).
+"""
+
+from __future__ import annotations
+
+import pathlib
+import struct
+
+import numpy as np
+
+from myraytracer_tpu.scene import api
+
+MAGIC = b"MRTMESH1"
+
+
+def _material_row(mat) -> bytes:
+    albedo = getattr(mat, "albedo", (1.0, 1.0, 1.0))
+    if not isinstance(albedo, tuple):
+        # Procedural texture: export its base/solid color.
+        albedo = tuple(getattr(albedo, "color_a", (1.0, 1.0, 1.0)))
+    fuzz = float(getattr(mat, "fuzz", 0.0))
+    ior = float(getattr(mat, "ior", 1.5))
+    emit = tuple(getattr(mat, "emit", (0.0, 0.0, 0.0)))
+    return struct.pack(
+        "<i8f", int(mat.type_id), *[float(c) for c in albedo], fuzz, ior,
+        *[float(c) for c in emit],
+    )
+
+
+def dump_world(world: api.World, path) -> int:
+    """Write ``world``'s meshes to ``path``; returns the triangle count.
+
+    Only triangle geometry exports (the CPU mesh mode is the config-5
+    baseline); worlds with spheres are rejected loudly rather than
+    silently dropping geometry.
+    """
+    if world.spheres:
+        raise ValueError(
+            "dump_world exports triangle meshes only; this world has "
+            f"{len(world.spheres)} spheres (use the sphere bench mode)"
+        )
+    if not world.meshes:
+        raise ValueError("world has no meshes to export")
+
+    cam = world.camera
+    if cam.reference_mode:
+        raise ValueError("mesh dump needs a general (lookfrom/lookat) camera")
+
+    mats = []
+    tris = []
+    for mesh in world.meshes:
+        mat_id = len(mats)
+        mats.append(_material_row(mesh.material))
+        verts = np.asarray(mesh.vertices, np.float32)
+        for (a, b, c) in np.asarray(mesh.triangles, np.int64):
+            tris.append(
+                struct.pack(
+                    "<9fi",
+                    *verts[a].tolist(), *verts[b].tolist(), *verts[c].tolist(),
+                    mat_id,
+                )
+            )
+
+    ambient = world.ambient
+    head = MAGIC + struct.pack("<2i", len(mats), len(tris))
+    head += struct.pack(
+        "<12f",
+        *[float(v) for v in cam.lookfrom],
+        *[float(v) for v in cam.lookat],
+        *[float(v) for v in cam.vup],
+        float(cam.vfov_degrees),
+        float(cam.aperture),
+        float(cam.resolved_focus_dist()),
+    )
+    head += struct.pack(
+        "<i3f",
+        0 if ambient is None else 1,
+        *(ambient if ambient is not None else (0.0, 0.0, 0.0)),
+    )
+    pathlib.Path(path).write_bytes(head + b"".join(mats) + b"".join(tris))
+    return len(tris)

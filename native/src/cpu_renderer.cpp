@@ -3,17 +3,31 @@
 // BASELINE.md's wall-clock target compares the TPU renderer against "a
 // native Rust runner on a 32-core CPU" — which the reference does not
 // ship (it is GPU-only), so the benchmark harness must produce the
-// comparison point itself (BASELINE.md note). This is that runner: a
-// C++ path tracer with the *reference's architecture* — brute-force
-// linear closest-hit scan (no BVH, matching shader.wgsl:314-329),
-// Lambertian/metal/dielectric scatter, RTiOW final scene — multithreaded
-// with std::thread. It reports Mrays/s (traced segments / wall-clock).
+// comparison point itself (BASELINE.md note). This is that runner, with
+// two modes:
+//
+//   spheres (default): the reference's architecture — brute-force linear
+//     closest-hit scan (no BVH, matching shader.wgsl:314-329) over the
+//     RTiOW final scene; `--bvh` upgrades it to a binned-SAH BVH so the
+//     CPU baseline is a *strong* one, not a strawman.
+//   --mesh FILE: triangle meshes (BASELINE config 5). Loads a flat binary
+//     scene dump (written by myraytracer_tpu/native/meshdump.py), builds
+//     the same binned-SAH skip-link BVH the TPU-side host preprocessing
+//     uses (src/bvh.cpp, linked in), and path-traces with Möller-Trumbore
+//     intersection — the honest CPU-with-BVH comparison point the mesh
+//     throughput numbers are judged against.
+//
+// Lambertian/metal/dielectric/emissive materials, RTiOW semantics,
+// multithreaded with std::thread. Reports Mrays/s (traced segments /
+// wall-clock; one segment per bounce-loop iteration, the TPU kernel's
+// counting convention).
 //
 // This is an independent implementation (fresh code, RTiOW semantics),
 // not a port of the reference's Rust/WGSL.
 //
 // Build: make -C native cpu  → native/mrt_cpu_bench
-// Run:   ./native/mrt_cpu_bench [width height spp depth threads]
+// Run:   ./native/mrt_cpu_bench [width height spp depth threads] [--bvh]
+//        ./native/mrt_cpu_bench --mesh scene.bin [width height spp depth threads]
 
 #include <atomic>
 #include <chrono>
@@ -21,9 +35,17 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
+#include <cstring>
 #include <random>
+#include <string>
 #include <thread>
 #include <vector>
+
+// Binned-SAH flat skip-link BVH builder (src/bvh.cpp, linked in).
+extern "C" int mrt_build_bvh(const float* prim_min, const float* prim_max,
+                             int n_prims, int max_leaf, float* out_nodes_min,
+                             float* out_nodes_max, int* out_first,
+                             int* out_count, int* out_skip, int* out_order);
 
 namespace {
 
@@ -40,7 +62,14 @@ Vec cross(const Vec& a, const Vec& b) {
 }
 Vec norm(const Vec& a) { return a * (1.0f / std::sqrt(dot(a, a))); }
 
-enum MatTy { LAMB = 1, METAL = 2, DIEL = 3 };
+enum MatTy { LAMB = 1, METAL = 2, DIEL = 3, LIGHT = 4 };
+
+struct Material {
+  int ty = LAMB;
+  Vec albedo{1, 1, 1};
+  float fuzz = 0, ior = 1.5f;
+  Vec emit{0, 0, 0};
+};
 
 struct Sphere {
   Vec c;
@@ -128,6 +157,258 @@ bool world_hit(const std::vector<Sphere>& w, const Vec& o, const Vec& d,
   return true;
 }
 
+// -- Flat skip-link BVH (built by mrt_build_bvh, bvh.cpp) --------------------
+
+struct FlatBVH {
+  std::vector<float> nmin, nmax;  // [m*3]
+  std::vector<int> first, count, skip;
+  int m = 0;
+};
+
+FlatBVH build_bvh(const std::vector<float>& pmin, const std::vector<float>& pmax,
+                  int n, int max_leaf, std::vector<int>* order) {
+  FlatBVH b;
+  int cap = 2 * n;
+  b.nmin.resize(3 * cap);
+  b.nmax.resize(3 * cap);
+  b.first.resize(cap);
+  b.count.resize(cap);
+  b.skip.resize(cap);
+  order->resize(n);
+  b.m = mrt_build_bvh(pmin.data(), pmax.data(), n, max_leaf, b.nmin.data(),
+                      b.nmax.data(), b.first.data(), b.count.data(),
+                      b.skip.data(), order->data());
+  if (b.m < 0) {
+    std::fprintf(stderr, "BVH build failed\n");
+    std::exit(2);
+  }
+  b.nmin.resize(3 * b.m);
+  b.nmax.resize(3 * b.m);
+  b.first.resize(b.m);
+  b.count.resize(b.m);
+  b.skip.resize(b.m);
+  return b;
+}
+
+inline bool aabb_hit(const float* mn, const float* mx, const Vec& o,
+                     const Vec& invd, float tmin, float tmax) {
+  // Slab test; min/max ordering handles negative direction components.
+  float t0 = (mn[0] - o.x) * invd.x, t1 = (mx[0] - o.x) * invd.x;
+  float lo = std::min(t0, t1), hi = std::max(t0, t1);
+  t0 = (mn[1] - o.y) * invd.y, t1 = (mx[1] - o.y) * invd.y;
+  lo = std::max(lo, std::min(t0, t1));
+  hi = std::min(hi, std::max(t0, t1));
+  t0 = (mn[2] - o.z) * invd.z, t1 = (mx[2] - o.z) * invd.z;
+  lo = std::max(lo, std::min(t0, t1));
+  hi = std::min(hi, std::max(t0, t1));
+  return std::max(lo, tmin) <= std::min(hi, tmax);
+}
+
+// -- Triangle mesh scene (BASELINE config 5) ---------------------------------
+
+struct Tri {
+  Vec v0, e1, e2;
+  int mat;
+};
+
+struct MeshScene {
+  std::vector<Tri> tris;  // reordered to BVH leaf order
+  std::vector<Material> mats;
+  FlatBVH bvh;
+  // Camera (thin-lens, RTiOW ch. 12-13 semantics).
+  Vec lookfrom, lookat, vup;
+  float vfov_deg = 45, aperture = 0, focus = 1;
+  bool has_ambient = false;
+  Vec ambient{0, 0, 0};
+};
+
+bool load_mesh_scene(const char* path, MeshScene* s) {
+  // Format written by myraytracer_tpu/native/meshdump.py ("MRTMESH1").
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  char magic[8];
+  if (std::fread(magic, 1, 8, f) != 8 || std::memcmp(magic, "MRTMESH1", 8)) {
+    std::fclose(f);
+    return false;
+  }
+  int32_t n_mats = 0, n_tris = 0, has_amb = 0;
+  float cam[12], amb[3];
+  bool ok = std::fread(&n_mats, 4, 1, f) == 1 && std::fread(&n_tris, 4, 1, f) == 1 &&
+            std::fread(cam, 4, 12, f) == 12 && std::fread(&has_amb, 4, 1, f) == 1 &&
+            std::fread(amb, 4, 3, f) == 3 && n_mats > 0 && n_tris > 0;
+  if (!ok) {
+    std::fclose(f);
+    return false;
+  }
+  s->lookfrom = {cam[0], cam[1], cam[2]};
+  s->lookat = {cam[3], cam[4], cam[5]};
+  s->vup = {cam[6], cam[7], cam[8]};
+  s->vfov_deg = cam[9];
+  s->aperture = cam[10];
+  s->focus = cam[11];
+  s->has_ambient = has_amb != 0;
+  s->ambient = {amb[0], amb[1], amb[2]};
+
+  s->mats.resize(n_mats);
+  for (auto& m : s->mats) {
+    int32_t ty;
+    float v[8];
+    if (std::fread(&ty, 4, 1, f) != 1 || std::fread(v, 4, 8, f) != 8) {
+      std::fclose(f);
+      return false;
+    }
+    m.ty = ty;
+    m.albedo = {v[0], v[1], v[2]};
+    m.fuzz = v[3];
+    m.ior = v[4];
+    m.emit = {v[5], v[6], v[7]};
+  }
+
+  std::vector<Tri> raw(n_tris);
+  std::vector<float> pmin(3 * n_tris), pmax(3 * n_tris);
+  for (int i = 0; i < n_tris; ++i) {
+    float v[9];
+    int32_t mat;
+    if (std::fread(v, 4, 9, f) != 9 || std::fread(&mat, 4, 1, f) != 1) {
+      std::fclose(f);
+      return false;
+    }
+    Vec v0{v[0], v[1], v[2]}, v1{v[3], v[4], v[5]}, v2{v[6], v[7], v[8]};
+    raw[i] = {v0, v1 - v0, v2 - v0, mat};
+    for (int k = 0; k < 3; ++k) {
+      float a = (&v0.x)[k], b = (&v1.x)[k], c = (&v2.x)[k];
+      pmin[3 * i + k] = std::min(a, std::min(b, c));
+      pmax[3 * i + k] = std::max(a, std::max(b, c));
+    }
+  }
+  std::fclose(f);
+
+  std::vector<int> order;
+  s->bvh = build_bvh(pmin, pmax, n_tris, /*max_leaf=*/4, &order);
+  // Reorder triangles to BVH leaf order: node [first, first+count) then
+  // indexes s->tris directly (cache-friendly leaves).
+  s->tris.resize(n_tris);
+  for (int j = 0; j < n_tris; ++j) s->tris[j] = raw[order[j]];
+  return true;
+}
+
+inline bool tri_hit(const Tri& tr, const Vec& o, const Vec& d, float tmin,
+                    float tmax, float* t_out) {
+  // Möller-Trumbore; no backface culling (meshes can be seen from inside,
+  // and dielectric meshes need exit hits).
+  Vec pvec = cross(d, tr.e2);
+  float det = dot(tr.e1, pvec);
+  if (std::fabs(det) < 1e-9f) return false;
+  float inv = 1.0f / det;
+  Vec tvec = o - tr.v0;
+  float u = dot(tvec, pvec) * inv;
+  if (u < 0 || u > 1) return false;
+  Vec qvec = cross(tvec, tr.e1);
+  float v = dot(d, qvec) * inv;
+  if (v < 0 || u + v > 1) return false;
+  float t = dot(tr.e2, qvec) * inv;
+  if (t < tmin || t >= tmax) return false;
+  *t_out = t;
+  return true;
+}
+
+bool mesh_hit(const MeshScene& s, const Vec& o, const Vec& d, float tmin,
+              float tmax, Hit* out) {
+  Vec invd{1.0f / d.x, 1.0f / d.y, 1.0f / d.z};
+  float best = tmax;
+  int bi = -1;
+  int i = 0;
+  const int m = s.bvh.m;
+  while (i < m) {
+    if (aabb_hit(&s.bvh.nmin[3 * i], &s.bvh.nmax[3 * i], o, invd, tmin, best)) {
+      int cnt = s.bvh.count[i];
+      if (cnt > 0) {
+        int first = s.bvh.first[i];
+        for (int j = first; j < first + cnt; ++j) {
+          float t;
+          if (tri_hit(s.tris[j], o, d, tmin, best, &t)) {
+            best = t;
+            bi = j;
+          }
+        }
+        i = s.bvh.skip[i];  // leaf done: continue at the escape link
+      } else {
+        ++i;  // interior hit: descend depth-first
+      }
+    } else {
+      i = s.bvh.skip[i];
+    }
+  }
+  if (bi < 0) return false;
+  out->t = best;
+  out->idx = bi;
+  return true;
+}
+
+// Sphere closest-hit through the same flat BVH (`--bvh` upgrade of the
+// brute-force scan — the strong CPU baseline for sphere scenes).
+struct SphereBVH {
+  std::vector<Sphere> spheres;  // reordered to leaf order
+  FlatBVH bvh;
+};
+
+SphereBVH build_sphere_bvh(const std::vector<Sphere>& w) {
+  int n = static_cast<int>(w.size());
+  std::vector<float> pmin(3 * n), pmax(3 * n);
+  for (int i = 0; i < n; ++i) {
+    const Vec& c = w[i].c;
+    float r = w[i].r;
+    pmin[3 * i] = c.x - r, pmin[3 * i + 1] = c.y - r, pmin[3 * i + 2] = c.z - r;
+    pmax[3 * i] = c.x + r, pmax[3 * i + 1] = c.y + r, pmax[3 * i + 2] = c.z + r;
+  }
+  SphereBVH sb;
+  std::vector<int> order;
+  sb.bvh = build_bvh(pmin, pmax, n, /*max_leaf=*/2, &order);
+  sb.spheres.resize(n);
+  for (int j = 0; j < n; ++j) sb.spheres[j] = w[order[j]];
+  return sb;
+}
+
+bool sphere_bvh_hit(const SphereBVH& s, const Vec& o, const Vec& d, float tmin,
+                    float tmax, Hit* out) {
+  Vec invd{1.0f / d.x, 1.0f / d.y, 1.0f / d.z};
+  float best = tmax;
+  int bi = -1;
+  int i = 0;
+  const int m = s.bvh.m;
+  while (i < m) {
+    if (aabb_hit(&s.bvh.nmin[3 * i], &s.bvh.nmax[3 * i], o, invd, tmin, best)) {
+      int cnt = s.bvh.count[i];
+      if (cnt > 0) {
+        int first = s.bvh.first[i];
+        for (int j = first; j < first + cnt; ++j) {
+          const Sphere& sp = s.spheres[j];
+          Vec oc = o - sp.c;
+          float b = dot(oc, d);
+          float c = dot(oc, oc) - sp.r * sp.r;
+          float disc = b * b - c;
+          if (disc < 0) continue;
+          float sq = std::sqrt(disc);
+          float t = -b - sq;
+          if (t < tmin || t >= best) t = -b + sq;
+          if (t < tmin || t >= best) continue;
+          best = t;
+          bi = j;
+        }
+        i = s.bvh.skip[i];
+      } else {
+        ++i;
+      }
+    } else {
+      i = s.bvh.skip[i];
+    }
+  }
+  if (bi < 0) return false;
+  out->t = best;
+  out->idx = bi;
+  return true;
+}
+
 Vec sky(float y) {
   float t = 0.5f * y + 0.5f;
   return Vec{1, 1, 1} * (1 - t) + Vec{0.5f, 0.7f, 1.0f} * t;
@@ -135,71 +416,167 @@ Vec sky(float y) {
 
 Vec reflect(const Vec& v, const Vec& n) { return v - n * (2 * dot(v, n)); }
 
-Vec trace(const std::vector<Sphere>& w, Vec o, Vec d, int depth, Rng& rng,
-          uint64_t* segs) {
+// Shared scatter step (RTiOW semantics, matching the reference's material
+// contracts shader.wgsl:198-252 and the dielectric extension). Returns
+// false when the path terminates; *radiance then holds the path's value.
+bool scatter(const Material& mt, const Vec& d, const Vec& n, bool front,
+             Rng& rng, Vec* atten, Vec* nd, Vec* radiance) {
+  if (mt.ty == LAMB) {
+    *nd = n + rng.unit_sphere();
+    if (dot(*nd, *nd) == 0) *nd = n;
+    *atten = *atten * mt.albedo;
+  } else if (mt.ty == METAL) {
+    *nd = reflect(d, n) + rng.unit_ball() * mt.fuzz;
+    if (dot(*nd, n) <= 0) {
+      *radiance = {0, 0, 0};
+      return false;
+    }
+    *atten = *atten * mt.albedo;
+  } else if (mt.ty == LIGHT) {
+    *radiance = *atten * mt.emit;
+    return false;
+  } else {  // DIEL
+    float ratio = front ? 1.0f / mt.ior : mt.ior;
+    float cost = std::min(-dot(d, n), 1.0f);
+    float sint = std::sqrt(std::max(0.0f, 1 - cost * cost));
+    float r0 = (1 - ratio) / (1 + ratio);
+    r0 *= r0;
+    float refl = r0 + (1 - r0) * std::pow(1 - cost, 5.0f);
+    if (ratio * sint > 1.0f || refl > rng.f()) {
+      *nd = reflect(d, n);
+    } else {
+      Vec perp = (d + n * cost) * ratio;
+      Vec par = n * -std::sqrt(std::fabs(1 - dot(perp, perp)));
+      *nd = perp + par;
+    }
+  }
+  return true;
+}
+
+Vec trace_spheres(const std::vector<Sphere>& w, const SphereBVH* bvh, Vec o,
+                  Vec d, int depth, Rng& rng, uint64_t* segs) {
   Vec atten{1, 1, 1};
   for (int i = 0; i < depth; ++i) {
     ++*segs;
     Hit h;
-    if (!world_hit(w, o, d, 1e-3f, 1e4f, &h)) return atten * sky(d.y);
-    const Sphere& s = w[h.idx];
+    bool hit = bvh ? sphere_bvh_hit(*bvh, o, d, 1e-3f, 1e4f, &h)
+                   : world_hit(w, o, d, 1e-3f, 1e4f, &h);
+    if (!hit) return atten * sky(d.y);
+    const Sphere& s = bvh ? bvh->spheres[h.idx] : w[h.idx];
     Vec p = o + d * h.t;
     Vec n = (p - s.c) * (1.0f / s.r);
     bool front = dot(n, d) <= 0;
     if (!front) n = n * -1.0f;
-    Vec nd;
-    if (s.ty == LAMB) {
-      nd = n + rng.unit_sphere();
-      if (dot(nd, nd) == 0) nd = n;
-      atten = atten * s.albedo;
-    } else if (s.ty == METAL) {
-      nd = reflect(d, n) + rng.unit_ball() * s.fuzz;
-      if (dot(nd, n) <= 0) return {0, 0, 0};
-      atten = atten * s.albedo;
-    } else {
-      float ratio = front ? 1.0f / s.ior : s.ior;
-      float cost = std::min(-dot(d, n), 1.0f);
-      float sint = std::sqrt(std::max(0.0f, 1 - cost * cost));
-      float r0 = (1 - ratio) / (1 + ratio);
-      r0 *= r0;
-      float refl = r0 + (1 - r0) * std::pow(1 - cost, 5.0f);
-      if (ratio * sint > 1.0f || refl > rng.f()) {
-        nd = reflect(d, n);
-      } else {
-        Vec perp = (d + n * cost) * ratio;
-        Vec par = n * -std::sqrt(std::fabs(1 - dot(perp, perp)));
-        nd = perp + par;
-      }
-    }
+    Material mt;
+    mt.ty = s.ty;
+    mt.albedo = s.albedo;
+    mt.fuzz = s.fuzz;
+    mt.ior = s.ior;
+    Vec nd, radiance;
+    if (!scatter(mt, d, n, front, rng, &atten, &nd, &radiance)) return radiance;
     o = p;
     d = norm(nd);
   }
   return {0, 0, 0};
 }
 
-}  // namespace
+Vec trace_mesh(const MeshScene& s, Vec o, Vec d, int depth, Rng& rng,
+               uint64_t* segs) {
+  Vec atten{1, 1, 1};
+  for (int i = 0; i < depth; ++i) {
+    ++*segs;
+    Hit h;
+    if (!mesh_hit(s, o, d, 1e-3f, 1e4f, &h))
+      return atten * (s.has_ambient ? s.ambient : sky(d.y));
+    const Tri& tr = s.tris[h.idx];
+    Vec p = o + d * h.t;
+    Vec n = norm(cross(tr.e1, tr.e2));
+    bool front = dot(n, d) <= 0;
+    if (!front) n = n * -1.0f;
+    Vec nd, radiance;
+    if (!scatter(s.mats[tr.mat], d, n, front, rng, &atten, &nd, &radiance))
+      return radiance;
+    o = p;
+    d = norm(nd);
+  }
+  return {0, 0, 0};
+}
 
-int main(int argc, char** argv) {
-  int W = argc > 1 ? std::atoi(argv[1]) : 400;
-  int H = argc > 2 ? std::atoi(argv[2]) : 267;
-  int spp = argc > 3 ? std::atoi(argv[3]) : 4;
-  int depth = argc > 4 ? std::atoi(argv[4]) : 50;
-  int threads = argc > 5 ? std::atoi(argv[5])
-                         : static_cast<int>(std::thread::hardware_concurrency());
+struct CamBasis {
+  Vec origin, llc, horiz, vert, cu, cv;
+  float lens_r;
+};
 
-  auto world = final_scene();
-  // Camera: lookfrom (13,2,3) → (0,0,0), vfov 20, focus 10, aperture 0.1.
-  Vec lookfrom{13, 2, 3}, lookat{0, 0, 0}, vup{0, 1, 0};
-  float aspect = float(W) / H;
-  float h = std::tan(20.0f * 3.14159265f / 180 / 2);
-  float vph = 2 * h, vpw = aspect * vph, focus = 10.0f, lens_r = 0.05f;
+CamBasis make_camera(Vec lookfrom, Vec lookat, Vec vup, float vfov_deg,
+                     float aperture, float focus, float aspect) {
+  float h = std::tan(vfov_deg * 3.14159265f / 180 / 2);
+  float vph = 2 * h, vpw = aspect * vph;
   Vec cw = norm(lookfrom - lookat);
   Vec cu = norm(cross(vup, cw));
   Vec cv = cross(cw, cu);
-  Vec horiz = cu * (focus * vpw), vert = cv * (focus * vph);
-  Vec llc = lookfrom - horiz * 0.5f - vert * 0.5f - cw * focus;
+  CamBasis c;
+  c.origin = lookfrom;
+  c.cu = cu;
+  c.cv = cv;
+  c.horiz = cu * (focus * vpw);
+  c.vert = cv * (focus * vph);
+  c.llc = lookfrom - c.horiz * 0.5f - c.vert * 0.5f - cw * focus;
+  c.lens_r = aperture * 0.5f;
+  return c;
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  const char* mesh_path = nullptr;
+  const char* ppm_path = nullptr;
+  bool use_bvh = false;
+  std::vector<const char*> pos;
+  for (int i = 1; i < argc; ++i) {
+    if (!std::strcmp(argv[i], "--mesh") && i + 1 < argc) {
+      mesh_path = argv[++i];
+    } else if (!std::strcmp(argv[i], "--ppm") && i + 1 < argc) {
+      ppm_path = argv[++i];  // gamma-2 P6 dump (baseline correctness check)
+    } else if (!std::strcmp(argv[i], "--bvh")) {
+      use_bvh = true;
+    } else {
+      pos.push_back(argv[i]);
+    }
+  }
+  int W = pos.size() > 0 ? std::atoi(pos[0]) : 400;
+  int H = pos.size() > 1 ? std::atoi(pos[1]) : 267;
+  int spp = pos.size() > 2 ? std::atoi(pos[2]) : 4;
+  int depth = pos.size() > 3 ? std::atoi(pos[3]) : 50;
+  int threads = pos.size() > 4 ? std::atoi(pos[4])
+                               : static_cast<int>(std::thread::hardware_concurrency());
+
+  MeshScene mesh;
+  std::vector<Sphere> world;
+  SphereBVH sphere_bvh;
+  CamBasis cam;
+  size_t n_prims;
+  const char* mode;
+  if (mesh_path) {
+    if (!load_mesh_scene(mesh_path, &mesh)) {
+      std::fprintf(stderr, "failed to load mesh scene %s\n", mesh_path);
+      return 2;
+    }
+    cam = make_camera(mesh.lookfrom, mesh.lookat, mesh.vup, mesh.vfov_deg,
+                      mesh.aperture, mesh.focus, float(W) / H);
+    n_prims = mesh.tris.size();
+    mode = "cpu-bvh-mesh";
+  } else {
+    world = final_scene();
+    if (use_bvh) sphere_bvh = build_sphere_bvh(world);
+    // Camera: lookfrom (13,2,3) → (0,0,0), vfov 20, focus 10, aperture 0.1.
+    cam = make_camera({13, 2, 3}, {0, 0, 0}, {0, 1, 0}, 20.0f, 0.1f, 10.0f,
+                      float(W) / H);
+    n_prims = world.size();
+    mode = use_bvh ? "cpu-bvh" : "cpu-bruteforce";
+  }
 
   std::atomic<uint64_t> total_segs{0};
+  std::vector<float> fb(size_t(W) * H * 3, 0.0f);  // per-pixel means
   auto t0 = std::chrono::steady_clock::now();
   std::vector<std::thread> pool;
   std::atomic<int> next_row{0};
@@ -207,34 +584,57 @@ int main(int argc, char** argv) {
     pool.emplace_back([&, t]() {
       Rng rng(0x9E3779B97F4A7C15ull * (t + 1));
       uint64_t segs = 0;
-      double sum = 0;
       int row;
       while ((row = next_row.fetch_add(1)) < H) {
-        for (int x = 0; x < W; ++x)
+        for (int x = 0; x < W; ++x) {
+          Vec acc{0, 0, 0};
           for (int sIdx = 0; sIdx < spp; ++sIdx) {
-            float sxy = (x + rng.f()) / W;
+            float sx = (x + rng.f()) / W;
             float sy = 1.0f - (row + rng.f()) / H;
-            float dx, dy;
-            rng.unit_disk(dx, dy);
-            Vec off = cu * (lens_r * dx) + cv * (lens_r * dy);
-            Vec o = lookfrom + off;
-            Vec d = norm(llc + horiz * sxy + vert * sy - o);
-            Vec c = trace(world, o, d, depth, rng, &segs);
-            sum += c.x + c.y + c.z;
+            Vec o = cam.origin;
+            if (cam.lens_r > 0) {
+              float dx, dy;
+              rng.unit_disk(dx, dy);
+              o = o + cam.cu * (cam.lens_r * dx) + cam.cv * (cam.lens_r * dy);
+            }
+            Vec d = norm(cam.llc + cam.horiz * sx + cam.vert * sy - o);
+            Vec c = mesh_path
+                        ? trace_mesh(mesh, o, d, depth, rng, &segs)
+                        : trace_spheres(world, use_bvh ? &sphere_bvh : nullptr,
+                                        o, d, depth, rng, &segs);
+            acc = acc + c;
           }
+          float* px = &fb[(size_t(row) * W + x) * 3];  // rows are thread-owned
+          px[0] = acc.x / spp;
+          px[1] = acc.y / spp;
+          px[2] = acc.z / spp;
+        }
       }
       total_segs += segs;
-      if (sum < -1) std::printf("%f", sum);  // keep the work observable
     });
   }
   for (auto& th : pool) th.join();
   double dt =
       std::chrono::duration<double>(std::chrono::steady_clock::now() - t0).count();
   uint64_t segs = total_segs.load();
+  if (ppm_path) {
+    // Gamma-2 P6, the framework's output/image.py convention.
+    FILE* f = std::fopen(ppm_path, "wb");
+    if (f) {
+      std::fprintf(f, "P6\n%d %d\n255\n", W, H);
+      for (size_t i = 0; i < fb.size(); ++i) {
+        float v = std::sqrt(std::min(std::max(fb[i], 0.0f), 1.0f));
+        unsigned char b = (unsigned char)std::min(255.0f, v * 255.0f + 0.5f);
+        std::fwrite(&b, 1, 1, f);
+      }
+      std::fclose(f);
+    }
+  }
   std::printf(
-      "{\"renderer\": \"cpu-bruteforce\", \"width\": %d, \"height\": %d, "
+      "{\"renderer\": \"%s\", \"prims\": %zu, \"width\": %d, \"height\": %d, "
       "\"spp\": %d, \"depth\": %d, \"threads\": %d, \"seconds\": %.3f, "
       "\"segments\": %llu, \"mrays_per_s\": %.3f}\n",
-      W, H, spp, depth, threads, dt, (unsigned long long)segs, segs / dt / 1e6);
+      mode, n_prims, W, H, spp, depth, threads, dt, (unsigned long long)segs,
+      segs / dt / 1e6);
   return 0;
 }

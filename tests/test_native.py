@@ -116,3 +116,97 @@ def test_obj_python_tolerates_malformed_tokens(tmp_path):
     v, t = load_obj_python(p)
     assert v.shape == (3, 3)  # the malformed vertex was skipped
     np.testing.assert_array_equal(t, [[0, 1, 2]])  # '3a' -> 3
+
+
+def _cpu_bench_bin():
+    import pathlib
+
+    p = pathlib.Path(__file__).resolve().parents[1] / "native" / "mrt_cpu_bench"
+    return p if p.exists() else None
+
+
+def test_meshdump_roundtrip_and_cpu_bvh_render(tmp_path):
+    """meshdump → native CPU-BVH mesh renderer → image statistically
+    matching the jnp oracle on the identical scene bytes (the BASELINE
+    config-5 comparison is only honest if both sides render the same
+    world the same way)."""
+    import json
+    import subprocess
+
+    from myraytracer_tpu.core import rng as crng
+    from myraytracer_tpu.native.meshdump import dump_world
+    from myraytracer_tpu.output.image import read_ppm, to_u8
+    from myraytracer_tpu.render.integrator import make_renderer
+    from myraytracer_tpu.scene.compile import compile_scene
+    from myraytracer_tpu.scene.presets import mesh_scene
+
+    exe = _cpu_bench_bin()
+    if exe is None:
+        pytest.skip("native/mrt_cpu_bench not built (make -C native cpu)")
+
+    world = mesh_scene(subdivisions=1)
+    dump = tmp_path / "scene.bin"
+    n = dump_world(world, dump)
+    assert n == world.triangle_count
+
+    w, h, spp, depth = 80, 45, 8, 8
+    ppm = tmp_path / "cpu.ppm"
+    out = subprocess.run(
+        [str(exe), "--mesh", str(dump), str(w), str(h), str(spp), str(depth),
+         "1", "--ppm", str(ppm)],
+        capture_output=True, text=True, check=True, timeout=120,
+    )
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["renderer"] == "cpu-bvh-mesh"
+    assert stats["prims"] == n
+    assert stats["segments"] > w * h * spp  # at least one bounce per ray
+
+    scene = compile_scene(world, spatial_sort=True)
+    render = make_renderer(world.camera, w, h, spp, depth, sample_batch=spp)
+    img, segs = render(scene, crng.key_from_seed(0), 0)
+    ours = to_u8(np.asarray(img), 2.0).astype(np.float64)
+    cpu = read_ppm(ppm).astype(np.float64)
+    # Same geometry, same estimator, different RNG streams: means agree
+    # within sampling noise, and so do mean bounce counts.
+    assert abs(ours.mean() - cpu.mean()) < 3.0, (ours.mean(), cpu.mean())
+    tpu_bounces = float(segs) / (w * h * spp)
+    cpu_bounces = stats["segments"] / (w * h * spp)
+    assert abs(tpu_bounces - cpu_bounces) < 0.15, (tpu_bounces, cpu_bounces)
+
+
+def test_meshdump_rejects_non_mesh_worlds(tmp_path):
+    from myraytracer_tpu.native.meshdump import dump_world
+    from myraytracer_tpu.scene.presets import final_scene, mesh_scene
+    from myraytracer_tpu.scene.api import Camera, World
+
+    with pytest.raises(ValueError, match="spheres"):
+        dump_world(final_scene(), tmp_path / "x.bin")
+    with pytest.raises(ValueError, match="no meshes"):
+        dump_world(World(spheres=[]), tmp_path / "x.bin")
+    w = mesh_scene(1)
+    with pytest.raises(ValueError, match="camera"):
+        dump_world(
+            World(spheres=[], meshes=w.meshes, camera=Camera.reference()),
+            tmp_path / "x.bin",
+        )
+
+
+def test_cpu_bench_sphere_bvh_matches_bruteforce(tmp_path):
+    """`--bvh` must change throughput, not the image: identical RNG
+    stream + identical closest hits → identical segment counts."""
+    import json
+    import subprocess
+
+    exe = _cpu_bench_bin()
+    if exe is None:
+        pytest.skip("native/mrt_cpu_bench not built (make -C native cpu)")
+
+    runs = {}
+    for flag in ([], ["--bvh"]):
+        out = subprocess.run(
+            [str(exe), "64", "36", "2", "8", "1", *flag],
+            capture_output=True, text=True, check=True, timeout=120,
+        )
+        stats = json.loads(out.stdout.strip().splitlines()[-1])
+        runs[stats["renderer"]] = stats
+    assert runs["cpu-bruteforce"]["segments"] == runs["cpu-bvh"]["segments"]
