@@ -1,0 +1,68 @@
+"""Subprocess worker for the two-process multihost integration test.
+
+Each worker is a separate OS process with its own JAX runtime: it joins
+the coordination service (``jax.distributed.initialize``), sees the
+*global* device set (2 local CPU devices x 2 processes = 4), renders the
+tile-sharded frame SPMD, and assembles the full image with the allgather
+fetch path (``parallel/sharding.fetch_array``). Process 0 writes the
+result for the test to compare against the single-process render.
+
+Usage: python multihost_worker.py COORD NPROCS PID OUT.npy
+"""
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
+def main() -> int:
+    coord, nprocs, pid, out = sys.argv[1:5]
+
+    import jax
+
+    # Force CPU before any backend use (this environment presets
+    # JAX_PLATFORMS=axon and the plugin wins over env overrides).
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    try:
+        # Cross-process CPU collectives (the allgather fetch needs them).
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass  # older/newer jaxlib: default implementation
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=int(nprocs),
+        process_id=int(pid),
+    )
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from myraytracer_tpu.core import rng as crng
+    from myraytracer_tpu.parallel.sharding import (
+        fetch_array,
+        make_tile_sharded_renderer,
+    )
+    from myraytracer_tpu.scene import presets
+    from myraytracer_tpu.scene.compile import compile_scene
+
+    assert len(jax.devices()) == 2 * int(nprocs), jax.devices()
+
+    world = presets.three_sphere_scene()
+    scene = compile_scene(world)
+    render = make_tile_sharded_renderer(
+        world.camera, 16, 8, 2, 4, sample_batch=2
+    )
+    img, segs = render(scene, crng.key_from_seed(0), jnp.uint32(0))
+    full = fetch_array(img)  # allgather across processes
+    assert full.shape == (8, 16, 3), full.shape
+    assert float(segs) > 0.0
+    if int(pid) == 0:
+        np.save(out, full)
+    jax.distributed.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
