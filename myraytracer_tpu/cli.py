@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
         "emissive scenes; extension)",
     )
     p.add_argument(
+        "--rr", type=int, default=0, metavar="N",
+        help="Russian-roulette termination from bounce N on (survival "
+        "p = clamp(max throughput, 0.05, 0.95), 1/p compensation; unbiased; "
+        "cuts the deep glass-chain tail — extension)",
+    )
+    p.add_argument(
         "--qmc", action="store_true",
         help="low-discrepancy camera sampling: scrambled-Sobol sub-pixel "
         "jitter + lens draws (faster convergence per sample; deterministic "
@@ -257,6 +263,7 @@ def main(argv=None) -> int:
             max_frames=max(0, args.frames),
             nee=args.nee,
             qmc=args.qmc,
+            rr=max(0, args.rr),
         )
         base.update(over)
         return RenderConfig(**base)

@@ -53,6 +53,14 @@ class RenderConfig:
     # a different sample stream than the default estimator (so it is part
     # of checkpoint provenance). No-op on scenes without DiffuseLight.
     nee: bool = False
+    # Russian-roulette path termination (extension): 0 = off; N > 0 kills
+    # paths probabilistically before tracing bounce N and beyond, with
+    # survival p = clamp(max(throughput), 0.05, 0.95) and 1/p compensation —
+    # unbiased, and it cuts the long-tail glass chains that otherwise run
+    # to full ray_depth and gate the kernel's tile tails. A different
+    # sample estimator (checkpoint provenance, like nee/qmc); the decision
+    # stream rides a derived key so the main draws are unchanged.
+    rr: int = 0
     # Low-discrepancy camera sampling: the sub-pixel jitter and lens-disk
     # dimension pairs come from a per-pixel Owen-scrambled Sobol (0,2)
     # sequence instead of threefry (core/rng.py) — better convergence per

@@ -91,6 +91,13 @@ def fold_key(key, data: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return threefry2x32(key, (jnp.uint32(data), jnp.uint32(0x9E3779B9)))
 
 
+# Fold constant for the Russian-roulette decision stream: RR draws ride a
+# DERIVED key over the same (lane, draw) counters, so they are independent
+# of every main-stream draw without consuming a slot — enabling RR shifts
+# nothing in the existing stream (slots 0-3 are all occupied under NEE).
+RR_KEY_FOLD = 0x52524F55  # "RROU"
+
+
 def _to_unit_f32(bits: jnp.ndarray) -> jnp.ndarray:
     """uint32 → float32 uniform in [0, 1).
 

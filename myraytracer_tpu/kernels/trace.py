@@ -556,6 +556,7 @@ def _trace_kernel(
     nee_lights=None,
     adaptive: bool = False,
     qmc: bool = False,
+    rr: int = 0,
 ):
     if adaptive:
         # Adaptive mode (make_adaptive_renderer): two extra scalar-prefetch
@@ -614,6 +615,10 @@ def _trace_kernel(
     ray_gen = ray_gen_factory(camf_ref)
 
     key = (meta_ref[0], meta_ref[1])
+    # Russian-roulette decisions ride a derived key over the bounce draw
+    # id (crng.RR_KEY_FOLD): independent of every main-stream draw, no
+    # slot consumed, hoisted out of the while body (scalar threefry once).
+    rr_key = crng.fold_key(key, crng.RR_KEY_FOLD) if rr else None
     # Adaptive rounds give every tile its own sample cursor (a pixel's
     # n-th sample is the same draw no matter when its block is scheduled).
     sample_start = samp0_ref[tile] if adaptive else meta_ref[2]
@@ -1617,6 +1622,19 @@ def _trace_kernel(
         # Depth exhaustion → black contribution (shader.wgsl:357).
         b = jnp.where(alive, b + 1, b)
         alive = alive & (b < depth)
+        if rr:
+            # Russian roulette before tracing bounce b (>= rr): kill with
+            # probability 1-p, divide survivors' throughput by p — same
+            # expressions as the oracle (value-identical paths). Killed
+            # lanes fall straight into the regeneration below.
+            do_rr = alive & (b >= jnp.int32(rr))
+            u_rr, _ = crng.uniform2(rr_key, lane_id, draw)
+            p_rr = jnp.clip(
+                jnp.maximum(atten.x, jnp.maximum(atten.y, atten.z)),
+                0.05, 0.95,
+            )
+            alive = alive & ~(do_rr & (u_rr >= p_rr))
+            atten = V3.where(do_rr & alive, atten * (1.0 / p_rr), atten)
 
         # --- path regeneration: dead lanes start their next sample --------
         # (Immediate regeneration; holding dead lanes for phase-aligned
@@ -1813,6 +1831,7 @@ def make_block_renderer(
     nee_lights=None,
     texture_set=None,
     qmc: bool = False,
+    rr: int = 0,
 ):
     """Pallas implementation of the block-renderer protocol.
 
@@ -1894,6 +1913,7 @@ def make_block_renderer(
         lens_draws=not cam.reference_mode,
         nee_lights=nee_lights,
         qmc=qmc,
+        rr=int(rr),
     )
 
     def block(scene: CompiledScene, key, row0, sample_start, n_valid):
@@ -1993,6 +2013,7 @@ def make_adaptive_renderer(
     nee_lights=None,
     texture_set=None,
     qmc: bool = False,
+    rr: int = 0,
 ):
     """Adaptive-sampling block renderer (render/adaptive.py's device path).
 
@@ -2062,6 +2083,7 @@ def make_adaptive_renderer(
         nee_lights=nee_lights,
         adaptive=True,
         qmc=qmc,
+        rr=int(rr),
     )
 
     def render(scene: CompiledScene, key, block_ids, samp0):
@@ -2135,6 +2157,7 @@ def make_renderer(
     nee_lights=None,
     texture_set=None,
     qmc: bool = False,
+    rr: int = 0,
 ):
     """Jitted single-device frame renderer on the Pallas megakernel.
 
@@ -2149,7 +2172,7 @@ def make_renderer(
         t_min=t_min, t_max=t_max, tile_rows=tile_rows, interpret=interpret,
         material_set=material_set, rng_mode=rng_mode, static_ior=static_ior,
         config=config, frames=frames, sky=sky, nee_lights=nee_lights,
-        texture_set=texture_set, qmc=qmc,
+        texture_set=texture_set, qmc=qmc, rr=rr,
     )
 
     @jax.jit

@@ -178,6 +178,7 @@ def make_tile_sharded_renderer(
     frames: int = 1,
     texture_set=None,
     qmc: bool = False,
+    rr: int = 0,
 ):
     """Shard image rows across the mesh; each chip renders its rows locally.
 
@@ -209,7 +210,8 @@ def make_tile_sharded_renderer(
         cam, width, height, rows_per, spp, ray_depth,
         t_min=t_min, t_max=t_max, sample_batch=sample_batch,
         material_set=material_set, static_ior=static_ior, sky=sky,
-        nee_lights=nee_lights, texture_set=texture_set, qmc=qmc, **extra,
+        nee_lights=nee_lights, texture_set=texture_set, qmc=qmc, rr=rr,
+        **extra,
     )
     if frames > 1 and not native_frames:
         single = block
@@ -281,6 +283,7 @@ def make_sample_sharded_renderer(
     frames: int = 1,
     texture_set=None,
     qmc: bool = False,
+    rr: int = 0,
 ):
     """Each chip renders the full frame for a disjoint sample window; the
     partial sums reduce over ICI with psum."""
@@ -300,7 +303,7 @@ def make_sample_sharded_renderer(
         cam, width, height, height, per_dev, ray_depth,
         t_min=t_min, t_max=t_max, sample_batch=sample_batch,
         material_set=material_set, static_ior=static_ior, sky=sky,
-        nee_lights=nee_lights, texture_set=texture_set, qmc=qmc,
+        nee_lights=nee_lights, texture_set=texture_set, qmc=qmc, rr=rr,
     )
 
     def local(scene, key, sample_base):
@@ -346,6 +349,7 @@ def make_hybrid_sharded_renderer(
     frames: int = 1,
     texture_set=None,
     qmc: bool = False,
+    rr: int = 0,
 ):
     """2-D mesh: image rows sharded over "tiles", samples over "samples".
 
@@ -373,7 +377,7 @@ def make_hybrid_sharded_renderer(
         cam, width, height, rows_per, per_dev, ray_depth,
         t_min=t_min, t_max=t_max, sample_batch=sample_batch,
         material_set=material_set, static_ior=static_ior, sky=sky,
-        nee_lights=nee_lights, texture_set=texture_set, qmc=qmc,
+        nee_lights=nee_lights, texture_set=texture_set, qmc=qmc, rr=rr,
     )
 
     def local(scene, key, sample_base):

@@ -82,6 +82,7 @@ def make_adaptive_oracle(
     static_ior=None,
     texture_set=None,
     qmc: bool = False,
+    rr: int = 0,
 ):
     """Pure-jnp adaptive block renderer (oracle; CPU path).
 
@@ -136,7 +137,7 @@ def make_adaptive_oracle(
                 scene, ray_gen, ixc, iyc, lane_id, sample_id, key,
                 ray_depth, t_min, t_max, sky=sky,
                 lens_draws=not cam.reference_mode, nee_lights=nee_lights,
-                qmc=qmc,
+                qmc=qmc, rr=rr,
             )
             w = in_image.astype(jnp.float32)
             return (
@@ -286,6 +287,7 @@ class AdaptiveSession:
             sky=world.ambient,
             nee_lights=_extract_lights(world) if config.nee else None,
             qmc=config.qmc,
+            rr=config.rr,
             texture_set=world.texture_set or None,
         )
         if renderer_factory is not None:

@@ -56,6 +56,7 @@ def trace(
     t_max: float,
     sky=None,
     nee_lights=None,
+    rr: int = 0,
 ) -> Tuple[V3, jnp.ndarray]:
     """Trace normalized rays to completion.
 
@@ -64,12 +65,18 @@ def trace(
     ``sky`` is an optional constant background color (``World.ambient``):
     ``None`` keeps the reference gradient (shader.wgsl:331-334).
     ``nee_lights`` (a static tuple from render.lights.extract_lights)
-    enables next-event estimation: one shadow ray per diffuse bounce, with
-    emission pickup suppressed after diffuse scatters (render/lights.py).
+    enables next-event estimation with MIS (render/lights.py).
+    ``rr > 0`` enables Russian-roulette termination before tracing bounce
+    ``rr`` and later: survival probability ``clamp(max(throughput),
+    0.05, 0.95)``, survivors compensated by ``1/p`` (unbiased). The decision
+    uniform rides a derived key (``crng.RR_KEY_FOLD``) over the bounce's
+    draw id, so enabling RR shifts nothing in the main stream.
     """
     nee = bool(nee_lights)
+    rr = int(rr)
     if depth > crng.MAX_DEPTH:
         raise ValueError(f"ray_depth {depth} exceeds MAX_DEPTH {crng.MAX_DEPTH}")
+    rr_key = crng.fold_key(key, crng.RR_KEY_FOLD) if rr else None
     shape = o.x.shape
     draw_base = (
         sample_id * jnp.uint32(crng.DRAWS_PER_SAMPLE) + jnp.uint32(crng.CAMERA_DRAWS)
@@ -172,6 +179,17 @@ def trace(
                 jnp.maximum(d.dot(hit.normal), 0.0),
                 jnp.float32(0.0),
             )
+        if rr:
+            # Russian roulette before tracing bounce i+1 (>= rr): kill
+            # with probability 1-p, divide survivors' throughput by p.
+            do_rr = alive & (i + 1 >= jnp.int32(rr))
+            u, _ = crng.uniform2(rr_key, lane_id, draw)
+            p = jnp.clip(
+                jnp.maximum(atten.x, jnp.maximum(atten.y, atten.z)),
+                0.05, 0.95,
+            )
+            alive = alive & ~(do_rr & (u >= p))
+            atten = V3.where(do_rr & alive, atten * (1.0 / p), atten)
         return (i + 1, o, d, atten, rad, alive, segs, prev_cos)
 
     init = (
@@ -203,6 +221,7 @@ def render_sample_batch(
     lens_draws: bool = True,
     nee_lights=None,
     qmc: bool = False,
+    rr: int = 0,
 ) -> Tuple[V3, jnp.ndarray]:
     """Camera-generate and trace one batch of (pixel, sample) lanes."""
     # Camera draw slots: 0 = sub-pixel jitter, 1 = lens disk. Draws are
@@ -226,7 +245,7 @@ def render_sample_batch(
     o, d = ray_gen(ix, iy, u1, u2, l1, l2)
     return trace(
         o, d, lane_id, sample_id, key, scene, depth, t_min, t_max, sky=sky,
-        nee_lights=nee_lights,
+        nee_lights=nee_lights, rr=rr,
     )
 
 
@@ -246,6 +265,7 @@ def make_block_renderer(
     nee_lights=None,
     texture_set=None,
     qmc: bool = False,
+    rr: int = 0,
 ):
     """Build the composable rendering primitive.
 
@@ -304,7 +324,7 @@ def make_block_renderer(
                 scene, ray_gen, ix_b, iy_b, lane_b, sample_id,
                 key, ray_depth, t_min, t_max, sky=sky,
                 lens_draws=not cam.reference_mode,
-                nee_lights=nee_lights, qmc=qmc,
+                nee_lights=nee_lights, qmc=qmc, rr=rr,
             )
             w = in_range.astype(jnp.float32)
             acc = acc + V3(
@@ -348,6 +368,7 @@ def make_renderer(
     nee_lights=None,
     texture_set=None,
     qmc: bool = False,
+    rr: int = 0,
 ):
     """Build a jitted single-device frame renderer.
 
@@ -370,7 +391,7 @@ def make_renderer(
         cam, width, height, height, spp, ray_depth,
         t_min=t_min, t_max=t_max, sample_batch=sample_batch,
         material_set=material_set, static_ior=static_ior, sky=sky,
-        nee_lights=nee_lights, texture_set=texture_set, qmc=qmc,
+        nee_lights=nee_lights, texture_set=texture_set, qmc=qmc, rr=rr,
     )
 
     if frames > 1:

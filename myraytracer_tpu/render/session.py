@@ -160,6 +160,7 @@ class RenderSession:
                 if config.nee else {}
             ),
             **({"qmc": True} if config.qmc else {}),
+            **({"rr": config.rr} if config.rr else {}),
         )
         self._render = factory(
             world.camera,
@@ -368,6 +369,7 @@ class RenderSession:
             # same draws, different weights, different image.
             "nee_estimator": "mis" if self.config.nee else None,
             "qmc": self.config.qmc,
+            "rr": self.config.rr,
             # Exact-continuation provenance: the scene content, the compute
             # path that produced the stream, and the sharding mode.
             "scene": self.scene_fingerprint,
@@ -417,6 +419,11 @@ class RenderSession:
                 f"checkpoint nee_estimator={meta.get('nee_estimator')!r} != "
                 f"session 'mis': the MIS-weighted NEE image differs from "
                 f"the pre-MIS stream (render/lights.py)"
+            )
+        if int(meta.get("rr", 0)) != self.config.rr:
+            raise ValueError(
+                f"checkpoint rr={meta.get('rr', 0)} != session "
+                f"{self.config.rr}: different termination streams"
             )
         # Stream provenance added after v-1 checkpoints existed: absent
         # means the default estimator (False), not "unknown".

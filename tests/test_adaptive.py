@@ -11,6 +11,8 @@ Contracts under test:
   mixed-variance scene (deterministic: fixed seeds on CPU).
 """
 
+import pytest
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -50,6 +52,7 @@ def _renderers(world, w, h, n_sel, spp, depth):
     return scene, kern, oracle
 
 
+@pytest.mark.slow
 def test_kernel_matches_oracle_with_cursors_and_sentinel():
     w, h, spp, depth = 100, 24, 2, 4  # 2x2 block grid, ragged edges
     world = presets.three_sphere_scene()
@@ -70,6 +73,7 @@ def test_kernel_matches_oracle_with_cursors_and_sentinel():
     assert np.all(np.asarray(got)[2] == 0.0)
 
 
+@pytest.mark.slow
 def test_adaptive_block_equals_uniform_render_of_same_window():
     """Scheduling independence: block sums at cursor s0 equal the uniform
     full-frame renderer's sample window [s0, s0+spp) on those pixels."""
@@ -100,6 +104,7 @@ def test_adaptive_block_equals_uniform_render_of_same_window():
     )
 
 
+@pytest.mark.slow
 def test_session_reallocates_and_beats_uniform_error():
     # Top blocks are pure sky (near-zero variance); bottom blocks hold
     # fuzzy metal + glass. 128x64 => 2x2 blocks of 64x32 (default tiles).
@@ -135,6 +140,7 @@ def test_session_reallocates_and_beats_uniform_error():
     assert rmse_a < rmse_u, (rmse_a, rmse_u, spent)
 
 
+@pytest.mark.slow
 def test_session_pallas_interpret_matches_oracle_session():
     """The same adaptive schedule on both backends produces the same
     framebuffer (within the documented cross-compiler envelope)."""

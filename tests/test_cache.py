@@ -98,6 +98,7 @@ def test_export_cache_corrupt_blob_reexports(cache_dir):
     assert float(r(jnp.float32(4.0))) == 5.0
 
 
+@pytest.mark.slow
 def test_checkpoint_exec_provenance(tmp_path):
     """A checkpoint produced through the export path must refuse to resume
     on plain jit (and vice versa): the compiled modules agree only

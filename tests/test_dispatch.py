@@ -66,6 +66,7 @@ def test_profiling_utils(tmp_path):
         enable_debug_nans(False)
 
 
+@pytest.mark.slow
 def test_explicit_pallas_off_tpu_uses_interpret():
     """--backend pallas on a non-TPU platform runs the kernel in
     interpret mode instead of failing at Mosaic compile."""

@@ -1,5 +1,7 @@
 """Driver entry points compile and run (single-chip + virtual multi-chip)."""
 
+import pytest
+
 import sys
 import pathlib
 
@@ -20,5 +22,6 @@ def test_entry_compiles_and_runs():
     assert float(segs) > 0
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     graft.dryrun_multichip(8)

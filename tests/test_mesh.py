@@ -1,5 +1,7 @@
 """Triangle meshes: Möller-Trumbore hit, compile, end-to-end render."""
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,6 +27,7 @@ def tri_world(*meshes, spheres=()):
     return api.World(spheres, camera=api.Camera.reference(), meshes=meshes)
 
 
+@pytest.mark.slow
 def test_single_triangle_hit():
     m = Mesh([(0, 0, -2), (1, 0, -2), (0, 1, -2)], [(0, 1, 2)], LAMB)
     s = compile_scene(tri_world(m))
@@ -102,6 +105,7 @@ def test_mesh_scene_renders():
     assert float(segs) > 16 * 8 * 2  # some rays bounced
 
 
+@pytest.mark.slow
 def test_bvh_traversal_matches_brute_force():
     """Skip-link BVH traversal returns the same hits as the linear scan."""
     from myraytracer_tpu.scene.compile import compile_scene as cs
@@ -145,6 +149,7 @@ def test_bvh_scene_renders():
     assert float(segs) > 0
 
 
+@pytest.mark.slow
 def test_mesh_sphere_equivalence():
     """A fine icosphere mesh converges to the analytic sphere silhouette."""
     from myraytracer_tpu.render.hit import closest_hit as ch

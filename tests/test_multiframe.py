@@ -3,6 +3,8 @@ K separate frames (kernels/trace.py multi-frame buckets; the small-spp
 throughput fix — lanes regenerate across frame boundaries so the whole
 K*spp window shares one regeneration tail)."""
 
+import pytest
+
 import numpy as np
 
 from myraytracer_tpu.config import RenderConfig
@@ -17,6 +19,7 @@ W, H, SPP, DEPTH, K = 16, 8, 2, 4, 3
 KEY = crng.key_from_seed(0)
 
 
+@pytest.mark.slow
 def test_pallas_multiframe_bitwise_vs_single_calls():
     world = presets.three_sphere_scene()
     scene = compile_scene(world)
@@ -77,6 +80,7 @@ def test_session_frame_batch_bitwise():
         assert a.segments_traced == b.segments_traced
 
 
+@pytest.mark.slow
 def test_session_frame_batch_pallas_interpret():
     """The batched Pallas kernel drives a session identically too."""
     import functools
@@ -128,6 +132,7 @@ def test_frame_batch_rejects_sample_sharding():
         RenderSession(presets.reference_scene(), cfg)
 
 
+@pytest.mark.slow
 def test_pallas_multiframe_emissive_bitwise():
     """Frame batching over an emissive scene (per-frame radiance buckets
     must include the emission adds)."""

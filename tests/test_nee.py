@@ -24,6 +24,7 @@ def test_extract_lights_spheres_and_triangles():
 
 
 @pytest.mark.parametrize("scene_name,depth", [("light", 8), ("cornell", 6)])
+@pytest.mark.slow
 def test_nee_matches_brute_force_statistically(scene_name, depth):
     """Same scene, two estimators: means agree within sampling noise
     (measured: residual |diff| matches the brute estimator's own
@@ -87,6 +88,7 @@ def test_nee_session_and_checkpoint_provenance(tmp_path):
         other.load_checkpoint(path)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("scene_name", ["light", "cornell"])
 def test_nee_kernel_oracle_parity(scene_name):
     """The Pallas kernel's NEE (shadow sweep with per-lane t-limits)
@@ -126,6 +128,7 @@ def test_nee_noop_without_lights():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_nee_frame_batching_matches_single_calls():
     """NEE composes with multi-frame kernel calls: the prev-diffuse carry
     resets at regeneration. Tolerance is the cross-program FMA-contraction
@@ -153,6 +156,7 @@ def test_nee_frame_batching_matches_single_calls():
     assert float(segs_m) == segs_total
 
 
+@pytest.mark.slow
 def test_nee_tile_sharded_bitwise():
     from myraytracer_tpu.parallel.sharding import make_tile_sharded_renderer
 

@@ -46,6 +46,7 @@ def test_defocus_scene_parity():
     np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_final_scene_culled_parity():
     """>64 spheres engages the chunk-AABB culled sweep; culling is
     conservative so results match the oracle exactly (same stream)."""
@@ -62,6 +63,7 @@ def test_final_scene_culled_parity():
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_mesh_scene_parity():
     """Triangle sweep in the megakernel matches the oracle (same stream)."""
     from myraytracer_tpu.scene.api import Lambertian, Mesh, Metal, Sphere, World
@@ -82,6 +84,7 @@ def test_mesh_scene_parity():
     assert sa == sb
 
 
+@pytest.mark.slow
 def test_mesh_culled_parity():
     """>64 triangles engages the chunked/gated triangle sweep."""
     world = presets.mesh_scene(subdivisions=1)  # ~190 triangles
@@ -91,6 +94,7 @@ def test_mesh_culled_parity():
     assert sa == sb
 
 
+@pytest.mark.slow
 def test_superchunk_gating_bitwise():
     """Two-level (superchunk) gating is conservative — bitwise-identical
     to single-level chunk gating, for spheres and triangles."""
@@ -117,6 +121,7 @@ def test_superchunk_gating_bitwise():
         assert sup_segs == base_segs
 
 
+@pytest.mark.slow
 def test_sweep_width_and_fori_bitwise():
     """Tree-combine sweeps (SWEEP_WIDTH) are exact at every width, on the
     unrolled, gated-unrolled, and grouped-fori (>UNROLL_TOTAL_MAX
@@ -149,6 +154,7 @@ def test_sweep_width_and_fori_bitwise():
     assert results[1][1] == results[4][1]
 
 
+@pytest.mark.slow
 def test_packed_runtime_camera():
     """The packed camera operand (scene.cam) reproduces the closure
     camera and lets one compiled renderer serve new cameras."""
@@ -243,6 +249,7 @@ def test_smem_budget_cap():
         dispatch.resolve_backend = orig
 
 
+@pytest.mark.slow
 def test_sph_vmem_bitwise():
     """The VMEM sphere table is exact: bitwise vs the SMEM table on the
     final scene (leaders + culled chunks + merged record)."""
@@ -265,6 +272,7 @@ def test_sph_vmem_bitwise():
     assert segs == base_segs
 
 
+@pytest.mark.slow
 def test_tri_vmem_and_dynamic_gates_bitwise():
     """The VMEM triangle table and the dynamic (fori) chunk gates are
     exact: bitwise vs the default SMEM/unrolled configuration."""
@@ -294,6 +302,7 @@ def test_tri_vmem_and_dynamic_gates_bitwise():
         assert segs == base_segs, config
 
 
+@pytest.mark.slow
 def test_sphere_dynamic_gates_bitwise():
     """Dynamic sphere chunk gates (fori past CHUNK_UNROLL_MAX) are exact
     on the final scene, including dynamic two-level gating."""
@@ -320,6 +329,7 @@ def test_sphere_dynamic_gates_bitwise():
         assert segs == base_segs, config
 
 
+@pytest.mark.slow
 def test_sample_window_masking():
     """n_valid masking: spp=3 renderer over a 2-sample window."""
     world = presets.reference_scene()
@@ -371,6 +381,7 @@ def test_light_scene_parity():
     assert sa == sb
 
 
+@pytest.mark.slow
 def test_cornell_scene_parity():
     """Triangle-quad walls + an emissive quad light: the emission path
     through the triangle winner record (rows 9-12)."""
@@ -403,6 +414,7 @@ def test_four_material_family_parity():
     assert sa == sb
 
 
+@pytest.mark.slow
 def test_constant_sky_parity():
     """World.ambient with a non-black constant replaces the sky gradient
     in both paths identically (no emissive materials involved)."""
@@ -442,6 +454,7 @@ def test_zero_red_emission_sign_packing():
     assert sa == sb
 
 
+@pytest.mark.slow
 def test_no_metal_light_decode_parity():
     """Material set (1,3,4) — no Metal: the fuzz row is still carried
     because its SIGN holds the type index's high bit. Regression for the

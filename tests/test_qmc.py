@@ -111,6 +111,7 @@ def _render_pair(world, **kw):
     return np.asarray(a), np.asarray(b), float(sa), float(sb)
 
 
+@pytest.mark.slow
 def test_oracle_kernel_parity_qmc():
     """The kernel consumes the same scrambled-Sobol stream as the oracle
     (defocus scene: both the jitter and the lens pairs are live)."""

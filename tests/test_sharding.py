@@ -178,6 +178,7 @@ def test_tile_sharded_frames_jnp_bitwise(scene):
         )
 
 
+@pytest.mark.slow
 def test_tile_sharded_frames_pallas_bitwise(scene):
     cam = presets.reference_scene().camera
     multi = make_tile_sharded_renderer(

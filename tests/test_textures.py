@@ -193,6 +193,7 @@ def test_textured_mesh_renders():
     assert np.isfinite(img).all() and img.std() > 0.02
 
 
+@pytest.mark.slow
 def test_kernel_texture_parity():
     """Pallas megakernel (interpret mode) matches the oracle on textured
     scenes — shared texture evaluation + exact record packing."""
@@ -235,6 +236,7 @@ def test_kernel_texture_parity_single_family():
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_kernel_textured_mesh_parity():
     from myraytracer_tpu.kernels.trace import make_renderer as make_pallas
 
@@ -274,6 +276,7 @@ def test_kernel_texture_set_mismatch_raises():
         pr(scene, crng.key_from_seed(0), 0)
 
 
+@pytest.mark.slow
 def test_textured_render_shows_pattern():
     # The checkered ground must produce a bimodal brightness distribution
     # in the lower image half (both cell colors visible).
@@ -318,6 +321,7 @@ def test_textured_render_shows_pattern():
     np.testing.assert_array_equal(i1, i2)
 
 
+@pytest.mark.slow
 def test_textured_session_pallas_matches_jnp():
     """End-to-end dispatch: a textured world on backend='pallas'
     (interpret mode off-TPU) blends the same frames as the jnp oracle —
@@ -338,6 +342,7 @@ def test_textured_session_pallas_matches_jnp():
     np.testing.assert_allclose(fb, fa, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_textured_sharded_parity():
     """Tile-sharded textured render is bitwise the unsharded one (the
     texture rows reach each device's block via the replicated scene)."""
