@@ -81,7 +81,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="render an OBJ mesh (overrides --scene; native C++ loader)",
     )
     p.add_argument("--out", default="out.png", help=".png or .ppm output path")
-    p.add_argument("--gamma", type=float, default=2.0)
+    from myraytracer_tpu.output.image import parse_gamma
+
+    p.add_argument(
+        "--gamma", type=parse_gamma, default=2.0, metavar="G|srgb",
+        help="output transfer: float exponent (2.0 = RTiOW sqrt) or "
+        "'srgb' (the piecewise sRGB EOTF — pixel-exact with the live "
+        "reference, which presents through an sRGB surface, "
+        "lib.rs:1105-1107)",
+    )
     p.add_argument(
         "--backend", choices=["auto", "jnp", "pallas"], default="auto",
         help="integrator backend: pure-jnp oracle or fused Pallas kernel; "

@@ -15,7 +15,7 @@ a TPU host).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Tuple, Union
 
 DEFAULT_WIDTH = 640
 DEFAULT_HEIGHT = 360
@@ -33,7 +33,10 @@ class RenderConfig:
     seed: int = 0
     t_min: float = 1e-3  # shader.wgsl:340
     t_max: float = 1e4  # shader.wgsl:340
-    gamma: float = 2.0  # RTiOW gamma; the reference delegates to the sRGB surface
+    # Output transfer: a float exponent (2.0 = RTiOW's sqrt) or "srgb"
+    # (piecewise EOTF — what the reference's sRGB surface format applies,
+    # lib.rs:1105-1107). Display-only: never part of the sample stream.
+    gamma: Union[float, str] = 2.0
     sample_batch: int = 0  # samples traced per vectorized pass; 0 = auto
     backend: str = "auto"  # "jnp" | "pallas" | "auto"
     shard: str = "none"  # "none" | "tiles" | "samples"

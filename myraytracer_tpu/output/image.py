@@ -20,9 +20,21 @@ import zlib
 import numpy as np
 
 
-def gamma_encode(img: np.ndarray, gamma: float = 2.0) -> np.ndarray:
-    """Clamp to [0,1] and apply 1/gamma encode (gamma 2 ⇒ sqrt, RTiOW)."""
+def gamma_encode(img: np.ndarray, gamma=2.0) -> np.ndarray:
+    """Clamp to [0,1] and apply the transfer function.
+
+    ``gamma`` is a float exponent (2.0 ⇒ sqrt, RTiOW's convention) or the
+    string ``"srgb"`` for the piecewise sRGB EOTF — the transfer the
+    reference effectively uses by presenting through an sRGB surface
+    format (``lib.rs:1105-1107``), so ``--gamma srgb`` output compares
+    pixel-exactly with the live reference window.
+    """
     img = np.clip(np.asarray(img, np.float32), 0.0, 1.0)
+    if gamma == "srgb":
+        lo = img * np.float32(12.92)
+        hi = np.float32(1.055) * img ** np.float32(1.0 / 2.4) - np.float32(0.055)
+        return np.where(img <= 0.0031308, lo, hi)
+    gamma = float(gamma)
     if gamma == 2.0:
         return np.sqrt(img)
     if gamma == 1.0:
@@ -30,10 +42,23 @@ def gamma_encode(img: np.ndarray, gamma: float = 2.0) -> np.ndarray:
     return img ** np.float32(1.0 / gamma)
 
 
-def to_u8(img: np.ndarray, gamma: float = 2.0) -> np.ndarray:
-    """[H,W,3] float radiance → [H,W,3] u8 with gamma encode."""
+def to_u8(img: np.ndarray, gamma=2.0) -> np.ndarray:
+    """[H,W,3] float radiance → [H,W,3] u8 with gamma/sRGB encode."""
     enc = gamma_encode(img, gamma)
     return (enc * 255.0 + 0.5).astype(np.uint8)
+
+
+def parse_gamma(value):
+    """CLI ``--gamma`` values: a float exponent or the literal 'srgb'."""
+    if isinstance(value, str) and value.strip().lower() == "srgb":
+        return "srgb"
+    try:
+        g = float(value)
+    except (TypeError, ValueError):
+        raise ValueError(f"gamma must be a float or 'srgb', got {value!r}")
+    if g <= 0:
+        raise ValueError(f"gamma must be positive, got {g}")
+    return g
 
 
 def write_ppm(path, u8: np.ndarray) -> None:

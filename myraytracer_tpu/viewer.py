@@ -187,8 +187,8 @@ _PAGE = b"""<!doctype html>
 class LiveViewer:
     """Serve the accumulating framebuffer at ``http://localhost:port/``."""
 
-    def __init__(self, port: int, gamma: float = 2.0):
-        self.gamma = float(gamma)
+    def __init__(self, port: int, gamma=2.0):
+        self.gamma = gamma if gamma == "srgb" else float(gamma)
         self._lock = threading.Lock()
         self._png = encode_png(np.zeros((1, 1, 3), np.uint8))
         self._stats = {"frame": 0, "spp": 0, "width": 0, "height": 0}

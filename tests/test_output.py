@@ -54,3 +54,36 @@ def test_write_image_dispatch(tmp_path):
 
     with pytest.raises(ValueError):
         im.write_image(tmp_path / "a.jpg", img)
+
+
+def test_srgb_transfer_option():
+    """--gamma srgb applies the piecewise sRGB EOTF (the transfer the
+    reference gets from its sRGB surface format, lib.rs:1105-1107), so
+    output compares pixel-exactly with the live reference window."""
+    import numpy as np
+
+    from myraytracer_tpu.output.image import gamma_encode, parse_gamma
+
+    img = np.asarray([[[0.0, 0.002, 0.0031308], [0.5, 1.0, 2.0]]], np.float32)
+    enc = gamma_encode(img, "srgb")
+    np.testing.assert_allclose(enc[0, 0, 0], 0.0)
+    np.testing.assert_allclose(enc[0, 0, 1], 12.92 * 0.002, rtol=1e-6)
+    np.testing.assert_allclose(
+        enc[0, 1, 0], 1.055 * 0.5 ** (1 / 2.4) - 0.055, rtol=1e-6
+    )
+    np.testing.assert_allclose(enc[0, 1, 1], 1.0, rtol=1e-6)
+    np.testing.assert_allclose(enc[0, 1, 2], 1.0, rtol=1e-6)  # clamped
+
+    assert parse_gamma("srgb") == "srgb"
+    assert parse_gamma("2.2") == 2.2
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_gamma("bogus")
+    with pytest.raises(ValueError):
+        parse_gamma("-1")
+
+    from myraytracer_tpu.cli import build_parser
+
+    assert build_parser().parse_args(["--gamma", "srgb"]).gamma == "srgb"
+    assert build_parser().parse_args(["--gamma", "1.8"]).gamma == 1.8
