@@ -173,7 +173,7 @@ def _run_adaptive(args, config, world) -> int:
     )
     round_cost = (
         session.n_sel * session.block_h * session.block_w
-        * config.samples_per_frame
+        * config.samples_per_frame * session.windows
     )
     log.info(
         "adaptive render %dx%d spp/round=%d depth=%d budget=%d frames "
@@ -323,13 +323,14 @@ def main(argv=None) -> int:
     config = make_config()
 
     if args.adaptive is not None:
+        # --frame-batch composes since round 3 (sub-window batching,
+        # render/adaptive.py AdaptiveSession.windows).
         for bad, name in (
             (args.serve is not None, "--serve"),
             (args.shard != "none", "--shard"),
             (args.checkpoint, "--checkpoint"),
             (args.resume, "--resume"),
             (args.multihost is not None, "--multihost"),
-            (args.frame_batch, "--frame-batch"),
             (args.frames == 0, "--frames 0 (needs a bounded budget)"),
         ):
             if bad:

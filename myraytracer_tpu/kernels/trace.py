@@ -2014,6 +2014,7 @@ def make_adaptive_renderer(
     texture_set=None,
     qmc: bool = False,
     rr: int = 0,
+    windows: int = 1,
 ):
     """Adaptive-sampling block renderer (render/adaptive.py's device path).
 
@@ -2031,8 +2032,9 @@ def make_adaptive_renderer(
     """
     nee_lights = tuple(nee_lights) if nee_lights else None
     spp = int(max_samples)
-    if spp < 1:
-        raise ValueError("adaptive rendering requires a positive spp")
+    windows = int(windows)
+    if spp < 1 or windows < 1:
+        raise ValueError("adaptive rendering requires positive spp/windows")
     kc = config or DEFAULT_CONFIG
     BLOCK_W = kc.BLOCK_W
     if static_ior is not None:
@@ -2076,7 +2078,12 @@ def make_adaptive_renderer(
         ray_gen_factory=ray_gen_factory,
         static_ior=static_ior,
         cfg=kc,
-        frames=1,
+        # windows > 1 reuses the multi-frame bucket machinery: one kernel
+        # call renders `windows` consecutive spp-sample sub-windows per
+        # block, sharing ONE regeneration tail (the uniform frame-batching
+        # win applied to adaptive rounds) while the per-window sums keep
+        # the variance statistics at single-window resolution.
+        frames=windows,
         spp=spp,
         sky=sky,
         lens_draws=not cam.reference_mode,
@@ -2097,41 +2104,66 @@ def make_adaptive_renderer(
                 jnp.asarray(key[0], jnp.uint32),
                 jnp.asarray(key[1], jnp.uint32),
                 jnp.uint32(0),  # sample_start comes from samp0 per tile
-                jnp.uint32(spp),
+                jnp.uint32(spp * windows),
             ]
         )
         row0_arr = jnp.zeros((1,), jnp.uint32)
         bid_arr = jnp.asarray(block_ids, jnp.uint32).reshape(n_sel)
         samp0_arr = jnp.asarray(samp0, jnp.uint32).reshape(n_sel)
 
-        out_spec = pl.BlockSpec(
+        seg_spec = pl.BlockSpec(
             (tile_rows, LANES), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
         )
+        if windows > 1:
+            img_spec = pl.BlockSpec(
+                (windows, tile_rows, LANES),
+                lambda t, *_: (0, t, 0),
+                memory_space=pltpu.VMEM,
+            )
+            img_shape = jax.ShapeDtypeStruct(
+                (windows, out_rows, LANES), jnp.float32
+            )
+            scratch = [
+                pltpu.VMEM((windows, tile_rows, LANES), jnp.float32)
+            ] * 3
+        else:
+            img_spec = seg_spec
+            img_shape = jax.ShapeDtypeStruct((out_rows, LANES), jnp.float32)
+            scratch = []
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=11,
             grid=(n_sel,),
             in_specs=extra_specs,
-            out_specs=[out_spec] * 4,
-            scratch_shapes=[],
+            out_specs=[img_spec] * 3 + [seg_spec],
+            scratch_shapes=scratch,
         )
         r, g, b, segs = pl.pallas_call(
             kern,
             grid_spec=grid_spec,
-            out_shape=[
-                jax.ShapeDtypeStruct((out_rows, LANES), jnp.float32)
-            ] * 4,
+            out_shape=[img_shape] * 3
+            + [jax.ShapeDtypeStruct((out_rows, LANES), jnp.float32)],
             interpret=interpret,
         )(*prefetch_ops, meta, row0_arr, bid_arr, samp0_arr, *extra_in)
 
         # Each tile's [tile_rows, 128] lanes are one row-major
-        # block_h x BLOCK_W pixel block; no gather needed.
-        sums = jnp.stack(
-            [
-                a.reshape(n_sel, block_h, BLOCK_W)
-                for a in (r, g, b)
-            ],
-            axis=-1,
-        )
+        # block_h x BLOCK_W pixel block; no gather needed. windows > 1
+        # returns per-sub-window sums, leading axis first.
+        if windows > 1:
+            sums = jnp.stack(
+                [
+                    a.reshape(windows, n_sel, block_h, BLOCK_W)
+                    for a in (r, g, b)
+                ],
+                axis=-1,
+            )
+        else:
+            sums = jnp.stack(
+                [
+                    a.reshape(n_sel, block_h, BLOCK_W)
+                    for a in (r, g, b)
+                ],
+                axis=-1,
+            )
         return sums, jnp.sum(segs)
 
     return render

@@ -83,6 +83,7 @@ def make_adaptive_oracle(
     texture_set=None,
     qmc: bool = False,
     rr: int = 0,
+    windows: int = 1,
 ):
     """Pure-jnp adaptive block renderer (oracle; CPU path).
 
@@ -91,7 +92,10 @@ def make_adaptive_oracle(
     selected block, the SUM of radiance over per-pixel sample indices
     ``[samp0[i], samp0[i] + max_samples)``. ``block_ids`` may contain the
     sentinel ``blocks_x * blocks_y`` (one past the grid) for padding —
-    sentinel lanes trace nothing and contribute zero.
+    sentinel lanes trace nothing and contribute zero. ``windows = F > 1``
+    renders F consecutive max_samples-sample sub-windows per block in one
+    call and returns per-window sums ``[F, n_sel, bh, bw, 3]`` (matching
+    the kernel's frame-bucket composition).
 
     Same RNG contract as the uniform renderers: a pixel's sample stream
     depends only on (key, pixel, sample index), so adaptive scheduling
@@ -106,6 +110,7 @@ def make_adaptive_oracle(
     static_gen = cam_mod.make_ray_generator(cam, width, height)
     lanes = block_h * block_w
     spp = int(max_samples)
+    windows = int(windows)
     nee_lights = tuple(nee_lights) if nee_lights else None
 
     def render(scene, key, block_ids, samp0):
@@ -148,12 +153,25 @@ def make_adaptive_oracle(
             ), None
 
         zero = jnp.zeros((bid.shape[0], lanes), jnp.float32)
-        (ax, ay, az, segs), _ = jax.lax.scan(
-            one_sample, (zero, zero, zero, jnp.float32(0.0)),
-            jnp.arange(spp, dtype=jnp.uint32),
+
+        def one_window(segs_total, wdx):
+            (ax, ay, az, segs_w), _ = jax.lax.scan(
+                one_sample, (zero, zero, zero, jnp.float32(0.0)),
+                wdx * jnp.uint32(spp) + jnp.arange(spp, dtype=jnp.uint32),
+            )
+            sums = jnp.stack([ax, ay, az], axis=-1)
+            return segs_total + segs_w, sums.reshape(
+                bid.shape[0], block_h, block_w, 3
+            )
+
+        if windows == 1:
+            segs, sums = one_window(jnp.float32(0.0), jnp.uint32(0))
+            return sums, segs
+        segs, sums = jax.lax.scan(
+            one_window, jnp.float32(0.0),
+            jnp.arange(windows, dtype=jnp.uint32),
         )
-        sums = jnp.stack([ax, ay, az], axis=-1)
-        return sums.reshape(bid.shape[0], block_h, block_w, 3), segs
+        return sums, segs  # [windows, n_sel, bh, bw, 3]
 
     return render
 
@@ -290,6 +308,15 @@ class AdaptiveSession:
             rr=config.rr,
             texture_set=world.texture_set or None,
         )
+        # Sub-window batching (round 3): one kernel call renders
+        # `windows` consecutive spp-sample sub-windows per selected block
+        # — the uniform frame-batching win applied to adaptive rounds
+        # (shared regeneration tail) with per-window sums feeding the
+        # variance statistics at single-window resolution. Explicit knob
+        # (config.frame_batch); no auto policy — window count trades
+        # scheduling granularity for tail amortization, measured in
+        # tools/adaptive_bench.py.
+        self.windows = max(1, config.frame_batch)
         if renderer_factory is not None:
             factory = renderer_factory
         elif resolved == "pallas":
@@ -303,7 +330,7 @@ class AdaptiveSession:
         self._render = factory(
             cam=world.camera, width=self.width, height=self.height,
             n_sel=self.n_sel, max_samples=config.samples_per_frame,
-            ray_depth=config.ray_depth, **kwargs,
+            ray_depth=config.ray_depth, windows=self.windows, **kwargs,
         )
 
         nb1 = self.n_blocks + 1  # spare row absorbs sentinel scatters
@@ -324,16 +351,25 @@ class AdaptiveSession:
 
         k = self.config.samples_per_frame
         n_blocks, n_sel_static = self.n_blocks, self.n_sel
+        F = self.windows
 
         def round_ids(scene, key, state, ids_u32):
-            """One round of the given block ids — render + fold stats."""
-            fbB, s1, s2, n_b, r_b, cursor = state
+            """One call = F sub-rounds of the given block ids: render the
+            F-window batch, then fold each sub-window's sums as its own
+            statistics round (the windows are consecutive sample ranges
+            off the same cursor, so the fold order is the sample order —
+            bitwise what F separate rounds produce)."""
+            cursor = state[5]
             idx = jnp.minimum(ids_u32.astype(jnp.int32), n_blocks)
             samp0 = cursor[idx]  # sentinel reads the (unused) spare slot
             sums, segs = self._render(scene, key, ids_u32, samp0)
-            state = _update_stats(
-                fbB, s1, s2, n_b, r_b, cursor, idx, sums, jnp.int32(k)
-            )
+            if F == 1:
+                sums = sums[None]
+
+            def fold(st, sums_w):
+                return _update_stats(*st, idx, sums_w, jnp.int32(k)), None
+
+            state, _ = jax.lax.scan(fold, state, sums)
             return state, segs
 
         def round_auto(scene, key, state):
@@ -349,12 +385,12 @@ class AdaptiveSession:
 
     # -- internals ----------------------------------------------------------
 
-    def _check_cursor_headroom(self, extra_rounds: int = 1) -> None:
-        # Worst case, one block absorbed every round so far plus the next:
-        # its cursor is bounded by (rounds + extra) * k. Host-side counters
-        # only — no device sync.
+    def _check_cursor_headroom(self, extra_calls: int = 1) -> None:
+        # Worst case, one block absorbed every sub-round so far plus the
+        # next call's F windows: its cursor is bounded by
+        # (rounds + extra*F) * k. Host-side counters only — no device sync.
         k = self.config.samples_per_frame
-        worst = (self.rounds + extra_rounds) * k
+        worst = (self.rounds + extra_calls * self.windows) * k
         # QMC reserves the top draw words for its per-pixel scramble
         # derivation — mirror RenderSession.step's tightened cap.
         cap = 0xFFFFFFFF - (crng.QMC_SCRAMBLE_SLOTS if self.config.qmc else 0)
@@ -365,9 +401,12 @@ class AdaptiveSession:
             )
 
     def bootstrap(self, covers: int = 2) -> None:
-        """Render every block ``covers`` times (variance needs r >= 2)."""
+        """Render every block until it has >= ``covers`` statistics
+        rounds (variance needs r >= 2). One call contributes F windows,
+        so the default F >= 2 bootstraps in a single pass over the
+        grid — half the round-1 bootstrap's calls."""
         k = self.config.samples_per_frame
-        for _ in range(covers):
+        for _ in range(-(-covers // self.windows)):
             all_ids = np.arange(self.n_blocks, dtype=np.int64)
             for i in range(0, self.n_blocks, self.n_sel):
                 ids = all_ids[i : i + self.n_sel]
@@ -380,8 +419,10 @@ class AdaptiveSession:
                     self.scene, self.key, self._state,
                     jnp.asarray(ids_p, jnp.uint32),
                 )
-                self.rounds += 1
-                self.samples_spent += len(ids) * self.block_h * self.block_w * k
+                self.rounds += self.windows
+                self.samples_spent += (
+                    len(ids) * self.block_h * self.block_w * k * self.windows
+                )
                 self._segs_pending.append(segs)
         self._bootstrapped = True
 
@@ -392,10 +433,10 @@ class AdaptiveSession:
             return
         self._check_cursor_headroom()
         self._state, segs = self._round_auto(self.scene, self.key, self._state)
-        self.rounds += 1
+        self.rounds += self.windows
         self.samples_spent += (
             self.n_sel * self.block_h * self.block_w
-            * self.config.samples_per_frame
+            * self.config.samples_per_frame * self.windows
         )
         self._segs_pending.append(segs)
 
@@ -408,7 +449,7 @@ class AdaptiveSession:
         )
         round_cost = (
             self.n_sel * self.block_h * self.block_w
-            * self.config.samples_per_frame
+            * self.config.samples_per_frame * self.windows
         )
         while self.samples_spent + round_cost <= budget:
             self.step()

@@ -160,3 +160,49 @@ def test_session_pallas_interpret_matches_oracle_session():
         np.asarray(a.framebuffer), np.asarray(b.framebuffer), atol=2e-6
     )
     np.testing.assert_array_equal(a.spp_map, b.spp_map)
+
+
+def test_windowed_rounds_match_single_rounds_bitwise():
+    """F sub-windows per call fold into the statistics exactly as F
+    separate rounds (same cursors, same sample windows, same fold order)
+    — the frame-batching composition changes throughput, not results."""
+    w, h, spp = 128, 64, 2
+    world = presets.three_sphere_scene()
+    cfg = RenderConfig(
+        width=w, height=h, samples_per_frame=spp, ray_depth=4,
+        backend="jnp", seed=5,
+    )
+    a = AdaptiveSession(world, cfg.replace(frame_batch=3), n_sel=2)
+    assert a.windows == 3
+    b = AdaptiveSession(world, cfg, n_sel=2)
+    assert b.windows == 1
+    a.bootstrap(covers=3)  # one pass: F=3 sub-rounds per block
+    b.bootstrap(covers=3)  # three passes of single rounds
+    for sa, sb in zip(a._state, b._state):
+        np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+    assert a.rounds == b.rounds
+    assert a.samples_spent == b.samples_spent
+
+
+@pytest.mark.slow
+def test_windowed_kernel_matches_oracle_session():
+    """The Pallas adaptive kernel's window buckets (multi-frame scratch
+    under adaptive prefetch operands) match the oracle's windowed rounds."""
+    w, h, spp = 128, 32, 2
+    world = presets.reference_scene()
+    cfg = RenderConfig(
+        width=w, height=h, samples_per_frame=spp, ray_depth=4, seed=1,
+        frame_batch=2,
+    )
+    a = AdaptiveSession(world, cfg.replace(backend="jnp"), n_sel=2)
+    b = AdaptiveSession(
+        world, cfg.replace(backend="pallas"), n_sel=2, interpret=True
+    )
+    assert a.windows == b.windows == 2
+    for s in (a, b):
+        s.bootstrap()
+        s.step()
+    np.testing.assert_allclose(
+        np.asarray(a.framebuffer), np.asarray(b.framebuffer), atol=2e-6
+    )
+    np.testing.assert_array_equal(a.spp_map, b.spp_map)

@@ -68,6 +68,9 @@ def main() -> int:
     if want_tpu:
         import jax
 
+        from myraytracer_tpu.utils.cache import enable_persistent_cache
+
+        enable_persistent_cache()
         if jax.default_backend() != "tpu":
             print("# not on TPU: CPU columns only", file=sys.stderr)
             want_tpu = False
