@@ -9,7 +9,8 @@ resolution), the per-pixel RMSE against a high-spp reference image for
 plus wall-clock for each, so BENCH.md can report both the equal-budget
 quality win and the equal-quality time win.
 
-Env knobs: AB_W, AB_H, AB_DEPTH, AB_SPP (per adaptive round), AB_SCENE,
+Env knobs: AB_W, AB_H, AB_DEPTH, AB_SPP (per adaptive round), AB_FB
+(sub-windows per adaptive call — the frame-batching composition), AB_SCENE,
 AB_REF_SPP (reference image), AB_BUDGETS (comma list, in uniform-frame
 units of AB_SPP samples, e.g. "4,8,16"), AB_NSEL (blocks per round,
 0 = auto 1/4 of the grid).
@@ -34,6 +35,7 @@ SCENE = os.environ.get("AB_SCENE", "final")
 REF_SPP = int(os.environ.get("AB_REF_SPP", 2000))
 BUDGETS = [int(b) for b in os.environ.get("AB_BUDGETS", "4,8,16,32").split(",")]
 NSEL = int(os.environ.get("AB_NSEL", 0))
+FB = int(os.environ.get("AB_FB", 1))  # windows per adaptive call (frame_batch)
 
 
 def rmse(a, b):
@@ -70,11 +72,21 @@ def main():
     print(f"scene={SCENE} {W}x{H} depth={DEPTH} spp/round={SPP} "
           f"budgets={BUDGETS} (x{SPP} spp units)", flush=True)
 
-    # Reference image (uniform, high spp, its own seed).
-    t0 = time.perf_counter()
-    ref_r = make_renderer(world.camera, W, H, REF_SPP, DEPTH, **kwargs)
-    img_ref = np.asarray(ref_r(scene, crng.key_from_seed(99), 0)[0])
-    print(f"reference {REF_SPP} spp: {time.perf_counter()-t0:.1f}s", flush=True)
+    # Reference image (uniform, high spp, its own seed) — cached on disk
+    # across invocations (the A/B sweeps re-run this tool many times).
+    ref_path = pathlib.Path(
+        f"/tmp/ab_ref_{SCENE}_{W}x{H}_d{DEPTH}_s{REF_SPP}.npy"
+    )
+    if ref_path.exists():
+        img_ref = np.load(ref_path)
+        print(f"reference {REF_SPP} spp: cached ({ref_path})", flush=True)
+    else:
+        t0 = time.perf_counter()
+        ref_r = make_renderer(world.camera, W, H, REF_SPP, DEPTH, **kwargs)
+        img_ref = np.asarray(ref_r(scene, crng.key_from_seed(99), 0)[0])
+        print(f"reference {REF_SPP} spp: {time.perf_counter()-t0:.1f}s",
+              flush=True)
+        np.save(ref_path, img_ref)
 
     rows = []
     for budget in BUDGETS:
@@ -89,7 +101,7 @@ def main():
 
         cfg = RenderConfig(
             width=W, height=H, samples_per_frame=SPP, ray_depth=DEPTH,
-            seed=0, backend="pallas",
+            seed=0, backend="pallas", frame_batch=FB,
         )
         sess = AdaptiveSession(world, cfg, n_sel=NSEL)
         sess.bootstrap()  # warms _round_ids (and the Mosaic kernel)
