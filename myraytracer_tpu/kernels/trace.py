@@ -1868,6 +1868,14 @@ def make_block_renderer(
         material_set = (1, 2, 3)
     material_set = tuple(sorted(set(material_set)))
     texture_set = tuple(sorted(set(texture_set))) if texture_set else ()
+    if 3 in texture_set:  # api.TEXTURE_IMAGE
+        raise NotImplementedError(
+            "image textures need a per-lane bitmap gather, which Mosaic "
+            "has no vector instruction for (and the one-hot MXU gather "
+            "costs more than the whole bounce — BENCH.md 'Image "
+            "textures'); render image-textured scenes on the jnp "
+            "integrator (backend=auto falls back automatically)"
+        )
     if ray_depth > crng.MAX_DEPTH:
         raise ValueError(f"ray_depth {ray_depth} exceeds MAX_DEPTH {crng.MAX_DEPTH}")
     # Reference-mode camera is fixed by contract (shader.wgsl:360-361) and
@@ -2045,6 +2053,14 @@ def make_adaptive_renderer(
         material_set = (1, 2, 3)
     material_set = tuple(sorted(set(material_set)))
     texture_set = tuple(sorted(set(texture_set))) if texture_set else ()
+    if 3 in texture_set:  # api.TEXTURE_IMAGE
+        raise NotImplementedError(
+            "image textures need a per-lane bitmap gather, which Mosaic "
+            "has no vector instruction for (and the one-hot MXU gather "
+            "costs more than the whole bounce — BENCH.md 'Image "
+            "textures'); render image-textured scenes on the jnp "
+            "integrator (backend=auto falls back automatically)"
+        )
     if ray_depth > crng.MAX_DEPTH:
         raise ValueError(f"ray_depth {ray_depth} exceeds MAX_DEPTH {crng.MAX_DEPTH}")
     if cam.reference_mode or kc.STATIC_CAM:

@@ -68,6 +68,11 @@ def make_session(world: api.World, config: RenderConfig) -> RenderSession:
         # AABB *gate* tables alone exceed the SMEM budget (tens of
         # millions of primitives) route to the jnp oracle.
         downgrade = None
+        if api.TEXTURE_IMAGE in world.texture_set:
+            # Per-lane bitmap gathers have no Mosaic lowering; the jnp
+            # integrator's XLA gather handles them (kernels/trace.py
+            # rejection message, BENCH.md "Image textures").
+            downgrade = "image-textured scene (per-lane bitmap gather)"
         try:
             from myraytracer_tpu.kernels.trace import fits_in_smem
         except (ImportError, NotImplementedError):

@@ -96,10 +96,10 @@ def trace(
         segs = segs + alive.astype(jnp.uint32)
 
         hit = closest_hit(o, d, scene, t_min, t_max)
-        # Procedural albedo at the hit point (no-op on untextured scenes);
-        # every consumer below (emission pickup, NEE, scatter) then sees
-        # the effective color — render/textures.py.
-        hit = apply_texture(hit)
+        # Procedural/bitmap albedo at the hit point (no-op on untextured
+        # scenes); every consumer below (emission pickup, NEE, scatter)
+        # then sees the effective color — render/textures.py.
+        hit = apply_texture(hit, image=scene.tex_image)
 
         # Miss → attenuation * sky, retire (shader.wgsl:343-345).
         miss = alive & ~hit.mask

@@ -37,8 +37,42 @@ from myraytracer_tpu.scene import api
 TEX_SOLID = api.TEXTURE_SOLID
 TEX_CHECKER = api.TEXTURE_CHECKER
 TEX_MARBLE = api.TEXTURE_MARBLE
+TEX_IMAGE = api.TEXTURE_IMAGE
 
-ALL_TEXTURES = (TEX_CHECKER, TEX_MARBLE)
+ALL_TEXTURES = (TEX_CHECKER, TEX_MARBLE, TEX_IMAGE)
+
+_PI = 3.14159265358979
+_INV_PI = 1.0 / _PI
+_INV_2PI = 0.5 / _PI
+
+
+def sphere_uv(outward: V3):
+    """RTiOW book-2 ch. 4.2 sphere mapping of an OUTWARD unit normal:
+    ``u = (atan2(-z, x) + pi) / 2pi``, ``v = acos(-y) / pi``."""
+    u = (jnp.arctan2(-outward.z, outward.x) + _PI) * _INV_2PI
+    v = jnp.arccos(jnp.clip(-outward.y, -1.0, 1.0)) * _INV_PI
+    return u, v
+
+
+def image_albedo(image: jnp.ndarray, scale, outward: V3) -> V3:
+    """Nearest-texel lookup of the scene bitmap at the sphere UV.
+
+    ``image`` is the compiled scene's [TH, TW, 3] array; ``scale`` tiles
+    the map (frac of u*scale / v*scale). v flips so image row 0 is the
+    top, and indices clamp like the book's. This is an XLA gather over
+    the lane batch — the jnp integrator's path; the Pallas megakernel
+    has no per-lane VMEM gather and rejects image-textured scenes.
+    """
+    u, v = sphere_uv(outward)
+    us = u * scale
+    vs = v * scale
+    us = us - jnp.floor(us)
+    vs = vs - jnp.floor(vs)
+    th, tw = image.shape[0], image.shape[1]
+    i = jnp.clip((us * tw).astype(jnp.int32), 0, tw - 1)
+    j = jnp.clip(((1.0 - vs) * th).astype(jnp.int32), 0, th - 1)
+    texel = image[j, i]
+    return V3(texel[..., 0], texel[..., 1], texel[..., 2])
 
 
 def checker_albedo(even: V3, odd: V3, scale, p: V3) -> V3:
@@ -72,6 +106,8 @@ def effective_albedo(
     tex_scale: jnp.ndarray,
     point: V3,
     texture_set=None,
+    image=None,
+    outward: V3 = None,
 ) -> V3:
     """Compute-all-select texture dispatch (lane-batched).
 
@@ -99,20 +135,33 @@ def effective_albedo(
             marble_albedo(albedo, tex_scale, point),
             out,
         )
+    if TEX_IMAGE in ts and image is not None:
+        # The albedo row is a white multiplier for image lanes
+        # (scene/compile._base_color), so textured metal tints still work
+        # if a colored multiplier is ever compiled in.
+        out = V3.where(
+            tex_ty == TEX_IMAGE,
+            albedo * image_albedo(image, tex_scale, outward),
+            out,
+        )
     return out
 
 
-def apply_texture(hit, texture_set=None):
+def apply_texture(hit, texture_set=None, image=None):
     """Replace ``hit.albedo`` with the texture value at ``hit.point``.
 
     No-op (returns ``hit`` unchanged) when the hit record carries no
-    texture fields — i.e. the scene is untextured.
+    texture fields — i.e. the scene is untextured. ``image`` is the
+    compiled scene's bitmap (``scene.tex_image``) for TEXTURE_IMAGE
+    lanes; the UV comes from the OUTWARD normal (un-flipping the hit's
+    front-face-oriented one), per the book's sphere mapping.
     """
     if hit.tex_ty is None:
         return hit
+    outward = V3.where(hit.front_face, hit.normal, -hit.normal)
     return hit._replace(
         albedo=effective_albedo(
             hit.albedo, hit.tex_ty, hit.albedo2, hit.tex_scale, hit.point,
-            texture_set,
+            texture_set, image=image, outward=outward,
         )
     )

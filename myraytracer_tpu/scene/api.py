@@ -35,6 +35,7 @@ MATERIAL_LIGHT = 4  # extension (emissive)
 TEXTURE_SOLID = 0
 TEXTURE_CHECKER = 1
 TEXTURE_MARBLE = 2
+TEXTURE_IMAGE = 3
 
 
 def _check_nonnegative(name: str, *values: float) -> None:
@@ -93,7 +94,81 @@ class Marble:
             raise ValueError(f"Marble.scale must be positive, got {self.scale}")
 
 
-Texture = Union[Checker, Marble]
+@dataclasses.dataclass(frozen=True)
+class ImageTexture:
+    """Bitmap texture, sphere-UV mapped (RTiOW book 2 ch. 4.2 semantics).
+
+    ``data`` is an ``[H, W, 3]`` float array in [0, 1] (load PNGs with
+    :meth:`from_png`). The hit's OUTWARD unit normal maps to
+    ``u = (atan2(-z, x) + pi) / 2pi``, ``v = acos(-y) / pi`` and the
+    texel is the nearest pixel (the book's lookup), with v flipped so
+    image row 0 is the top. One image texture per scene (the compiled
+    scene carries the bitmap as a single device array; no atlas).
+
+    Spheres only — the framework's meshes carry no UVs (like the book's,
+    which maps only its earth sphere). ``scale`` tiles the map
+    (``scale=2`` wraps the image twice around the equator; the book's
+    plain mapping is ``scale=1``).
+
+    Image textures evaluate in the jnp wavefront integrator (an XLA
+    gather — runs fine on TPU); the Pallas megakernel rejects them and
+    ``backend=auto`` falls back (BENCH.md "Image textures" for the
+    measured per-lane-gather arithmetic behind that decision).
+    """
+
+    data: object  # np.ndarray-like [H, W, 3] float in [0, 1]
+    scale: float = 1.0
+
+    tex_id = TEXTURE_IMAGE
+
+    def __post_init__(self):
+        import numpy as np
+
+        arr = np.asarray(self.data, np.float32)
+        if arr.ndim != 3 or arr.shape[-1] != 3 or min(arr.shape[:2]) < 1:
+            raise ValueError(
+                f"ImageTexture.data must be [H, W, 3], got {arr.shape}"
+            )
+        if not np.isfinite(arr).all() or arr.min() < 0:
+            raise ValueError("ImageTexture.data must be finite and >= 0")
+        if not self.scale > 0:
+            raise ValueError(
+                f"ImageTexture.scale must be positive, got {self.scale}"
+            )
+        object.__setattr__(self, "data", arr)
+
+    @staticmethod
+    def from_png(path, gamma: float = 2.0) -> "ImageTexture":
+        """Load a PNG as a linear-light texture (decode u8 with ``gamma``;
+        0 or 1 keeps the stored values as-is, like the book's /255)."""
+        import numpy as np
+
+        from myraytracer_tpu.output.image import read_png
+
+        u8 = read_png(path).astype(np.float32) / 255.0
+        if gamma and gamma != 1.0:
+            u8 = u8 ** np.float32(gamma)
+        return ImageTexture(u8)
+
+    # Hashable identity for frozen-dataclass equality (numpy arrays are
+    # unhashable); scenes compare textures by content.
+    def __hash__(self):
+        import numpy as np
+
+        return hash((self.data.shape, float(np.sum(self.data)), self.scale))
+
+    def __eq__(self, other):
+        import numpy as np
+
+        return (
+            isinstance(other, ImageTexture)
+            and self.scale == other.scale
+            and self.data.shape == other.data.shape
+            and bool(np.array_equal(self.data, other.data))
+        )
+
+
+Texture = Union[Checker, Marble, ImageTexture]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -109,7 +184,7 @@ class Lambertian:
     type_id = MATERIAL_LAMBERTIAN
 
     def __post_init__(self):
-        if not isinstance(self.albedo, (Checker, Marble)):
+        if not isinstance(self.albedo, (Checker, Marble, ImageTexture)):
             _check_nonnegative("Lambertian.albedo", *self.albedo)
 
     @property
@@ -132,7 +207,7 @@ class Metal:
     type_id = MATERIAL_METAL
 
     def __post_init__(self):
-        if not isinstance(self.albedo, (Checker, Marble)):
+        if not isinstance(self.albedo, (Checker, Marble, ImageTexture)):
             _check_nonnegative("Metal.albedo", *self.albedo)
         _check_nonnegative("Metal.fuzz", self.fuzz)
 

@@ -103,6 +103,12 @@ class CompiledScene(NamedTuple):
     tex_ty: Optional[jnp.ndarray] = None  # [N] i32 (api.TEXTURE_*)
     albedo2: Optional[V3] = None  # [N] each
     tex_scale: Optional[jnp.ndarray] = None  # [N] f32
+    # Bitmap for TEXTURE_IMAGE lanes ([TH, TW, 3] f32; None unless the
+    # scene uses an api.ImageTexture — one image per scene, its tiling
+    # factor rides tex_scale). Evaluated by the jnp integrator's XLA
+    # gather; the Pallas megakernel rejects image-textured scenes
+    # (backend=auto falls back — render/dispatch.py).
+    tex_image: Optional[jnp.ndarray] = None
 
     @property
     def padded_size(self) -> int:
@@ -131,6 +137,8 @@ def _texture_row(m: api.Material):
         return api.TEXTURE_CHECKER, a.odd, a.scale
     if isinstance(a, api.Marble):
         return api.TEXTURE_MARBLE, (0.0, 0.0, 0.0), a.scale
+    if isinstance(a, api.ImageTexture):
+        return api.TEXTURE_IMAGE, (0.0, 0.0, 0.0), a.scale
     return api.TEXTURE_SOLID, (0.0, 0.0, 0.0), 0.0
 
 
@@ -141,6 +149,10 @@ def _base_color(a):
         return a.even
     if isinstance(a, api.Marble):
         return a.color
+    if isinstance(a, api.ImageTexture):
+        # The bitmap is the color; the albedo row is a white multiplier
+        # (texture value replaces it at the hit — render/textures.py).
+        return (1.0, 1.0, 1.0)
     return a
 
 
@@ -299,6 +311,31 @@ def morton_order(centers: np.ndarray) -> np.ndarray:
 LEADERS = 8
 
 
+def _image_texture(world: api.World):
+    """The scene's single ImageTexture, or None.
+
+    Sphere materials only (meshes carry no UVs — api.ImageTexture
+    docstring), and at most one distinct image per scene (the compiled
+    scene carries a single bitmap operand; no atlas).
+    """
+    for m in world.meshes:
+        if isinstance(getattr(m.material, "albedo", None), api.ImageTexture):
+            raise ValueError(
+                "ImageTexture maps sphere UVs only; meshes carry no UVs"
+            )
+    imgs = []
+    for s in world.spheres:
+        a = getattr(s.material, "albedo", None)
+        if isinstance(a, api.ImageTexture) and a not in imgs:
+            imgs.append(a)
+    if len(imgs) > 1:
+        raise ValueError(
+            f"one ImageTexture per scene (got {len(imgs)} distinct); "
+            "pack shared maps into a single image"
+        )
+    return imgs[0] if imgs else None
+
+
 def compile_scene(
     world: api.World,
     pad_to: int = SPHERE_PAD,
@@ -354,6 +391,7 @@ def compile_scene(
     # spheres and meshes): the untextured pytree is unchanged, so every
     # existing compile stays bitwise identical.
     textured = bool(world.texture_set)
+    img_tex = _image_texture(world)
 
     radius_sq = radius * radius
     # Pad slots: radius_sq = -1 makes them unhittable (see module docstring).
@@ -398,6 +436,9 @@ def compile_scene(
             jnp.asarray(albedo2_p[:, 2]),
         ) if textured else None,
         tex_scale=jnp.asarray(_pad(tex_scale, npad, 0.0)) if textured else None,
+        tex_image=(
+            jnp.asarray(img_tex.data) if img_tex is not None else None
+        ),
     )
 
 

@@ -320,6 +320,66 @@ def texture_scene() -> World:
     )
 
 
+def _earth_bitmap(th: int = 128, tw: int = 256) -> "np.ndarray":
+    """Deterministic earth-like lat-long bitmap (no binary assets in the
+    repo): smoothed-noise continents over ocean, polar caps, equatorial
+    brightening. Purely a test/demo map; load real PNGs with
+    ``ImageTexture.from_png``."""
+    rng = np.random.RandomState(7)
+    # Smooth "continent" field: bilinear upsample of a coarse noise grid,
+    # wrapped in longitude so the seam at u=0/1 is continuous.
+    coarse = rng.random_sample((10, 18)).astype(np.float32)
+    gy = np.linspace(0, coarse.shape[0] - 1, th, dtype=np.float32)
+    gx = np.linspace(0, coarse.shape[1], tw, endpoint=False,
+                     dtype=np.float32)
+    y0 = np.floor(gy).astype(np.int32)
+    x0 = np.floor(gx).astype(np.int32)
+    fy = (gy - y0)[:, None]
+    fx = (gx - x0)[None, :]
+    y1 = np.minimum(y0 + 1, coarse.shape[0] - 1)
+    x1 = (x0 + 1) % coarse.shape[1]
+    f = (
+        coarse[y0][:, x0] * (1 - fy) * (1 - fx)
+        + coarse[y0][:, x1] * (1 - fy) * fx
+        + coarse[y1][:, x0] * fy * (1 - fx)
+        + coarse[y1][:, x1] * fy * fx
+    )
+    lat = np.linspace(90, -90, th, dtype=np.float32)[:, None]
+    ocean = np.array([0.05, 0.18, 0.45], np.float32)
+    land = np.array([0.22, 0.42, 0.15], np.float32)
+    img = np.where((f > 0.55)[..., None], land, ocean)
+    img = img * (0.75 + 0.25 * np.cos(np.deg2rad(lat))[..., None])
+    img = np.where((np.abs(lat) > 74)[..., None], np.float32(0.92), img)
+    return img.astype(np.float32)
+
+
+def earth_scene() -> World:
+    """Image-texture showcase (RTiOW book-2 ch. 4.4's earth globe): a
+    sphere-UV-mapped bitmap (api.ImageTexture) over a checkered ground.
+    Runs on the jnp integrator (backend=auto falls back — the megakernel
+    has no per-lane bitmap gather, kernels/trace.py)."""
+    from myraytracer_tpu.scene.api import ImageTexture
+
+    return World(
+        spheres=[
+            Sphere(
+                (0.0, -1000.0, 0.0), 1000.0,
+                Lambertian(Checker((0.75, 0.75, 0.75), (0.3, 0.3, 0.35),
+                                   scale=1.2)),
+            ),
+            Sphere((0.0, 2.0, 0.0), 2.0,
+                   Lambertian(ImageTexture(_earth_bitmap()))),
+        ],
+        camera=Camera(
+            lookfrom=(0.0, 2.6, 12.0),
+            lookat=(0.0, 2.0, 0.0),
+            vup=(0.0, 1.0, 0.0),
+            vfov_degrees=22.0,
+            aperture=0.0,
+        ),
+    )
+
+
 SCENES = {
     "reference": reference_scene,
     "lambertian": lambertian_sphere_scene,
@@ -330,6 +390,7 @@ SCENES = {
     "light": light_scene,
     "cornell": cornell_scene,
     "texture": texture_scene,
+    "earth": earth_scene,
 }
 
 

@@ -22,8 +22,10 @@ from myraytracer_tpu.core.vec import V3
 from myraytracer_tpu.render.hit import closest_hit
 from myraytracer_tpu.render.integrator import make_renderer
 from myraytracer_tpu.render.textures import apply_texture, checker_albedo
-from myraytracer_tpu.scene import api
+from myraytracer_tpu.scene import api, presets
 from myraytracer_tpu.scene.compile import compile_scene
+
+KEY = crng.key_from_seed(0)
 
 
 def _v3(x, y, z):
@@ -397,3 +399,142 @@ def test_textured_metal_parity_and_effect():
     # Lower half shows the checkered mirror: clearly bimodal brightness.
     low = np.asarray(a)[10:, :, 1]
     assert low.std() > 0.05
+
+
+# -- Image (bitmap) textures (round 3; RTiOW book-2 ch. 4 analog) -----------
+
+
+def _quadrant_image():
+    """2x2 texel map with distinct colors per quadrant."""
+    return np.asarray(
+        [[[1, 0, 0], [0, 1, 0]],   # top row (v near 1)
+         [[0, 0, 1], [1, 1, 0]]],  # bottom row (v near 0)
+        np.float32,
+    )
+
+
+def test_sphere_uv_known_points():
+    from myraytracer_tpu.core.vec import V3
+    from myraytracer_tpu.render.textures import sphere_uv
+
+    pts = V3(
+        jnp.asarray([1.0, -1.0, 0.0, 0.0, 0.0]),
+        jnp.asarray([0.0, 0.0, 1.0, -1.0, 0.0]),
+        jnp.asarray([0.0, 0.0, 0.0, 0.0, 1.0]),
+    )
+    u, v = sphere_uv(pts)
+    # (1,0,0) -> u=0.5 v=0.5; (-1,0,0) -> u in {0,1}; north pole v=1,
+    # south pole v=0; (0,0,1) -> u=0.25 (book ch. 4.2 worked examples).
+    np.testing.assert_allclose(np.asarray(u)[[0, 4]], [0.5, 0.25], atol=1e-6)
+    assert np.asarray(u)[1] in (0.0, 1.0)
+    np.testing.assert_allclose(np.asarray(v), [0.5, 0.5, 1.0, 0.0, 0.5],
+                               atol=1e-6)
+
+
+def test_image_albedo_quadrants():
+    from myraytracer_tpu.core.vec import V3
+    from myraytracer_tpu.render.textures import image_albedo
+
+    img = jnp.asarray(_quadrant_image())
+    # u<0.5,v>0.5 -> texel [0,0] red; u>0.5,v>0.5 -> [0,1] green;
+    # u<0.5,v<0.5 -> [1,0] blue; u>0.5,v<0.5 -> [1,1] yellow.
+    north = 0.5  # y>0 -> v>0.5
+    out = V3(
+        jnp.asarray([1.0, -1.0, 1.0, -1.0]),
+        jnp.asarray([north, north, -north, -north]),
+        jnp.asarray([0.9, -0.9, 0.9, -0.9]),  # u<0.5 for z>0 side etc.
+    ).normalize()
+    c = image_albedo(img, jnp.float32(1.0), out)
+    got = np.stack([np.asarray(c.x), np.asarray(c.y), np.asarray(c.z)], -1)
+    assert got.shape == (4, 3)
+    # Each sampled direction lands on one distinct quadrant color.
+    assert {tuple(row) for row in got.round(3)} <= {
+        (1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 0)
+    }
+    assert len({tuple(row) for row in got.round(3)}) >= 3
+
+
+def test_earth_scene_renders_with_distinct_regions():
+    """End-to-end: the earth preset renders on the jnp integrator with
+    visibly distinct texels (ocean/land/caps) on the globe."""
+    world = presets.earth_scene()
+    scene = compile_scene(world)
+    assert scene.tex_image is not None
+    r = make_renderer(world.camera, 48, 27, 4, 4, sample_batch=4)
+    img, _ = r(scene, KEY, 0)
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    # The globe fills the view center; hue variance across it must be
+    # real (a broken lookup collapses to one color).
+    center = img[6:21, 12:36]
+    assert center.std(axis=(0, 1)).max() > 0.03
+
+
+def test_image_texture_api_validation(tmp_path):
+    from myraytracer_tpu.scene.api import (
+        ImageTexture, Lambertian, Mesh, Sphere, World,
+    )
+    from myraytracer_tpu.scene.compile import compile_scene as cs
+    from myraytracer_tpu.scene.meshgen import quad
+
+    with pytest.raises(ValueError, match=r"\[H, W, 3\]"):
+        ImageTexture(np.zeros((4, 4), np.float32))
+    with pytest.raises(ValueError, match="finite"):
+        ImageTexture(np.full((2, 2, 3), np.nan, np.float32))
+
+    img_a = ImageTexture(_quadrant_image())
+    img_b = ImageTexture(_quadrant_image() * 0.5)
+    # Two distinct images: rejected (single bitmap operand per scene).
+    with pytest.raises(ValueError, match="one ImageTexture"):
+        cs(World(spheres=[
+            Sphere((0, 0, 0), 1.0, Lambertian(img_a)),
+            Sphere((3, 0, 0), 1.0, Lambertian(img_b)),
+        ]))
+    # The same image twice is fine (content equality).
+    scene = cs(World(spheres=[
+        Sphere((0, 0, 0), 1.0, Lambertian(img_a)),
+        Sphere((3, 0, 0), 1.0, Lambertian(ImageTexture(_quadrant_image()))),
+    ]))
+    assert scene.tex_image.shape == (2, 2, 3)
+    # Meshes carry no UVs.
+    with pytest.raises(ValueError, match="sphere UVs only"):
+        cs(World(spheres=[], meshes=[
+            Mesh(*quad((0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0)),
+                 Lambertian(img_a)),
+        ]))
+
+
+def test_image_texture_kernel_rejection_and_fingerprint():
+    """The megakernel rejects image-textured scenes loudly; sessions on
+    the jnp path work, and the scene fingerprint covers the bitmap."""
+    from myraytracer_tpu.config import RenderConfig
+    from myraytracer_tpu.kernels.trace import (
+        make_renderer as make_pallas_renderer,
+    )
+    from myraytracer_tpu.render.session import RenderSession
+
+    world = presets.earth_scene()
+    with pytest.raises(NotImplementedError, match="image textures"):
+        make_pallas_renderer(
+            world.camera, 16, 8, 1, 2, interpret=True, texture_set=(1, 3),
+        )
+
+    cfg = RenderConfig(width=16, height=8, samples_per_frame=1,
+                       ray_depth=2, backend="jnp")
+    s = RenderSession(world, cfg)
+    s.step()
+    assert np.asarray(s.framebuffer).max() > 0
+
+    # A different bitmap is a different world: fingerprints must differ
+    # (a resumed checkpoint would otherwise blend two different earths).
+    from myraytracer_tpu.scene.api import ImageTexture, Lambertian, Sphere, World
+
+    def fp(img):
+        w2 = World(
+            spheres=[Sphere((0.0, 2.0, 0.0), 2.0,
+                            Lambertian(ImageTexture(img)))],
+            camera=world.camera,
+        )
+        return RenderSession(w2, cfg).scene_fingerprint
+
+    assert fp(_quadrant_image()) != fp(_quadrant_image() * 0.5)
