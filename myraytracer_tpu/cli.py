@@ -168,9 +168,17 @@ def _run_adaptive(args, config, world) -> int:
     from myraytracer_tpu.render.adaptive import AdaptiveSession
 
     session = AdaptiveSession(world, config, n_sel=max(0, args.adaptive))
+    if args.resume:
+        session.load_checkpoint(args.resume)
+        log.info(
+            "resumed adaptive state from %s (%d rounds, %d samples spent)",
+            args.resume, session.rounds, session.samples_spent,
+        )
     budget = args.frames * config.samples_per_frame * (
         session.width * session.height
     )
+    # A resumed run's budget is IN ADDITION to what the checkpoint spent.
+    budget += session.samples_spent
     round_cost = (
         session.n_sel * session.block_h * session.block_w
         * config.samples_per_frame * session.windows
@@ -210,6 +218,9 @@ def _run_adaptive(args, config, world) -> int:
         100.0 * session.samples_spent / budget,
         smap.min(), float(smap.mean()), smap.max(),
     )
+    if args.checkpoint:
+        session.save_checkpoint(args.checkpoint)
+        log.info("adaptive checkpoint saved to %s", args.checkpoint)
     write_image(args.out, np.asarray(final), gamma=args.gamma)
     log.info("wrote %s", args.out)
     return 0
@@ -323,13 +334,12 @@ def main(argv=None) -> int:
     config = make_config()
 
     if args.adaptive is not None:
-        # --frame-batch composes since round 3 (sub-window batching,
-        # render/adaptive.py AdaptiveSession.windows).
+        # --frame-batch and --checkpoint/--resume compose since round 3
+        # (sub-window batching + adaptive-state checkpoints,
+        # render/adaptive.py).
         for bad, name in (
             (args.serve is not None, "--serve"),
             (args.shard != "none", "--shard"),
-            (args.checkpoint, "--checkpoint"),
-            (args.resume, "--resume"),
             (args.multihost is not None, "--multihost"),
             (args.frames == 0, "--frames 0 (needs a bounded budget)"),
         ):

@@ -244,9 +244,10 @@ class AdaptiveSession:
     progressive loop), a step renders ``n_sel`` chosen blocks of
     ``samples_per_frame`` samples each. ``run_budget(total)`` spends a
     total per-image sample budget (in units of uniform frames) and
-    returns the framebuffer. Checkpointing and sharding are not supported
-    in this mode (use the uniform session); the camera is fixed for the
-    session's lifetime (accumulation assumes one view).
+    returns the framebuffer. Sessions checkpoint/resume exactly (the
+    per-block statistics and cursors round-trip — round 3); sharding is
+    not supported in this mode (use the uniform session), and the camera
+    is fixed for the session's lifetime (accumulation assumes one view).
     """
 
     def __init__(
@@ -454,6 +455,111 @@ class AdaptiveSession:
         while self.samples_spent + round_cost <= budget:
             self.step()
         return self.framebuffer
+
+    # -- checkpoint / resume ---------------------------------------------------
+
+    def save_checkpoint(self, path) -> None:
+        """Save the adaptive state (per-block stats + cursors) to npz.
+
+        Same provenance discipline as RenderSession: scene fingerprint,
+        backend, estimator flags, and the adaptive geometry (block grid,
+        n_sel, windows) — the resumed session must continue the exact
+        per-pixel sample streams and fold statistics identically.
+        """
+        import json
+        import pathlib
+
+        from myraytracer_tpu.render.session import (
+            CHECKPOINT_VERSION, scene_fingerprint,
+        )
+
+        meta = {
+            "version": CHECKPOINT_VERSION,
+            "adaptive": True,
+            "width": self.width,
+            "height": self.height,
+            "samples_per_frame": self.config.samples_per_frame,
+            "ray_depth": self.config.ray_depth,
+            "seed": self.config.seed,
+            "t_min": self.config.t_min,
+            "t_max": self.config.t_max,
+            "nee": self.config.nee,
+            "nee_estimator": "mis" if self.config.nee else None,
+            "qmc": self.config.qmc,
+            "rr": self.config.rr,
+            "scene": scene_fingerprint(self.scene),
+            "backend": self.backend_resolved,
+            "n_sel": self.n_sel,
+            "windows": self.windows,
+            "block_w": self.block_w,
+            "block_h": self.block_h,
+        }
+        arrays = {
+            f"state{i}": np.asarray(a) for i, a in enumerate(self._state)
+        }
+        arrays.update(
+            rounds=np.int64(self.rounds),
+            samples_spent=np.int64(self.samples_spent),
+            segments_traced=np.float64(self.segments_traced),
+            meta=json.dumps(meta),
+        )
+        np.savez(pathlib.Path(path), **arrays)
+
+    def load_checkpoint(self, path) -> None:
+        import json
+        import pathlib
+
+        from myraytracer_tpu.render.session import (
+            CHECKPOINT_VERSION, scene_fingerprint,
+        )
+
+        data = np.load(pathlib.Path(path), allow_pickle=False)
+        meta = json.loads(str(data["meta"]))
+        if meta.get("version") != CHECKPOINT_VERSION:
+            raise ValueError(
+                f"checkpoint version {meta.get('version')} unsupported"
+            )
+        if not meta.get("adaptive"):
+            raise ValueError(
+                "not an adaptive checkpoint (uniform sessions resume via "
+                "RenderSession.load_checkpoint)"
+            )
+        want = {
+            "width": self.width,
+            "height": self.height,
+            "samples_per_frame": self.config.samples_per_frame,
+            "ray_depth": self.config.ray_depth,
+            "seed": self.config.seed,
+            "t_min": self.config.t_min,
+            "t_max": self.config.t_max,
+            "nee": self.config.nee,
+            "nee_estimator": "mis" if self.config.nee else None,
+            "qmc": self.config.qmc,
+            "rr": self.config.rr,
+            "scene": scene_fingerprint(self.scene),
+            "backend": self.backend_resolved,
+            "n_sel": self.n_sel,
+            "windows": self.windows,
+            "block_w": self.block_w,
+            "block_h": self.block_h,
+        }
+        for k, v in want.items():
+            if meta.get(k) != v:
+                raise ValueError(
+                    f"checkpoint {k}={meta.get(k)!r} != session {v!r}"
+                )
+        state = tuple(
+            jnp.asarray(data[f"state{i}"]) for i in range(len(self._state))
+        )
+        self._state = state
+        self.rounds = int(data["rounds"])
+        self.samples_spent = int(data["samples_spent"])
+        self._segs_total = float(data["segments_traced"])
+        self._segs_pending = []
+        # Every block with r >= 2 has usable variance; resume skips the
+        # bootstrap iff the saved run completed it.
+        r_b = np.asarray(state[4][: self.n_blocks])
+        self._bootstrapped = bool((r_b >= 2).all())
 
     # -- outputs --------------------------------------------------------------
 

@@ -403,6 +403,11 @@ class RenderSession:
         meta = json.loads(str(data["meta"]))
         if meta["version"] != CHECKPOINT_VERSION:
             raise ValueError(f"checkpoint version {meta['version']} unsupported")
+        if meta.get("adaptive"):
+            raise ValueError(
+                "adaptive checkpoint: resume it with an AdaptiveSession "
+                "(render/adaptive.py), not the uniform session"
+            )
         for field in (
             "width", "height", "samples_per_frame", "ray_depth", "seed",
             "max_framebuffer_weight", "t_min", "t_max", "nee",

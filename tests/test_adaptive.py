@@ -206,3 +206,74 @@ def test_windowed_kernel_matches_oracle_session():
         np.asarray(a.framebuffer), np.asarray(b.framebuffer), atol=2e-6
     )
     np.testing.assert_array_equal(a.spp_map, b.spp_map)
+
+
+def test_adaptive_checkpoint_resume_exact(tmp_path):
+    """An adaptive checkpoint round-trips the full per-block state: the
+    resumed session continues the identical sample streams and selection
+    schedule (state bitwise-equal to an uninterrupted run)."""
+    w, h, spp = 128, 64, 2
+    world = presets.three_sphere_scene()
+    cfg = RenderConfig(width=w, height=h, samples_per_frame=spp,
+                       ray_depth=4, backend="jnp", seed=5)
+
+    # Uninterrupted run: bootstrap + 3 steps.
+    a = AdaptiveSession(world, cfg, n_sel=2)
+    a.bootstrap()
+    for _ in range(3):
+        a.step()
+
+    # Interrupted at bootstrap+1, checkpointed, resumed, continued.
+    b = AdaptiveSession(world, cfg, n_sel=2)
+    b.bootstrap()
+    b.step()
+    path = tmp_path / "a.npz"
+    b.save_checkpoint(path)
+    c = AdaptiveSession(world, cfg, n_sel=2)
+    c.load_checkpoint(path)
+    assert c._bootstrapped  # resumed past the bootstrap
+    assert c.rounds == b.rounds and c.samples_spent == b.samples_spent
+    for _ in range(2):
+        c.step()
+
+    for sa, sc in zip(a._state, c._state):
+        np.testing.assert_array_equal(np.asarray(sa), np.asarray(sc))
+    np.testing.assert_array_equal(
+        np.asarray(a.framebuffer), np.asarray(c.framebuffer)
+    )
+
+
+def test_adaptive_checkpoint_provenance(tmp_path):
+    w, h = 128, 64
+    world = presets.three_sphere_scene()
+    cfg = RenderConfig(width=w, height=h, samples_per_frame=2,
+                       ray_depth=4, backend="jnp", seed=5)
+    s = AdaptiveSession(world, cfg, n_sel=2)
+    s.bootstrap()
+    path = tmp_path / "a.npz"
+    s.save_checkpoint(path)
+
+    # Mismatched knobs refuse loudly.
+    with pytest.raises(ValueError, match="n_sel"):
+        AdaptiveSession(world, cfg, n_sel=1).load_checkpoint(path)
+    with pytest.raises(ValueError, match="windows"):
+        AdaptiveSession(world, cfg.replace(frame_batch=2),
+                        n_sel=2).load_checkpoint(path)
+    with pytest.raises(ValueError, match="scene"):
+        AdaptiveSession(presets.reference_scene(), cfg,
+                        n_sel=2).load_checkpoint(path)
+    with pytest.raises(ValueError, match="rr"):
+        AdaptiveSession(world, cfg.replace(rr=3),
+                        n_sel=2).load_checkpoint(path)
+
+    # A uniform session must refuse the adaptive npz and vice versa.
+    from myraytracer_tpu.render.session import RenderSession
+
+    with pytest.raises(ValueError):
+        RenderSession(world, cfg).load_checkpoint(path)
+    u = RenderSession(world, cfg)
+    u.step()
+    upath = tmp_path / "u.npz"
+    u.save_checkpoint(upath)
+    with pytest.raises(ValueError, match="adaptive"):
+        s.load_checkpoint(upath)
