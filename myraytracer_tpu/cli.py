@@ -193,9 +193,11 @@ def _run_adaptive(args, config, world) -> int:
     t_sync = time.perf_counter()
     segs_sync = 0.0
     # The bootstrap (two full covers — variance needs two rounds per
-    # block) always runs, even past a tiny budget: every pixel must be
-    # rendered at least once for a complete image.
-    session.bootstrap()
+    # block) always runs on a FRESH session, even past a tiny budget:
+    # every pixel must be rendered at least once for a complete image. A
+    # resumed checkpoint that already completed it must not re-pay it.
+    if not session.bootstrapped:
+        session.bootstrap()
     while session.samples_spent + round_cost <= budget:
         session.step()
         now = time.perf_counter()

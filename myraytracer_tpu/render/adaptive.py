@@ -564,6 +564,12 @@ class AdaptiveSession:
     # -- outputs --------------------------------------------------------------
 
     @property
+    def bootstrapped(self) -> bool:
+        """True once every block has >= 2 statistics rounds (set by
+        bootstrap(); restored by load_checkpoint)."""
+        return self._bootstrapped
+
+    @property
     def framebuffer(self) -> jnp.ndarray:
         """Current per-pixel mean image [H, W, 3] (unscrambled blocks)."""
         fb = self._state[0][: self.n_blocks].reshape(
