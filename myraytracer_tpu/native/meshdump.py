@@ -32,6 +32,7 @@ import numpy as np
 from myraytracer_tpu.scene import api
 
 MAGIC = b"MRTMESH1"
+SPH_MAGIC = b"MRTSPH01"
 
 
 def _material_row(mat) -> bytes:
@@ -100,3 +101,57 @@ def dump_world(world: api.World, path) -> int:
     )
     pathlib.Path(path).write_bytes(head + b"".join(mats) + b"".join(tris))
     return len(tris)
+
+
+def dump_spheres(world: api.World, path) -> int:
+    """Write ``world``'s spheres to ``path`` ("MRTSPH01"); returns count.
+
+    The sphere analog of :func:`dump_world`, for the CPU baseline on the
+    sphere-scaling surface (``spheres:N`` scenes past the built-in final
+    scene the C++ bench hard-codes). Per-sphere record: center, SIGNED
+    radius (negative = inward normals, the hollow-glass trick), then the
+    material row (type, albedo, fuzz, ior, emit).
+
+    Format: magic, int32 n_spheres, float32 cam[12], int32 has_ambient,
+    float32 ambient[3], then n_spheres * { float32 c[3], r;
+    int32 ty; float32 albedo[3], fuzz, ior, emit[3] }.
+    """
+    if world.meshes:
+        raise ValueError(
+            "dump_spheres exports spheres only; this world has meshes "
+            "(use dump_world)"
+        )
+    if not world.spheres:
+        raise ValueError("world has no spheres to export")
+    cam = world.camera
+    if cam.reference_mode:
+        raise ValueError(
+            "sphere dump needs a general (lookfrom/lookat) camera"
+        )
+
+    rows = []
+    for s in world.spheres:
+        rows.append(
+            struct.pack(
+                "<4f", *[float(c) for c in s.center], float(s.radius)
+            )
+            + _material_row(s.material)
+        )
+    ambient = world.ambient
+    head = SPH_MAGIC + struct.pack("<i", len(rows))
+    head += struct.pack(
+        "<12f",
+        *[float(v) for v in cam.lookfrom],
+        *[float(v) for v in cam.lookat],
+        *[float(v) for v in cam.vup],
+        float(cam.vfov_degrees),
+        float(cam.aperture),
+        float(cam.resolved_focus_dist()),
+    )
+    head += struct.pack(
+        "<i3f",
+        0 if ambient is None else 1,
+        *(ambient if ambient is not None else (0.0, 0.0, 0.0)),
+    )
+    pathlib.Path(path).write_bytes(head + b"".join(rows))
+    return len(rows)

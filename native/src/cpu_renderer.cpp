@@ -77,6 +77,7 @@ struct Sphere {
   int ty;
   Vec albedo;
   float fuzz = 0, ior = 1.5f;
+  Vec emit{0, 0, 0};
 };
 
 struct Rng {
@@ -357,7 +358,7 @@ SphereBVH build_sphere_bvh(const std::vector<Sphere>& w) {
   std::vector<float> pmin(3 * n), pmax(3 * n);
   for (int i = 0; i < n; ++i) {
     const Vec& c = w[i].c;
-    float r = w[i].r;
+    float r = std::fabs(w[i].r);  // signed radius = inward normals
     pmin[3 * i] = c.x - r, pmin[3 * i + 1] = c.y - r, pmin[3 * i + 2] = c.z - r;
     pmax[3 * i] = c.x + r, pmax[3 * i + 1] = c.y + r, pmax[3 * i + 2] = c.z + r;
   }
@@ -409,6 +410,64 @@ bool sphere_bvh_hit(const SphereBVH& s, const Vec& o, const Vec& d, float tmin,
   return true;
 }
 
+// Sphere-scene dump loader ("MRTSPH01" — meshdump.dump_spheres): the
+// sphere-scaling baseline surface (spheres:N scenes), identical scene
+// bytes on both sides like the mesh mode.
+struct SphereScene {
+  std::vector<Sphere> spheres;
+  Vec lookfrom, lookat, vup;
+  float vfov_deg = 20, aperture = 0, focus = 10;
+  bool has_ambient = false;
+  Vec ambient{0, 0, 0};
+};
+
+bool load_sphere_scene(const char* path, SphereScene* s) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  char magic[8];
+  if (std::fread(magic, 1, 8, f) != 8 || std::memcmp(magic, "MRTSPH01", 8)) {
+    std::fclose(f);
+    return false;
+  }
+  int32_t n = 0, has_amb = 0;
+  float cam[12], amb[3];
+  bool ok = std::fread(&n, 4, 1, f) == 1 && std::fread(cam, 4, 12, f) == 12 &&
+            std::fread(&has_amb, 4, 1, f) == 1 &&
+            std::fread(amb, 4, 3, f) == 3 && n > 0;
+  if (!ok) {
+    std::fclose(f);
+    return false;
+  }
+  s->lookfrom = {cam[0], cam[1], cam[2]};
+  s->lookat = {cam[3], cam[4], cam[5]};
+  s->vup = {cam[6], cam[7], cam[8]};
+  s->vfov_deg = cam[9];
+  s->aperture = cam[10];
+  s->focus = cam[11];
+  s->has_ambient = has_amb != 0;
+  s->ambient = {amb[0], amb[1], amb[2]};
+  s->spheres.resize(n);
+  for (auto& sp : s->spheres) {
+    float g[4];
+    int32_t ty;
+    float v[8];
+    if (std::fread(g, 4, 4, f) != 4 || std::fread(&ty, 4, 1, f) != 1 ||
+        std::fread(v, 4, 8, f) != 8) {
+      std::fclose(f);
+      return false;
+    }
+    sp.c = {g[0], g[1], g[2]};
+    sp.r = g[3];
+    sp.ty = ty;
+    sp.albedo = {v[0], v[1], v[2]};
+    sp.fuzz = v[3];
+    sp.ior = v[4];
+    sp.emit = {v[5], v[6], v[7]};
+  }
+  std::fclose(f);
+  return true;
+}
+
 Vec sky(float y) {
   float t = 0.5f * y + 0.5f;
   return Vec{1, 1, 1} * (1 - t) + Vec{0.5f, 0.7f, 1.0f} * t;
@@ -454,14 +513,15 @@ bool scatter(const Material& mt, const Vec& d, const Vec& n, bool front,
 }
 
 Vec trace_spheres(const std::vector<Sphere>& w, const SphereBVH* bvh, Vec o,
-                  Vec d, int depth, Rng& rng, uint64_t* segs) {
+                  Vec d, int depth, Rng& rng, uint64_t* segs,
+                  bool has_ambient = false, Vec ambient = {0, 0, 0}) {
   Vec atten{1, 1, 1};
   for (int i = 0; i < depth; ++i) {
     ++*segs;
     Hit h;
     bool hit = bvh ? sphere_bvh_hit(*bvh, o, d, 1e-3f, 1e4f, &h)
                    : world_hit(w, o, d, 1e-3f, 1e4f, &h);
-    if (!hit) return atten * sky(d.y);
+    if (!hit) return atten * (has_ambient ? ambient : sky(d.y));
     const Sphere& s = bvh ? bvh->spheres[h.idx] : w[h.idx];
     Vec p = o + d * h.t;
     Vec n = (p - s.c) * (1.0f / s.r);
@@ -472,6 +532,7 @@ Vec trace_spheres(const std::vector<Sphere>& w, const SphereBVH* bvh, Vec o,
     mt.albedo = s.albedo;
     mt.fuzz = s.fuzz;
     mt.ior = s.ior;
+    mt.emit = s.emit;
     Vec nd, radiance;
     if (!scatter(mt, d, n, front, rng, &atten, &nd, &radiance)) return radiance;
     o = p;
@@ -529,12 +590,15 @@ CamBasis make_camera(Vec lookfrom, Vec lookat, Vec vup, float vfov_deg,
 
 int main(int argc, char** argv) {
   const char* mesh_path = nullptr;
+  const char* sph_path = nullptr;
   const char* ppm_path = nullptr;
   bool use_bvh = false;
   std::vector<const char*> pos;
   for (int i = 1; i < argc; ++i) {
     if (!std::strcmp(argv[i], "--mesh") && i + 1 < argc) {
       mesh_path = argv[++i];
+    } else if (!std::strcmp(argv[i], "--spheres") && i + 1 < argc) {
+      sph_path = argv[++i];  // sphere-scene dump (meshdump.dump_spheres)
     } else if (!std::strcmp(argv[i], "--ppm") && i + 1 < argc) {
       ppm_path = argv[++i];  // gamma-2 P6 dump (baseline correctness check)
     } else if (!std::strcmp(argv[i], "--bvh")) {
@@ -556,6 +620,8 @@ int main(int argc, char** argv) {
   CamBasis cam;
   size_t n_prims;
   const char* mode;
+  bool has_ambient = false;
+  Vec ambient{0, 0, 0};
   if (mesh_path) {
     if (!load_mesh_scene(mesh_path, &mesh)) {
       std::fprintf(stderr, "failed to load mesh scene %s\n", mesh_path);
@@ -565,6 +631,23 @@ int main(int argc, char** argv) {
                       mesh.aperture, mesh.focus, float(W) / H);
     n_prims = mesh.tris.size();
     mode = "cpu-bvh-mesh";
+  } else if (sph_path) {
+    SphereScene ss;
+    if (!load_sphere_scene(sph_path, &ss)) {
+      std::fprintf(stderr, "failed to load sphere scene %s\n", sph_path);
+      return 2;
+    }
+    world = std::move(ss.spheres);
+    has_ambient = ss.has_ambient;
+    ambient = ss.ambient;
+    if (use_bvh || world.size() > 64) {
+      use_bvh = true;  // dumps are the scaling surface: strong baseline
+      sphere_bvh = build_sphere_bvh(world);
+    }
+    cam = make_camera(ss.lookfrom, ss.lookat, ss.vup, ss.vfov_deg,
+                      ss.aperture, ss.focus, float(W) / H);
+    n_prims = world.size();
+    mode = use_bvh ? "cpu-bvh-spheres" : "cpu-bruteforce-spheres";
   } else {
     world = final_scene();
     if (use_bvh) sphere_bvh = build_sphere_bvh(world);
@@ -601,7 +684,8 @@ int main(int argc, char** argv) {
             Vec c = mesh_path
                         ? trace_mesh(mesh, o, d, depth, rng, &segs)
                         : trace_spheres(world, use_bvh ? &sphere_bvh : nullptr,
-                                        o, d, depth, rng, &segs);
+                                        o, d, depth, rng, &segs,
+                                        has_ambient, ambient);
             acc = acc + c;
           }
           float* px = &fb[(size_t(row) * W + x) * 3];  // rows are thread-owned

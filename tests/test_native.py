@@ -210,3 +210,66 @@ def test_cpu_bench_sphere_bvh_matches_bruteforce(tmp_path):
         stats = json.loads(out.stdout.strip().splitlines()[-1])
         runs[stats["renderer"]] = stats
     assert runs["cpu-bruteforce"]["segments"] == runs["cpu-bvh"]["segments"]
+
+
+def test_spheredump_roundtrip_and_cpu_bvh_render(tmp_path):
+    """dump_spheres → native CPU-BVH sphere renderer → image statistically
+    matching the jnp oracle on the identical scene bytes (the
+    sphere-scaling baseline surface, spheres:N)."""
+    import json
+    import subprocess
+
+    from myraytracer_tpu.core import rng as crng
+    from myraytracer_tpu.native.meshdump import dump_spheres
+    from myraytracer_tpu.output.image import read_ppm, to_u8
+    from myraytracer_tpu.render.integrator import make_renderer
+    from myraytracer_tpu.scene.compile import compile_scene
+    from myraytracer_tpu.scene.presets import three_sphere_scene
+
+    exe = _cpu_bench_bin()
+    if exe is None:
+        pytest.skip("native/mrt_cpu_bench not built (make -C native cpu)")
+
+    # three-sphere: Lambertian + metal + HOLLOW glass (negative radius) —
+    # exercises the signed-radius path in the C++ BVH bounds and normals.
+    # The dump needs a general (positionable) camera.
+    from myraytracer_tpu.scene.api import Camera
+
+    world = three_sphere_scene(Camera(
+        lookfrom=(0.0, 0.0, 0.5), lookat=(0.0, 0.0, -1.0),
+        vup=(0.0, 1.0, 0.0), vfov_degrees=75.0,
+    ))
+    dump = tmp_path / "spheres.bin"
+    n = dump_spheres(world, dump)
+    assert n == len(world.spheres)
+
+    w, h, spp, depth = 96, 54, 8, 10
+    ppm = tmp_path / "cpu.ppm"
+    out = subprocess.run(
+        [str(exe), "--spheres", str(dump), str(w), str(h), str(spp),
+         str(depth), "1", "--bvh", "--ppm", str(ppm)],
+        capture_output=True, text=True, check=True, timeout=120,
+    )
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["renderer"] == "cpu-bvh-spheres"
+    assert stats["prims"] == n
+
+    scene = compile_scene(world)
+    render = make_renderer(world.camera, w, h, spp, depth, sample_batch=spp)
+    img, segs = render(scene, crng.key_from_seed(0), 0)
+    ours = to_u8(np.asarray(img), 2.0).astype(np.float64)
+    cpu = read_ppm(ppm).astype(np.float64)
+    assert abs(ours.mean() - cpu.mean()) < 4.0, (ours.mean(), cpu.mean())
+    tpu_bounces = float(segs) / (w * h * spp)
+    cpu_bounces = stats["segments"] / (w * h * spp)
+    assert abs(tpu_bounces - cpu_bounces) < 0.25, (tpu_bounces, cpu_bounces)
+
+
+def test_spheredump_rejects_mesh_and_reference_camera(tmp_path):
+    from myraytracer_tpu.native.meshdump import dump_spheres
+    from myraytracer_tpu.scene.presets import mesh_scene, reference_scene
+
+    with pytest.raises(ValueError, match="meshes"):
+        dump_spheres(mesh_scene(1), tmp_path / "x.bin")
+    with pytest.raises(ValueError, match="camera"):
+        dump_spheres(reference_scene(), tmp_path / "x.bin")
