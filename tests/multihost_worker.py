@@ -7,7 +7,12 @@ tile-sharded frame SPMD, and assembles the full image with the allgather
 fetch path (``parallel/sharding.fetch_array``). Process 0 writes the
 result for the test to compare against the single-process render.
 
-Usage: python multihost_worker.py COORD NPROCS PID OUT.npy
+Usage: python multihost_worker.py COORD NPROCS PID OUT.npy [MODE]
+
+MODE "jnp" (default) shards the oracle block; "pallas" shards the
+megakernel (interpret mode off-TPU) — the scalar-prefetch operands and
+static output layout must partition under shard_map across REAL process
+boundaries, not just the single-process virtual mesh.
 """
 
 import pathlib
@@ -18,6 +23,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 def main() -> int:
     coord, nprocs, pid, out = sys.argv[1:5]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "jnp"
 
     import jax
 
@@ -51,12 +57,24 @@ def main() -> int:
 
     world = presets.three_sphere_scene()
     scene = compile_scene(world)
-    render = make_tile_sharded_renderer(
-        world.camera, 16, 8, 2, 4, sample_batch=2
-    )
+    if mode == "pallas":
+        import functools
+
+        from myraytracer_tpu.kernels.trace import make_block_renderer
+
+        block = functools.partial(
+            make_block_renderer, tile_rows=8, interpret=True
+        )
+        render = make_tile_sharded_renderer(
+            world.camera, 16, 8, 2, 4, block_factory=block
+        )
+    else:
+        render = make_tile_sharded_renderer(
+            world.camera, 16, 8, 2, 4, sample_batch=2
+        )
     img, segs = render(scene, crng.key_from_seed(0), jnp.uint32(0))
     full = fetch_array(img)  # allgather across processes
-    assert full.shape == (8, 16, 3), full.shape
+    assert full.shape[-3:] == (8, 16, 3), full.shape
     assert float(segs) > 0.0
     if int(pid) == 0:
         np.save(out, full)

@@ -25,14 +25,12 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_tile_sharded_bitwise(tmp_path):
+def _run_workers(out, mode):
     port = _free_port()
-    out = tmp_path / "multihost.npy"
     procs = [
         subprocess.Popen(
             [sys.executable, str(WORKER), f"127.0.0.1:{port}", "2",
-             str(pid), str(out)],
+             str(pid), str(out), mode],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
         for pid in (0, 1)
@@ -48,7 +46,12 @@ def test_two_process_tile_sharded_bitwise(tmp_path):
         raise
     for rc, stdout, stderr in outs:
         assert rc == 0, f"worker failed:\n{stdout}\n{stderr}"
-    got = np.load(out)
+    return np.load(out)
+
+
+@pytest.mark.slow
+def test_two_process_tile_sharded_bitwise(tmp_path):
+    got = _run_workers(tmp_path / "multihost.npy", "jnp")
 
     # Single-process reference on this process's virtual 8-CPU mesh —
     # the same renderer, different process/device placement.
@@ -63,6 +66,35 @@ def test_two_process_tile_sharded_bitwise(tmp_path):
     scene = compile_scene(world)
     render = make_tile_sharded_renderer(
         world.camera, 16, 8, 2, 4, sample_batch=2
+    )
+    want, _ = render(scene, crng.key_from_seed(0), jnp.uint32(0))
+    np.testing.assert_array_equal(got, np.asarray(want))
+
+
+@pytest.mark.slow
+def test_two_process_pallas_block_tile_sharded(tmp_path):
+    """The megakernel's scalar-prefetch operands and static output layout
+    partition under shard_map across REAL process boundaries too (the
+    single-process virtual-mesh version is test_sharding.py): the
+    allgathered two-process image is bitwise the single-process
+    pallas-block render."""
+    import functools
+
+    got = _run_workers(tmp_path / "mp.npy", "pallas")
+
+    from myraytracer_tpu.core import rng as crng
+    from myraytracer_tpu.kernels.trace import make_block_renderer
+    from myraytracer_tpu.parallel.sharding import make_tile_sharded_renderer
+    from myraytracer_tpu.scene import presets
+    from myraytracer_tpu.scene.compile import compile_scene
+
+    import jax.numpy as jnp
+
+    world = presets.three_sphere_scene()
+    scene = compile_scene(world)
+    block = functools.partial(make_block_renderer, tile_rows=8, interpret=True)
+    render = make_tile_sharded_renderer(
+        world.camera, 16, 8, 2, 4, block_factory=block
     )
     want, _ = render(scene, crng.key_from_seed(0), jnp.uint32(0))
     np.testing.assert_array_equal(got, np.asarray(want))
