@@ -36,16 +36,41 @@ CONFIGS = [
 ]
 
 
+
+# Estimator/feature goldens (round 3): pin the exact MIS-NEE, Owen-QMC,
+# Russian-roulette, and image-texture streams — the in-tree checks for
+# these are statistical, so a silent estimator regression (a changed
+# weight, a shifted draw slot) would otherwise pass. ``extra`` maps to
+# make_renderer kwargs; "nee" resolves to the scene's extracted lights.
+EXT_CONFIGS = [
+    ("cornell_mis_32x18", "cornell", 32, 18, 4, 8, {"nee": True}),
+    ("defocus_qmc_32x18", "defocus", 32, 18, 4, 8, {"qmc": True}),
+    ("three_sphere_rr_32x18", "three-sphere", 32, 18, 4, 12, {"rr": 3}),
+    ("earth_32x18", "earth", 32, 18, 4, 8, {}),
+]
+
+
+def build_renderer(world, w, h, spp, depth, extra):
+    kw = dict(extra)
+    if kw.pop("nee", False):
+        from myraytracer_tpu.render.lights import extract_lights
+
+        kw["nee_lights"] = extract_lights(world)
+    return make_renderer(
+        world.camera, w, h, spp, depth, sample_batch=2, sky=world.ambient,
+        **kw,
+    )
+
+
 def main():
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
     key = crng.key_from_seed(0)
-    for name, scene_name, w, h, spp, depth in CONFIGS:
+    rows = [(n, s, w, h, p, d, {}) for n, s, w, h, p, d in CONFIGS]
+    rows += EXT_CONFIGS
+    for name, scene_name, w, h, spp, depth, extra in rows:
         world = presets.get_scene(scene_name)
         scene = compile_scene(world)
-        render = make_renderer(
-            world.camera, w, h, spp, depth, sample_batch=2,
-            sky=world.ambient,
-        )
+        render = build_renderer(world, w, h, spp, depth, extra)
         img, segs = render(scene, key, 0)
         arr = np.asarray(img)
         np.save(GOLDEN_DIR / f"{name}.npy", arr)
