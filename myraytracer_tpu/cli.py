@@ -86,9 +86,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--gamma", type=parse_gamma, default=2.0, metavar="G|srgb",
         help="output transfer: float exponent (2.0 = RTiOW sqrt) or "
-        "'srgb' (the piecewise sRGB EOTF — pixel-exact with the live "
-        "reference, which presents through an sRGB surface, "
-        "lib.rs:1105-1107)",
+        "'srgb' (the piecewise sRGB encode / inverse EOTF — pixel-exact "
+        "with the live reference, which presents through an sRGB "
+        "surface, lib.rs:1105-1107)",
     )
     p.add_argument(
         "--backend", choices=["auto", "jnp", "pallas"], default="auto",
@@ -120,7 +120,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--checkpoint", default=None, help="save checkpoint here")
     p.add_argument("--resume", default=None, help="resume from checkpoint")
-    p.add_argument("--log-level", default="info")
+    p.add_argument(
+        "--log-level", default=None,
+        help="debug|info|warning|error (default info). When the flag is "
+        "absent the MYRT_LOG env var overrides — the analog of the "
+        "reference's RUST_LOG/env_logger startup contract "
+        "(native-runner/src/main.rs:6-9)",
+    )
     p.add_argument(
         "--profile", default=None, metavar="LOGDIR",
         help="capture a jax.profiler (xplane) trace of the render loop",
@@ -150,7 +156,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--frames sample budget where the image is still noisy, at "
         "pixel-block granularity (render/adaptive.py). Optional value = "
         "blocks re-rendered per round (default ~1/4 of the grid). "
-        "Headless only (no --serve/--shard/checkpointing)",
+        "Composes with --frame-batch, --checkpoint/--resume; "
+        "not with --shard/--serve/--multihost yet",
     )
     return p
 
@@ -229,9 +236,21 @@ def _run_adaptive(args, config, world) -> int:
 
 
 def main(argv=None) -> int:
+    import os
+
     args = build_parser().parse_args(argv)
+    # Log level: flag > MYRT_LOG env > info — the reference's env_logger
+    # honors RUST_LOG-style overrides at startup (native-runner/src/
+    # main.rs:6-9); MYRT_LOG is this framework's equivalent.
+    level_name = args.log_level or os.environ.get("MYRT_LOG") or "info"
+    level = getattr(logging, level_name.upper(), None)
+    if not isinstance(level, int):
+        raise SystemExit(
+            f"unknown log level {level_name!r} (flag --log-level or "
+            f"MYRT_LOG env): use debug|info|warning|error"
+        )
     logging.basicConfig(
-        level=getattr(logging, args.log_level.upper()),
+        level=level,
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
     )
 
@@ -245,8 +264,6 @@ def main(argv=None) -> int:
 
     # Backend override via environment when the flag is left at auto — the
     # reference honors a WGPU_BACKEND-style env override (lib.rs:322).
-    import os
-
     if args.frames < 0:
         raise SystemExit(f"--frames must be >= 0, got {args.frames}")
     backend = args.backend

@@ -34,8 +34,9 @@ class RenderConfig:
     t_min: float = 1e-3  # shader.wgsl:340
     t_max: float = 1e4  # shader.wgsl:340
     # Output transfer: a float exponent (2.0 = RTiOW's sqrt) or "srgb"
-    # (piecewise EOTF — what the reference's sRGB surface format applies,
-    # lib.rs:1105-1107). Display-only: never part of the sample stream.
+    # (piecewise sRGB encode, the inverse EOTF — what the reference's sRGB
+    # surface format applies, lib.rs:1105-1107). Display-only: never part
+    # of the sample stream.
     gamma: Union[float, str] = 2.0
     sample_batch: int = 0  # samples traced per vectorized pass; 0 = auto
     backend: str = "auto"  # "jnp" | "pallas" | "auto"

@@ -38,8 +38,16 @@ SPH_MAGIC = b"MRTSPH01"
 def _material_row(mat) -> bytes:
     albedo = getattr(mat, "albedo", (1.0, 1.0, 1.0))
     if not isinstance(albedo, tuple):
-        # Procedural texture: export its base/solid color.
-        albedo = tuple(getattr(albedo, "color_a", (1.0, 1.0, 1.0)))
+        # Procedural texture: export its base color, mirroring
+        # scene/compile._base_color so the CPU baseline attenuates like
+        # the untextured TPU render (Checker -> even, Marble -> color;
+        # bitmap textures have no single base color -> white).
+        if isinstance(albedo, api.Checker):
+            albedo = tuple(albedo.even)
+        elif isinstance(albedo, api.Marble):
+            albedo = tuple(albedo.color)
+        else:  # ImageTexture (or future textures): explicit white
+            albedo = (1.0, 1.0, 1.0)
     fuzz = float(getattr(mat, "fuzz", 0.0))
     ior = float(getattr(mat, "ior", 1.5))
     emit = tuple(getattr(mat, "emit", (0.0, 0.0, 0.0)))

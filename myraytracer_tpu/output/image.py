@@ -24,10 +24,11 @@ def gamma_encode(img: np.ndarray, gamma=2.0) -> np.ndarray:
     """Clamp to [0,1] and apply the transfer function.
 
     ``gamma`` is a float exponent (2.0 ⇒ sqrt, RTiOW's convention) or the
-    string ``"srgb"`` for the piecewise sRGB EOTF — the transfer the
-    reference effectively uses by presenting through an sRGB surface
-    format (``lib.rs:1105-1107``), so ``--gamma srgb`` output compares
-    pixel-exactly with the live reference window.
+    string ``"srgb"`` for the piecewise sRGB encode (the inverse EOTF /
+    OETF: linear → encoded) — the transfer the reference effectively uses
+    by presenting through an sRGB surface format (``lib.rs:1105-1107``),
+    so ``--gamma srgb`` output compares pixel-exactly with the live
+    reference window.
     """
     img = np.clip(np.asarray(img, np.float32), 0.0, 1.0)
     if gamma == "srgb":

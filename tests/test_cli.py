@@ -59,6 +59,31 @@ def test_cli_env_backend_override(tmp_path, monkeypatch):
     assert cli.main(BASE + ["--frames", "1", "--out", str(out)]) == 0
 
 
+def test_cli_env_log_override(tmp_path, monkeypatch):
+    """MYRT_LOG sets the level when --log-level is absent (the reference's
+    RUST_LOG/env_logger contract, native-runner/src/main.rs:6-9); an
+    explicit flag wins; a bogus value dies loudly."""
+    import logging
+
+    seen = []
+    monkeypatch.setattr(
+        logging, "basicConfig", lambda **kw: seen.append(kw.get("level"))
+    )
+    out = tmp_path / "log.png"
+    monkeypatch.setenv("MYRT_LOG", "warning")
+    assert cli.main(BASE + ["--frames", "1", "--out", str(out)]) == 0
+    assert seen[-1] == logging.WARNING
+
+    # flag beats env
+    assert cli.main(BASE + ["--frames", "1", "--log-level", "debug",
+                            "--out", str(out)]) == 0
+    assert seen[-1] == logging.DEBUG
+
+    monkeypatch.setenv("MYRT_LOG", "bogus")
+    with pytest.raises(SystemExit):
+        cli.main(BASE + ["--frames", "1", "--out", str(out)])
+
+
 def test_cli_url_query_rebuilds_session(tmp_path):
     """A /?param= page load rebuilds the session mid-run with the merged
     config (the reference web runner's Args-from-query, lib.rs:72-94)."""

@@ -174,6 +174,31 @@ def test_meshdump_roundtrip_and_cpu_bvh_render(tmp_path):
     assert abs(tpu_bounces - cpu_bounces) < 0.15, (tpu_bounces, cpu_bounces)
 
 
+def test_meshdump_textured_albedo_exports_base_color(tmp_path):
+    """Textured albedos export the base color scene/compile._base_color
+    uses (Checker -> even, Marble -> color, ImageTexture -> white), not a
+    silent white for every texture."""
+    import struct
+
+    from myraytracer_tpu.native.meshdump import _material_row
+    from myraytracer_tpu.scene import api
+
+    def albedo_of(mat):
+        ty, r, g, b = struct.unpack("<i3f", _material_row(mat)[:16])
+        return (round(r, 5), round(g, 5), round(b, 5))
+
+    checker = api.Lambertian(api.Checker((0.2, 0.4, 0.6), (0.9, 0.9, 0.9)))
+    assert albedo_of(checker) == (0.2, 0.4, 0.6)
+    marble = api.Lambertian(api.Marble((0.3, 0.5, 0.7), 2.0))
+    assert albedo_of(marble) == (0.3, 0.5, 0.7)
+    img = api.Lambertian(
+        api.ImageTexture(np.full((2, 2, 3), 0.5, np.float32))
+    )
+    assert albedo_of(img) == (1.0, 1.0, 1.0)
+    solid = api.Lambertian((0.1, 0.2, 0.3))
+    assert albedo_of(solid) == (0.1, 0.2, 0.3)
+
+
 def test_meshdump_rejects_non_mesh_worlds(tmp_path):
     from myraytracer_tpu.native.meshdump import dump_world
     from myraytracer_tpu.scene.presets import final_scene, mesh_scene

@@ -62,20 +62,40 @@ def build_renderer(world, w, h, spp, depth, extra):
     )
 
 
-def main():
+def main(check: bool = False) -> int:
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
     key = crng.key_from_seed(0)
     rows = [(n, s, w, h, p, d, {}) for n, s, w, h, p, d in CONFIGS]
     rows += EXT_CONFIGS
+    failures = []
     for name, scene_name, w, h, spp, depth, extra in rows:
         world = presets.get_scene(scene_name)
         scene = compile_scene(world)
         render = build_renderer(world, w, h, spp, depth, extra)
         img, segs = render(scene, key, 0)
         arr = np.asarray(img)
-        np.save(GOLDEN_DIR / f"{name}.npy", arr)
-        print(f"{name}: shape={arr.shape} mean={arr.mean():.6f} segs={float(segs):.0f}")
+        if check:
+            # Drift check at test_golden's own tolerance (rtol=1e-4):
+            # a jax/XLA release that moves CPU fusion by ulps must not
+            # fail CI when the tests themselves would pass.
+            want = np.load(GOLDEN_DIR / f"{name}.npy")
+            ok = arr.shape == want.shape and np.allclose(
+                arr, want, rtol=1e-4, atol=1e-5
+            )
+            print(f"{name}: {'ok' if ok else 'DRIFT'}")
+            if not ok:
+                failures.append(name)
+        else:
+            np.save(GOLDEN_DIR / f"{name}.npy", arr)
+            print(
+                f"{name}: shape={arr.shape} mean={arr.mean():.6f} "
+                f"segs={float(segs):.0f}"
+            )
+    if failures:
+        print(f"goldens drifted beyond tolerance: {failures}")
+        return 1
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main(check="--check" in sys.argv[1:]))
