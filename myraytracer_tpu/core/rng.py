@@ -34,12 +34,17 @@ TAU = 6.283185307179586
 # Draw-slot layout inside one (pixel, sample) stream. Each threefry call
 # yields two u32 words, i.e. two uniforms. ``draw_id`` for a given sample is
 # ``sample_id * DRAWS_PER_SAMPLE + slot``; slots 0-1 are camera draws, each
-# bounce then owns DRAWS_PER_BOUNCE consecutive slots. Depth is capped so
-# the u32 counter never wraps for < 2^24 accumulated samples.
+# bounce then owns DRAWS_PER_BOUNCE consecutive slots. One u32 "page" of
+# slots covers bounces 0..MAX_DEPTH; deeper bounces reuse the same slot
+# window under a per-page DERIVED key (:func:`depth_page_key`), so any u32
+# ray depth is supported — matching the reference CLI contract
+# (native-runner/src/main.rs:27-28 accepts any u32) — while depth <=
+# MAX_DEPTH keeps the original single-page stream bitwise.
 DRAWS_PER_BOUNCE = 4
 CAMERA_DRAWS = 2
-MAX_DEPTH = 62
-DRAWS_PER_SAMPLE = CAMERA_DRAWS + DRAWS_PER_BOUNCE * (MAX_DEPTH + 1)  # 254
+MAX_DEPTH = 62  # bounces per draw page (page 0 = the legacy layout)
+BOUNCES_PER_PAGE = MAX_DEPTH + 1
+DRAWS_PER_SAMPLE = CAMERA_DRAWS + DRAWS_PER_BOUNCE * BOUNCES_PER_PAGE  # 254
 
 
 def _rotl32(x: jnp.ndarray, r: int) -> jnp.ndarray:
@@ -96,6 +101,30 @@ def fold_key(key, data: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
 # of every main-stream draw without consuming a slot — enabling RR shifts
 # nothing in the existing stream (slots 0-3 are all occupied under NEE).
 RR_KEY_FOLD = 0x52524F55  # "RROU"
+
+# Fold base for deep-bounce draw pages: page p >= 1 folds DEPTH_PAGE_FOLD+p.
+# Collision-free with RR_KEY_FOLD for every reachable page: they'd collide
+# at p = RR_KEY_FOLD - DEPTH_PAGE_FOLD ≈ 2.36e8, but a u32 ray depth caps
+# pages at ceil(2^32 / 63) ≈ 6.8e7.
+DEPTH_PAGE_FOLD = 0x44455054  # "DEPT"
+
+
+def depth_page_key(key, page):
+    """Key for draw page ``page`` (u32 scalar or array).
+
+    Bounce ``i`` draws on page ``i // BOUNCES_PER_PAGE`` at the local slot
+    window of ``i % BOUNCES_PER_PAGE``. Page 0 IS the main key — the
+    legacy stream for bounces 0..MAX_DEPTH stays bitwise identical — and
+    page p >= 1 derives an independent key, so cross-page draw-id reuse is
+    collision-free. Vector ``page`` (the Pallas kernel's per-lane bounce
+    counters) broadcasts fine: all threefry ops are elementwise.
+    """
+    p = jnp.asarray(page, jnp.uint32)
+    fk0, fk1 = threefry2x32(
+        key, (p + jnp.uint32(DEPTH_PAGE_FOLD), jnp.uint32(0x9E3779B9))
+    )
+    is_main = p == jnp.uint32(0)
+    return (jnp.where(is_main, key[0], fk0), jnp.where(is_main, key[1], fk1))
 
 
 def _to_unit_f32(bits: jnp.ndarray) -> jnp.ndarray:

@@ -1533,24 +1533,46 @@ def _trace_kernel(
 
         # --- scatter (same draw slots as the oracle) ----------------------
         sample_id = sample_start + s.astype(jnp.uint32)
+        if depth > crng.MAX_DEPTH:
+            # Deep-depth draw pages (crng.depth_page_key): per-lane page
+            # from the bounce counter, scatter/NEE/RR draws under the
+            # page key at the local slot window — same math as the
+            # oracle, so deep frames stay bitwise across backends. The
+            # hw-PRNG scatter path has no slot budget (draw2 ignores the
+            # slot), but its threefry RR stream still pages (unused page
+            # values are DCE'd when rr is off).
+            page = (b // jnp.int32(crng.BOUNCES_PER_PAGE)).astype(jnp.uint32)
+            local_b = b - (page * jnp.uint32(crng.BOUNCES_PER_PAGE)).astype(
+                jnp.int32
+            )
+            bkey = crng.depth_page_key(key, page)
+            brr_key = crng.fold_key(bkey, crng.RR_KEY_FOLD) if rr else None
+            if rng_mode == "hw":
+                draw2b = draw2
+            else:
+
+                def draw2b(draw_slot, _k=bkey):
+                    return crng.uniform2(_k, lane_id, draw_slot)
+        else:
+            local_b, brr_key, draw2b = b, rr_key, draw2
         draw = (
             sample_id * jnp.uint32(crng.DRAWS_PER_SAMPLE)
             + jnp.uint32(crng.CAMERA_DRAWS)
-            + b.astype(jnp.uint32) * jnp.uint32(crng.DRAWS_PER_BOUNCE)
+            + local_b.astype(jnp.uint32) * jnp.uint32(crng.DRAWS_PER_BOUNCE)
         )
         # Draw slots are absolute, so skipping a family's draws never
         # shifts the rest of the stream (parity with the oracle holds).
         need_ball = 2 in material_set
         need_ud = (3 in material_set) or nee
         if 1 in material_set:
-            us1, us2 = draw2(draw)
+            us1, us2 = draw2b(draw)
             sphere_sample = crng.unit_sphere_from_uniforms(us1, us2)
         else:
             sphere_sample = zero3
         if need_ball:
-            ub1, ub2 = draw2(draw + jnp.uint32(1))
+            ub1, ub2 = draw2b(draw + jnp.uint32(1))
         if need_ball or need_ud:
-            ub3, ud = draw2(draw + jnp.uint32(2))
+            ub3, ud = draw2b(draw + jnp.uint32(2))
         else:
             ud = zero
         ball_sample = (
@@ -1561,7 +1583,7 @@ def _trace_kernel(
             # Three extra draw2 calls (the per-bounce scatter draw budget)
             # at distinct slots: the threefry cost, data-independent.
             for off in (101, 102, 103):
-                ra, rb = draw2(draw + jnp.uint32(off))
+                ra, rb = draw2b(draw + jnp.uint32(off))
                 sink_parts.append(ra)
                 sink_parts.append(rb)
         if "samplers" in abl:
@@ -1578,7 +1600,7 @@ def _trace_kernel(
                 SHADOW_EPS, sample_lights,
             )
 
-            n1, n2 = draw2(draw + jnp.uint32(3))
+            n1, n2 = draw2b(draw + jnp.uint32(3))
             omega, t_p, contrib, ok_s = sample_lights(
                 nee_lights, hit.point, hit.normal, ud, n1, n2
             )
@@ -1628,7 +1650,7 @@ def _trace_kernel(
             # expressions as the oracle (value-identical paths). Killed
             # lanes fall straight into the regeneration below.
             do_rr = alive & (b >= jnp.int32(rr))
-            u_rr, _ = crng.uniform2(rr_key, lane_id, draw)
+            u_rr, _ = crng.uniform2(brr_key, lane_id, draw)
             p_rr = jnp.clip(
                 jnp.maximum(atten.x, jnp.maximum(atten.y, atten.z)),
                 0.05, 0.95,
@@ -1876,8 +1898,6 @@ def make_block_renderer(
             "textures'); render image-textured scenes on the jnp "
             "integrator (backend=auto falls back automatically)"
         )
-    if ray_depth > crng.MAX_DEPTH:
-        raise ValueError(f"ray_depth {ray_depth} exceeds MAX_DEPTH {crng.MAX_DEPTH}")
     # Reference-mode camera is fixed by contract (shader.wgsl:360-361) and
     # stays baked in; the general thin-lens camera is read from the packed
     # SMEM operand so camera motion re-uses the compiled kernel (the
@@ -2061,8 +2081,6 @@ def make_adaptive_renderer(
             "textures'); render image-textured scenes on the jnp "
             "integrator (backend=auto falls back automatically)"
         )
-    if ray_depth > crng.MAX_DEPTH:
-        raise ValueError(f"ray_depth {ray_depth} exceeds MAX_DEPTH {crng.MAX_DEPTH}")
     if cam.reference_mode or kc.STATIC_CAM:
         static_gen = cam_mod.make_ray_generator(cam, width, height)
         ray_gen_factory = lambda ref: static_gen  # noqa: E731

@@ -104,8 +104,6 @@ def make_adaptive_oracle(
     del material_set, static_ior, texture_set  # oracle keeps all branches
     # (and reads texture rows straight off the compiled scene)
     del n_sel  # the oracle renders whatever id list it is handed
-    if ray_depth > crng.MAX_DEPTH:
-        raise ValueError(f"ray_depth {ray_depth} exceeds MAX_DEPTH {crng.MAX_DEPTH}")
     blocks_x, _, _ = block_geometry(width, height, block_w, block_h)
     static_gen = cam_mod.make_ray_generator(cam, width, height)
     lanes = block_h * block_w

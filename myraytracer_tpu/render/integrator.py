@@ -74,8 +74,11 @@ def trace(
     """
     nee = bool(nee_lights)
     rr = int(rr)
-    if depth > crng.MAX_DEPTH:
-        raise ValueError(f"ray_depth {depth} exceeds MAX_DEPTH {crng.MAX_DEPTH}")
+    # Depths past MAX_DEPTH page the bounce draw slots under per-page
+    # derived keys (crng.depth_page_key) — any u32 depth renders, and the
+    # stream for depth <= MAX_DEPTH is bitwise the single-page legacy one
+    # (the static `paged` flag keeps the common path free of page math).
+    paged = depth > crng.MAX_DEPTH
     rr_key = crng.fold_key(key, crng.RR_KEY_FOLD) if rr else None
     shape = o.x.shape
     draw_base = (
@@ -139,10 +142,21 @@ def trace(
 
         # Scatter draws: slot 0 = unit-sphere; slots 1-2 = unit-ball;
         # slot 2's second word = dielectric reflect draw.
-        draw = draw_base + i.astype(jnp.uint32) * jnp.uint32(crng.DRAWS_PER_BOUNCE)
-        us1, us2 = crng.uniform2(key, lane_id, draw)
-        ub1, ub2 = crng.uniform2(key, lane_id, draw + jnp.uint32(1))
-        ub3, ud = crng.uniform2(key, lane_id, draw + jnp.uint32(2))
+        if paged:
+            page = (i // jnp.int32(crng.BOUNCES_PER_PAGE)).astype(jnp.uint32)
+            local = i - (page * jnp.uint32(crng.BOUNCES_PER_PAGE)).astype(
+                jnp.int32
+            )
+            bkey = crng.depth_page_key(key, page)
+            brr_key = crng.fold_key(bkey, crng.RR_KEY_FOLD) if rr else None
+        else:
+            local, bkey, brr_key = i, key, rr_key
+        draw = draw_base + local.astype(jnp.uint32) * jnp.uint32(
+            crng.DRAWS_PER_BOUNCE
+        )
+        us1, us2 = crng.uniform2(bkey, lane_id, draw)
+        ub1, ub2 = crng.uniform2(bkey, lane_id, draw + jnp.uint32(1))
+        ub3, ud = crng.uniform2(bkey, lane_id, draw + jnp.uint32(2))
         sphere_sample = crng.unit_sphere_from_uniforms(us1, us2)
         ball_sample = crng.unit_ball_from_uniforms(ub1, ub2, ub3)
 
@@ -152,7 +166,7 @@ def trace(
                 SHADOW_EPS, sample_lights,
             )
 
-            n1, n2 = crng.uniform2(key, lane_id, draw + jnp.uint32(3))
+            n1, n2 = crng.uniform2(bkey, lane_id, draw + jnp.uint32(3))
             omega, t_p, contrib, ok_s = sample_lights(
                 nee_lights, hit.point, hit.normal, ud, n1, n2
             )
@@ -183,7 +197,7 @@ def trace(
             # Russian roulette before tracing bounce i+1 (>= rr): kill
             # with probability 1-p, divide survivors' throughput by p.
             do_rr = alive & (i + 1 >= jnp.int32(rr))
-            u, _ = crng.uniform2(rr_key, lane_id, draw)
+            u, _ = crng.uniform2(brr_key, lane_id, draw)
             p = jnp.clip(
                 jnp.maximum(atten.x, jnp.maximum(atten.y, atten.z)),
                 0.05, 0.95,
@@ -278,8 +292,6 @@ def make_block_renderer(
     Out-of-range samples are traced but masked to weight 0, so shapes are
     static under sharding. The caller divides by the global sample count.
     """
-    if ray_depth > crng.MAX_DEPTH:
-        raise ValueError(f"ray_depth {ray_depth} exceeds MAX_DEPTH {crng.MAX_DEPTH}")
     del material_set, static_ior, texture_set  # the oracle keeps all
     # branches and reads texture rows straight off the compiled scene
     # (these are Pallas-kernel specialization knobs)

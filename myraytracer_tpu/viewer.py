@@ -52,7 +52,6 @@ from urllib.parse import parse_qs
 
 import numpy as np
 
-from myraytracer_tpu.core.rng import MAX_DEPTH
 from myraytracer_tpu.output.image import encode_png, to_u8
 
 log = logging.getLogger("myraytracer_tpu.viewer")
@@ -84,7 +83,9 @@ SESSION_BOUNDS = {
     "width": (0, 4096),
     "height": (0, 4096),
     "samples_per_frame": (1, 4096),
-    "ray_depth": (1, MAX_DEPTH),
+    # Any u32 depth renders (paged draw keys, core/rng.py), but viewer
+    # rebuilds are cost-bounded: depth multiplies worst-case kernel time.
+    "ray_depth": (1, 1024),
     "max_framebuffer_weight": (0.0, 1.0),
 }
 # Bound on the *resolved* pixel count (the per-dimension bounds alone

@@ -81,9 +81,62 @@ def test_dielectric_scene_traces():
     assert img.max() > 0.1  # something visible
 
 
-def test_depth_cap_enforced():
-    with pytest.raises(ValueError):
-        make_renderer(api.Camera.reference(), 8, 8, 1, crng.MAX_DEPTH + 1)
+def test_deep_depth_renders_and_is_deterministic():
+    """Any u32 --ray-depth renders (reference CLI contract,
+    native-runner/src/main.rs:27-28): depths past MAX_DEPTH page the
+    bounce draws under derived keys (core/rng.py depth_page_key)."""
+    scene = compile_scene(presets.three_sphere_scene())
+    deep = make_renderer(
+        api.Camera.reference(), W, H, 2, crng.MAX_DEPTH + 38, sample_batch=2
+    )
+    a, segs = deep(scene, KEY, 0)
+    a = np.asarray(a)
+    assert np.isfinite(a).all() and (a >= 0).all()
+    b, _ = deep(scene, KEY, 0)
+    np.testing.assert_array_equal(a, np.asarray(b))
+    # The dielectric scene has long glass chains, but depth-100 radiance
+    # still matches a depth-62 render statistically (the tail carries
+    # almost no energy) — catches page-key stream corruption that a
+    # determinism check alone would miss.
+    shallow = make_renderer(
+        api.Camera.reference(), W, H, 2, crng.MAX_DEPTH, sample_batch=2
+    )
+    c = np.asarray(shallow(scene, KEY, 0)[0])
+    assert abs(a.mean() - c.mean()) < 0.02, (a.mean(), c.mean())
+
+
+def test_deep_depth_early_termination_matches_shallow_bitwise():
+    """On a scene whose every path retires on page 0 (empty world: all
+    camera rays miss at bounce 0), a paged renderer is bitwise the
+    single-page one — page 0 IS the legacy stream."""
+    scene = compile_scene(api.World([]))
+    shallow = make_renderer(api.Camera.reference(), W, H, 2, 8, sample_batch=2)
+    deep = make_renderer(
+        api.Camera.reference(), W, H, 2, crng.MAX_DEPTH + 100, sample_batch=2
+    )
+    np.testing.assert_array_equal(
+        np.asarray(shallow(scene, KEY, 0)[0]), np.asarray(deep(scene, KEY, 0)[0])
+    )
+
+
+def test_depth_page_key_contract():
+    """Page 0 is the main key; pages >= 1 derive distinct keys, and the
+    same draw slot under different pages yields independent uniforms."""
+    import jax.numpy as jnp
+
+    k0 = crng.depth_page_key(KEY, 0)
+    assert int(k0[0]) == int(KEY[0]) and int(k0[1]) == int(KEY[1])
+    lanes = jnp.arange(64, dtype=jnp.uint32)
+    seen = set()
+    for page in (0, 1, 2, 7):
+        kp = crng.depth_page_key(KEY, page)
+        seen.add((int(kp[0]), int(kp[1])))
+        u1, _ = crng.uniform2(kp, lanes, jnp.uint32(5))
+        assert float(jnp.min(u1)) >= 0.0 and float(jnp.max(u1)) < 1.0
+    assert len(seen) == 4  # all distinct
+    # Page keys never collide with the RR fold for reachable pages.
+    max_page = (0xFFFFFFFF // crng.BOUNCES_PER_PAGE) + 1
+    assert crng.DEPTH_PAGE_FOLD + max_page < crng.RR_KEY_FOLD
 
 
 def test_emissive_hit_returns_throughput_times_emission():

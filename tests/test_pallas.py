@@ -47,6 +47,26 @@ def test_defocus_scene_parity():
 
 
 @pytest.mark.slow
+def test_deep_depth_parity():
+    """Depths past MAX_DEPTH (paged draw keys, core/rng.py) stay bitwise
+    across backends: both paths compute the same per-lane page keys."""
+    world = presets.three_sphere_scene()
+    scene = compile_scene(world)
+    depth = crng.MAX_DEPTH + 8
+    jnp_render = make_jnp_renderer(
+        world.camera, W, H, SPP, depth, sample_batch=SPP
+    )
+    pal_render = make_pallas_renderer(
+        world.camera, W, H, SPP, depth, tile_rows=8, interpret=True
+    )
+    a, segs_a = jnp_render(scene, KEY, 0)
+    b, segs_b = pal_render(scene, KEY, 0)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5,
+                               atol=1e-6)
+    assert float(segs_a) == float(segs_b)
+
+
+@pytest.mark.slow
 def test_final_scene_culled_parity():
     """>64 spheres engages the chunk-AABB culled sweep; culling is
     conservative so results match the oracle exactly (same stream)."""

@@ -95,6 +95,27 @@ def test_rr_kernel_oracle_parity():
     assert float(sa) == float(sb)  # identical kill decisions
 
 
+def test_rr_deep_depth_kernel_oracle_parity():
+    """RR decision draws page with the bounce key past MAX_DEPTH
+    (core/rng.py): both backends must take identical kill decisions."""
+    from myraytracer_tpu.core import rng as crng
+    from myraytracer_tpu.kernels.trace import (
+        make_renderer as make_pallas_renderer,
+    )
+
+    world = presets.three_sphere_scene()
+    scene = compile_scene(world)
+    depth = crng.MAX_DEPTH + 6
+    jr = make_renderer(world.camera, 16, 8, 2, depth, sample_batch=2, rr=3)
+    pr = make_pallas_renderer(world.camera, 16, 8, 2, depth, tile_rows=8,
+                              interpret=True, rr=3)
+    a, sa = jr(scene, KEY, 0)
+    b, sb = pr(scene, KEY, 0)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-5, atol=1e-6)
+    assert float(sa) == float(sb)
+
+
 def test_rr_session_cli_and_checkpoint_provenance(tmp_path):
     cfg = RenderConfig(width=16, height=8, samples_per_frame=2,
                        ray_depth=8, backend="jnp", rr=3)

@@ -130,7 +130,7 @@ def test_viewer_bounds_rejected():
             "/?height=-1",
             "/?samples_per_frame=10000",
             "/?samples_per_frame=0",
-            "/?ray_depth=100",
+            "/?ray_depth=2000",
             "/?max_framebuffer_weight=2.5",
         ):
             try:
@@ -157,8 +157,13 @@ def test_viewer_merged_config_bounds():
     validate_config_bounds(RenderConfig(width=2048, height=2048))
     with pytest.raises(ValueError, match="pixels"):
         validate_config_bounds(RenderConfig(width=4096, height=4096))
+    # Depths past the old 62 cap are now legal (paged draw keys,
+    # core/rng.py); only the viewer's cost bound (1024) rejects.
+    validate_config_bounds(RenderConfig(width=64, height=64, ray_depth=63))
     with pytest.raises(ValueError, match="ray_depth"):
-        validate_config_bounds(RenderConfig(width=64, height=64, ray_depth=63))
+        validate_config_bounds(
+            RenderConfig(width=64, height=64, ray_depth=2000)
+        )
     # 0-means-derive stays legal and resolves within budget.
     validate_config_bounds(RenderConfig(width=0, height=0))
 
