@@ -91,8 +91,10 @@ def build_parser() -> argparse.ArgumentParser:
         "surface, lib.rs:1105-1107)",
     )
     p.add_argument(
-        "--backend", choices=["auto", "jnp", "pallas"], default="auto",
-        help="integrator backend: pure-jnp oracle or fused Pallas kernel; "
+        "--backend", choices=["auto", "jnp", "pallas", "cpu"], default="auto",
+        help="integrator backend: pure-jnp oracle, fused Pallas kernel, or "
+        "the native C++ SAH-BVH renderer (cpu — large mesh/sphere scenes; "
+        "a different sample stream); "
         "when 'auto', the MYRT_BACKEND env var overrides (the analog of "
         "the reference's WGPU_BACKEND override, lib.rs:322)",
     )
@@ -269,8 +271,10 @@ def main(argv=None) -> int:
     backend = args.backend
     if backend == "auto" and os.environ.get("MYRT_BACKEND"):
         backend = os.environ["MYRT_BACKEND"]
-        if backend not in ("auto", "jnp", "pallas"):
-            raise SystemExit(f"MYRT_BACKEND={backend!r}: not auto|jnp|pallas")
+        if backend not in ("auto", "jnp", "pallas", "cpu"):
+            raise SystemExit(
+                f"MYRT_BACKEND={backend!r}: not auto|jnp|pallas|cpu"
+            )
 
     if args.multihost is not None:
         # Before any backend use: after this, jax.devices() is the global

@@ -265,6 +265,12 @@ class AdaptiveSession:
         resolved = config.backend
         if resolved == "auto":
             resolved = "pallas" if jax.default_backend() == "tpu" else "jnp"
+        if resolved == "cpu":
+            raise ValueError(
+                "adaptive sampling runs on the jnp/pallas backends (the "
+                "native cpu path has no block renderer); use backend "
+                "'auto', 'jnp' or 'pallas'"
+            )
         self.backend_resolved = resolved
 
         from myraytracer_tpu.kernels import trace as ktrace

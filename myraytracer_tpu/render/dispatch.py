@@ -1,13 +1,20 @@
 """Backend dispatch: choose the renderer factory for a config.
 
-Three compute paths produce frames with identical semantics (and, for jnp
+Four compute paths produce frames with identical semantics (and, for jnp
 vs pallas, the identical threefry sample stream):
 
 * ``jnp``    — the pure-jnp wavefront oracle (render/integrator.py);
 * ``pallas`` — the fused Pallas megakernel (kernels/trace.py);
-* sharding wraps either path over a device mesh (parallel/sharding.py).
+* ``cpu``    — the native C++ SAH-BVH renderer (native/cpu_backend.py;
+  a different — mt19937 — sample stream, so images agree statistically);
+* sharding wraps the jnp/pallas paths over a device mesh
+  (parallel/sharding.py).
 
-``auto`` resolves to pallas on TPU backends and jnp elsewhere.
+``auto`` resolves to pallas on TPU backends and jnp elsewhere — except
+that on TPU hosts, eligible large scenes route to ``cpu`` when the
+measured throughput models predict the host's cores out-render the TPU
+kernel (BENCH.md "Backend routing"; the 25k-tri/40k-sphere regimes where
+per-ray log-tree traversal beats per-tile conservative gating).
 """
 
 from __future__ import annotations
@@ -20,14 +27,32 @@ from myraytracer_tpu.render.session import RenderSession
 from myraytracer_tpu.scene import api
 
 
+def _device_backend() -> str:
+    """jax.default_backend(), indirected for tests (which force the CPU
+    platform but need to exercise the TPU routing decision)."""
+    return jax.default_backend()
+
+
 def resolve_backend(config: RenderConfig) -> str:
     if config.backend != "auto":
         return config.backend
     return "pallas" if jax.default_backend() == "tpu" else "jnp"
 
 
-def renderer_factory(config: RenderConfig):
+def renderer_factory(config: RenderConfig, world: api.World = None):
     backend = resolve_backend(config)
+    if backend == "cpu":
+        from myraytracer_tpu.native import cpu_backend
+
+        if world is None:
+            raise ValueError(
+                "backend cpu builds its factory from the API world "
+                "(native scene dump); use make_session"
+            )
+        reason = cpu_backend.cpu_ineligibility(world, config)
+        if reason is not None:
+            raise ValueError(f"backend cpu does not support {reason}")
+        return cpu_backend.make_cpu_factory(world)
     if backend == "pallas":
         try:
             from myraytracer_tpu.kernels.trace import make_renderer as make_pallas
@@ -62,7 +87,15 @@ def renderer_factory(config: RenderConfig):
 
 def make_session(world: api.World, config: RenderConfig) -> RenderSession:
     cfg = config
-    if resolve_backend(config) == "pallas" and config.backend == "auto":
+    if config.backend == "auto":
+        from myraytracer_tpu.native import cpu_backend
+
+        routed = cpu_backend.auto_route(world, config, _device_backend())
+        if routed == "cpu":
+            # Recorded in checkpoint provenance as backend="cpu" (a
+            # different sample stream than the TPU paths).
+            cfg = config.replace(backend="cpu")
+    if resolve_backend(cfg) == "pallas" and cfg.backend == "auto":
         # Large primitive tables move to VMEM automatically (no practical
         # cap — kernels/trace.py TRI_VMEM/SPH_VMEM); only scenes whose
         # AABB *gate* tables alone exceed the SMEM budget (tens of
@@ -104,5 +137,7 @@ def make_session(world: api.World, config: RenderConfig) -> RenderSession:
             logging.getLogger("myraytracer_tpu").warning(
                 "%s; auto backend falls back to jnp", downgrade
             )
-            cfg = dataclasses.replace(config, backend="jnp")
-    return RenderSession(world, cfg, renderer_factory=renderer_factory(cfg))
+            cfg = dataclasses.replace(cfg, backend="jnp")
+    return RenderSession(
+        world, cfg, renderer_factory=renderer_factory(cfg, world=world)
+    )

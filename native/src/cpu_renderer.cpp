@@ -25,6 +25,16 @@
 // This is an independent implementation (fresh code, RTiOW semantics),
 // not a port of the reference's Rust/WGSL.
 //
+// Since round 4 this file is ALSO the first-class `--backend cpu` render
+// path: compiled into libmrt_native.so (with -DMRT_CPU_LIB, which drops
+// main()) it exposes an extern "C" frame API — load a scene dump once,
+// then render frames into a caller buffer with a per-frame seed and an
+// optional packed runtime camera (the session's [19]-f32 `scene.cam`
+// operand, render/camera.py:pack_camera layout). Frame RNG is seeded
+// per ROW (splitmix64(seed, row)), so images are deterministic and
+// independent of the thread count/schedule — the property the Python
+// session's checkpoint provenance relies on.
+//
 // Build: make -C native cpu  → native/mrt_cpu_bench
 // Run:   ./native/mrt_cpu_bench [width height spp depth threads] [--bvh]
 //        ./native/mrt_cpu_bench --mesh scene.bin [width height spp depth threads]
@@ -80,6 +90,15 @@ struct Sphere {
   Vec emit{0, 0, 0};
 };
 
+// splitmix64 finalizer: decorrelates (seed, row) into an mt19937 seed so
+// per-row streams are independent and thread-schedule invariant.
+uint64_t mix64(uint64_t x) {
+  x += 0x9E3779B97F4A7C15ull;
+  x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ull;
+  x = (x ^ (x >> 27)) * 0x94D049BB133111EBull;
+  return x ^ (x >> 31);
+}
+
 struct Rng {
   std::mt19937 gen;
   std::uniform_real_distribution<float> uni{0.0f, 1.0f};
@@ -100,7 +119,7 @@ struct Rng {
   }
 };
 
-std::vector<Sphere> final_scene() {
+[[maybe_unused]] std::vector<Sphere> final_scene() {
   // RTiOW final scene, deterministic.
   std::mt19937 gen(0);
   std::uniform_real_distribution<float> uni(0.0f, 1.0f);
@@ -514,13 +533,14 @@ bool scatter(const Material& mt, const Vec& d, const Vec& n, bool front,
 
 Vec trace_spheres(const std::vector<Sphere>& w, const SphereBVH* bvh, Vec o,
                   Vec d, int depth, Rng& rng, uint64_t* segs,
-                  bool has_ambient = false, Vec ambient = {0, 0, 0}) {
+                  bool has_ambient = false, Vec ambient = {0, 0, 0},
+                  float tmin = 1e-3f, float tmax = 1e4f) {
   Vec atten{1, 1, 1};
   for (int i = 0; i < depth; ++i) {
     ++*segs;
     Hit h;
-    bool hit = bvh ? sphere_bvh_hit(*bvh, o, d, 1e-3f, 1e4f, &h)
-                   : world_hit(w, o, d, 1e-3f, 1e4f, &h);
+    bool hit = bvh ? sphere_bvh_hit(*bvh, o, d, tmin, tmax, &h)
+                   : world_hit(w, o, d, tmin, tmax, &h);
     if (!hit) return atten * (has_ambient ? ambient : sky(d.y));
     const Sphere& s = bvh ? bvh->spheres[h.idx] : w[h.idx];
     Vec p = o + d * h.t;
@@ -542,12 +562,12 @@ Vec trace_spheres(const std::vector<Sphere>& w, const SphereBVH* bvh, Vec o,
 }
 
 Vec trace_mesh(const MeshScene& s, Vec o, Vec d, int depth, Rng& rng,
-               uint64_t* segs) {
+               uint64_t* segs, float tmin = 1e-3f, float tmax = 1e4f) {
   Vec atten{1, 1, 1};
   for (int i = 0; i < depth; ++i) {
     ++*segs;
     Hit h;
-    if (!mesh_hit(s, o, d, 1e-3f, 1e4f, &h))
+    if (!mesh_hit(s, o, d, tmin, tmax, &h))
       return atten * (s.has_ambient ? s.ambient : sky(d.y));
     const Tri& tr = s.tris[h.idx];
     Vec p = o + d * h.t;
@@ -586,7 +606,174 @@ CamBasis make_camera(Vec lookfrom, Vec lookat, Vec vup, float vfov_deg,
   return c;
 }
 
+// -- Loaded scene + frame renderer (shared by main() and the C API) ----------
+
+struct CpuScene {
+  int kind = 0;  // 0 = spheres, 1 = mesh
+  MeshScene mesh;
+  std::vector<Sphere> world;
+  SphereBVH sbvh;
+  bool use_bvh = false;
+  bool has_ambient = false;
+  Vec ambient{0, 0, 0};
+  // Dump camera (used when no packed runtime camera is supplied).
+  Vec lookfrom, lookat, vup;
+  float vfov_deg = 20, aperture = 0, focus = 10;
+};
+
+CamBasis basis_from_packed(const float* c) {
+  // render/camera.py pack_camera layout: llc[0:3], horizontal[3:6],
+  // vertical[6:9], origin[9:12], u[12:15], v[15:18], lens_radius[18].
+  CamBasis b;
+  b.llc = {c[0], c[1], c[2]};
+  b.horiz = {c[3], c[4], c[5]};
+  b.vert = {c[6], c[7], c[8]};
+  b.origin = {c[9], c[10], c[11]};
+  b.cu = {c[12], c[13], c[14]};
+  b.cv = {c[15], c[16], c[17]};
+  b.lens_r = c[18];
+  return b;
+}
+
+// Render one frame of `spp` samples/pixel into out_rgb ([H*W*3] f32,
+// per-pixel means, linear radiance). Deterministic for a given seed:
+// each row's RNG is mix64(seed ^ row-mix), independent of threading.
+// Returns traced segment count (one per bounce-loop iteration, the TPU
+// kernel's convention).
+uint64_t render_frame(const CpuScene& s, int W, int H, int spp, int depth,
+                      uint64_t seed, float tmin, float tmax,
+                      const float* cam19, int threads, float* out_rgb) {
+  CamBasis cam = cam19 ? basis_from_packed(cam19)
+                       : make_camera(s.lookfrom, s.lookat, s.vup, s.vfov_deg,
+                                     s.aperture, s.focus, float(W) / H);
+  if (threads <= 0) {
+    threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (threads <= 0) threads = 1;
+  }
+  std::atomic<uint64_t> total_segs{0};
+  std::atomic<int> next_row{0};
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; ++t) {
+    pool.emplace_back([&]() {
+      uint64_t segs = 0;
+      int row;
+      while ((row = next_row.fetch_add(1)) < H) {
+        Rng rng(mix64(seed ^ mix64(uint64_t(row) + 1)));
+        for (int x = 0; x < W; ++x) {
+          Vec acc{0, 0, 0};
+          for (int sIdx = 0; sIdx < spp; ++sIdx) {
+            float sx = (x + rng.f()) / W;
+            float sy = 1.0f - (row + rng.f()) / H;
+            Vec o = cam.origin;
+            if (cam.lens_r > 0) {
+              float dx, dy;
+              rng.unit_disk(dx, dy);
+              o = o + cam.cu * (cam.lens_r * dx) + cam.cv * (cam.lens_r * dy);
+            }
+            Vec d = norm(cam.llc + cam.horiz * sx + cam.vert * sy - o);
+            Vec c = s.kind == 1
+                        ? trace_mesh(s.mesh, o, d, depth, rng, &segs, tmin, tmax)
+                        : trace_spheres(s.world, s.use_bvh ? &s.sbvh : nullptr,
+                                        o, d, depth, rng, &segs, s.has_ambient,
+                                        s.ambient, tmin, tmax);
+            acc = acc + c;
+          }
+          float* px = &out_rgb[(size_t(row) * W + x) * 3];
+          px[0] = acc.x / spp;
+          px[1] = acc.y / spp;
+          px[2] = acc.z / spp;
+        }
+      }
+      total_segs += segs;
+    });
+  }
+  for (auto& th : pool) th.join();
+  return total_segs.load();
+}
+
 }  // namespace
+
+// -- C API (ctypes, myraytracer_tpu/native/cpu_backend.py) -------------------
+
+extern "C" {
+
+// Load a scene dump (sniffs the magic: "MRTMESH1" or "MRTSPH01",
+// meshdump.py formats). Sphere scenes always build the SAH BVH — this is
+// the production path, not the brute-force baseline mode. Returns NULL on
+// failure.
+void* mrt_cpu_scene_load(const char* path) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  char magic[8];
+  size_t got = std::fread(magic, 1, 8, f);
+  std::fclose(f);
+  if (got != 8) return nullptr;
+  auto* s = new CpuScene();
+  if (!std::memcmp(magic, "MRTMESH1", 8)) {
+    if (!load_mesh_scene(path, &s->mesh)) {
+      delete s;
+      return nullptr;
+    }
+    s->kind = 1;
+    s->lookfrom = s->mesh.lookfrom;
+    s->lookat = s->mesh.lookat;
+    s->vup = s->mesh.vup;
+    s->vfov_deg = s->mesh.vfov_deg;
+    s->aperture = s->mesh.aperture;
+    s->focus = s->mesh.focus;
+  } else if (!std::memcmp(magic, "MRTSPH01", 8)) {
+    SphereScene ss;
+    if (!load_sphere_scene(path, &ss)) {
+      delete s;
+      return nullptr;
+    }
+    s->kind = 0;
+    s->world = std::move(ss.spheres);
+    s->use_bvh = s->world.size() > 64;
+    if (s->use_bvh) s->sbvh = build_sphere_bvh(s->world);
+    s->has_ambient = ss.has_ambient;
+    s->ambient = ss.ambient;
+    s->lookfrom = ss.lookfrom;
+    s->lookat = ss.lookat;
+    s->vup = ss.vup;
+    s->vfov_deg = ss.vfov_deg;
+    s->aperture = ss.aperture;
+    s->focus = ss.focus;
+  } else {
+    delete s;
+    return nullptr;
+  }
+  return s;
+}
+
+void mrt_cpu_scene_free(void* h) { delete static_cast<CpuScene*>(h); }
+
+// kind: 0 = spheres, 1 = mesh; n_prims: primitive count.
+void mrt_cpu_scene_info(void* h, int* kind, int* n_prims) {
+  auto* s = static_cast<CpuScene*>(h);
+  *kind = s->kind;
+  *n_prims = static_cast<int>(s->kind == 1 ? s->mesh.tris.size()
+                                           : s->world.size());
+}
+
+// Render one frame. cam19 may be NULL (use the dump camera at aspect
+// W/H); out_rgb must hold W*H*3 floats. Returns 0, with the traced
+// segment count in *out_segs.
+int mrt_cpu_render(void* h, int width, int height, int spp, int depth,
+                   uint64_t seed, float t_min, float t_max,
+                   const float* cam19, int threads, float* out_rgb,
+                   double* out_segs) {
+  if (!h || width <= 0 || height <= 0 || spp <= 0 || depth <= 0) return 1;
+  uint64_t segs =
+      render_frame(*static_cast<CpuScene*>(h), width, height, spp, depth,
+                   seed, t_min, t_max, cam19, threads, out_rgb);
+  if (out_segs) *out_segs = static_cast<double>(segs);
+  return 0;
+}
+
+}  // extern "C"
+
+#ifndef MRT_CPU_LIB
 
 int main(int argc, char** argv) {
   const char* mesh_path = nullptr;
@@ -614,22 +801,22 @@ int main(int argc, char** argv) {
   int threads = pos.size() > 4 ? std::atoi(pos[4])
                                : static_cast<int>(std::thread::hardware_concurrency());
 
-  MeshScene mesh;
-  std::vector<Sphere> world;
-  SphereBVH sphere_bvh;
-  CamBasis cam;
+  CpuScene scene;
   size_t n_prims;
   const char* mode;
-  bool has_ambient = false;
-  Vec ambient{0, 0, 0};
   if (mesh_path) {
-    if (!load_mesh_scene(mesh_path, &mesh)) {
+    if (!load_mesh_scene(mesh_path, &scene.mesh)) {
       std::fprintf(stderr, "failed to load mesh scene %s\n", mesh_path);
       return 2;
     }
-    cam = make_camera(mesh.lookfrom, mesh.lookat, mesh.vup, mesh.vfov_deg,
-                      mesh.aperture, mesh.focus, float(W) / H);
-    n_prims = mesh.tris.size();
+    scene.kind = 1;
+    scene.lookfrom = scene.mesh.lookfrom;
+    scene.lookat = scene.mesh.lookat;
+    scene.vup = scene.mesh.vup;
+    scene.vfov_deg = scene.mesh.vfov_deg;
+    scene.aperture = scene.mesh.aperture;
+    scene.focus = scene.mesh.focus;
+    n_prims = scene.mesh.tris.size();
     mode = "cpu-bvh-mesh";
   } else if (sph_path) {
     SphereScene ss;
@@ -637,70 +824,43 @@ int main(int argc, char** argv) {
       std::fprintf(stderr, "failed to load sphere scene %s\n", sph_path);
       return 2;
     }
-    world = std::move(ss.spheres);
-    has_ambient = ss.has_ambient;
-    ambient = ss.ambient;
-    if (use_bvh || world.size() > 64) {
+    scene.world = std::move(ss.spheres);
+    scene.has_ambient = ss.has_ambient;
+    scene.ambient = ss.ambient;
+    if (use_bvh || scene.world.size() > 64) {
       use_bvh = true;  // dumps are the scaling surface: strong baseline
-      sphere_bvh = build_sphere_bvh(world);
+      scene.use_bvh = true;
+      scene.sbvh = build_sphere_bvh(scene.world);
     }
-    cam = make_camera(ss.lookfrom, ss.lookat, ss.vup, ss.vfov_deg,
-                      ss.aperture, ss.focus, float(W) / H);
-    n_prims = world.size();
+    scene.lookfrom = ss.lookfrom;
+    scene.lookat = ss.lookat;
+    scene.vup = ss.vup;
+    scene.vfov_deg = ss.vfov_deg;
+    scene.aperture = ss.aperture;
+    scene.focus = ss.focus;
+    n_prims = scene.world.size();
     mode = use_bvh ? "cpu-bvh-spheres" : "cpu-bruteforce-spheres";
   } else {
-    world = final_scene();
-    if (use_bvh) sphere_bvh = build_sphere_bvh(world);
+    scene.world = final_scene();
+    scene.use_bvh = use_bvh;
+    if (use_bvh) scene.sbvh = build_sphere_bvh(scene.world);
     // Camera: lookfrom (13,2,3) → (0,0,0), vfov 20, focus 10, aperture 0.1.
-    cam = make_camera({13, 2, 3}, {0, 0, 0}, {0, 1, 0}, 20.0f, 0.1f, 10.0f,
-                      float(W) / H);
-    n_prims = world.size();
+    scene.lookfrom = {13, 2, 3};
+    scene.lookat = {0, 0, 0};
+    scene.vup = {0, 1, 0};
+    scene.vfov_deg = 20.0f;
+    scene.aperture = 0.1f;
+    scene.focus = 10.0f;
+    n_prims = scene.world.size();
     mode = use_bvh ? "cpu-bvh" : "cpu-bruteforce";
   }
 
-  std::atomic<uint64_t> total_segs{0};
   std::vector<float> fb(size_t(W) * H * 3, 0.0f);  // per-pixel means
   auto t0 = std::chrono::steady_clock::now();
-  std::vector<std::thread> pool;
-  std::atomic<int> next_row{0};
-  for (int t = 0; t < threads; ++t) {
-    pool.emplace_back([&, t]() {
-      Rng rng(0x9E3779B97F4A7C15ull * (t + 1));
-      uint64_t segs = 0;
-      int row;
-      while ((row = next_row.fetch_add(1)) < H) {
-        for (int x = 0; x < W; ++x) {
-          Vec acc{0, 0, 0};
-          for (int sIdx = 0; sIdx < spp; ++sIdx) {
-            float sx = (x + rng.f()) / W;
-            float sy = 1.0f - (row + rng.f()) / H;
-            Vec o = cam.origin;
-            if (cam.lens_r > 0) {
-              float dx, dy;
-              rng.unit_disk(dx, dy);
-              o = o + cam.cu * (cam.lens_r * dx) + cam.cv * (cam.lens_r * dy);
-            }
-            Vec d = norm(cam.llc + cam.horiz * sx + cam.vert * sy - o);
-            Vec c = mesh_path
-                        ? trace_mesh(mesh, o, d, depth, rng, &segs)
-                        : trace_spheres(world, use_bvh ? &sphere_bvh : nullptr,
-                                        o, d, depth, rng, &segs,
-                                        has_ambient, ambient);
-            acc = acc + c;
-          }
-          float* px = &fb[(size_t(row) * W + x) * 3];  // rows are thread-owned
-          px[0] = acc.x / spp;
-          px[1] = acc.y / spp;
-          px[2] = acc.z / spp;
-        }
-      }
-      total_segs += segs;
-    });
-  }
-  for (auto& th : pool) th.join();
+  uint64_t segs = render_frame(scene, W, H, spp, depth, /*seed=*/0, 1e-3f,
+                               1e4f, /*cam19=*/nullptr, threads, fb.data());
   double dt =
       std::chrono::duration<double>(std::chrono::steady_clock::now() - t0).count();
-  uint64_t segs = total_segs.load();
   if (ppm_path) {
     // Gamma-2 P6, the framework's output/image.py convention.
     FILE* f = std::fopen(ppm_path, "wb");
@@ -722,3 +882,5 @@ int main(int argc, char** argv) {
       segs / dt / 1e6);
   return 0;
 }
+
+#endif  // MRT_CPU_LIB
