@@ -158,8 +158,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--frames sample budget where the image is still noisy, at "
         "pixel-block granularity (render/adaptive.py). Optional value = "
         "blocks re-rendered per round (default ~1/4 of the grid). "
-        "Composes with --frame-batch, --checkpoint/--resume; "
-        "not with --shard/--serve/--multihost yet",
+        "Composes with --frame-batch, --checkpoint/--resume, --shard "
+        "tiles (per-device block stripes), and --serve (progress view; "
+        "no query rebuilds/orbit); not with --shard samples/hybrid or "
+        "--multihost yet",
     )
     return p
 
@@ -176,6 +178,16 @@ def _run_adaptive(args, config, world) -> int:
     from myraytracer_tpu.parallel.sharding import fetch_array
     from myraytracer_tpu.render.adaptive import AdaptiveSession
 
+    viewer = None
+    if args.serve is not None:
+        # Progress-only viewer: the adaptive state (per-block variance,
+        # cursors) is bound to one scene/size/camera for the session's
+        # lifetime, so URL-query session rebuilds and orbit moves are
+        # rejected rather than silently restarting the budget.
+        from myraytracer_tpu.viewer import LiveViewer
+
+        viewer = LiveViewer(args.serve, gamma=args.gamma)
+
     session = AdaptiveSession(world, config, n_sel=max(0, args.adaptive))
     if args.resume:
         session.load_checkpoint(args.resume)
@@ -189,15 +201,16 @@ def _run_adaptive(args, config, world) -> int:
     # A resumed run's budget is IN ADDITION to what the checkpoint spent.
     budget += session.samples_spent
     round_cost = (
-        session.n_sel * session.block_h * session.block_w
+        session.sel_real * session.block_h * session.block_w
         * config.samples_per_frame * session.windows
     )
     log.info(
         "adaptive render %dx%d spp/round=%d depth=%d budget=%d frames "
-        "(%d blocks of %dx%d, %d per round) backend=%s",
+        "(%d blocks of %dx%d, %d per round) backend=%s shard=%s x%d",
         session.width, session.height, config.samples_per_frame,
         config.ray_depth, args.frames, session.n_blocks, session.block_w,
         session.block_h, session.n_sel, session.backend_resolved,
+        config.shard, session.ndev,
     )
     t_sync = time.perf_counter()
     segs_sync = 0.0
@@ -207,11 +220,15 @@ def _run_adaptive(args, config, world) -> int:
     # resumed checkpoint that already completed it must not re-pay it.
     if not session.bootstrapped:
         session.bootstrap()
+    # Viewer pushes ride the same lazy-sync cadence the streaming loop
+    # uses: rounds pipeline device-side, the host syncs (and pushes the
+    # current framebuffer to the browser) about once a second.
+    sync_interval = 0.25 if viewer is not None else 1.0
     while session.samples_spent + round_cost <= budget:
         session.step()
         now = time.perf_counter()
-        if now - t_sync >= 1.0:
-            fetch_array(session.framebuffer)  # force (honest timing)
+        if now - t_sync >= sync_interval:
+            fb = fetch_array(session.framebuffer)  # force (honest timing)
             segs = session.segments_traced
             dt = time.perf_counter() - t_sync
             log.info(
@@ -220,7 +237,24 @@ def _run_adaptive(args, config, world) -> int:
                 (segs - segs_sync) / dt / 1e6,
             )
             t_sync, segs_sync = time.perf_counter(), segs
+            if viewer is not None:
+                viewer.update(
+                    fb, session.rounds,
+                    session.samples_spent
+                    // (session.width * session.height),
+                )
+                if viewer.pending_session() is not None:
+                    log.warning(
+                        "viewer session request ignored: adaptive state "
+                        "is bound to one scene/size for the session "
+                        "(restart with new flags instead)"
+                    )
     final = fetch_array(session.framebuffer)
+    if viewer is not None:
+        viewer.update(
+            final, session.rounds,
+            session.samples_spent // (session.width * session.height),
+        )
     smap = session.spp_map
     log.info(
         "adaptive done: rounds=%d samples=%d (%.1f%% of budget) "
@@ -358,12 +392,14 @@ def main(argv=None) -> int:
 
     if args.adaptive is not None:
         # --frame-batch and --checkpoint/--resume compose since round 3
-        # (sub-window batching + adaptive-state checkpoints,
-        # render/adaptive.py).
+        # (sub-window batching + adaptive-state checkpoints); --shard
+        # tiles and --serve since round 4 (per-device block stripes;
+        # progress viewer), render/adaptive.py.
         for bad, name in (
-            (args.serve is not None, "--serve"),
-            (args.shard != "none", "--shard"),
+            (args.shard not in ("none", "tiles"),
+             f"--shard {args.shard} (tile stripes only)"),
             (args.multihost is not None, "--multihost"),
+            (args.interactive, "--interactive (fixed-camera accumulation)"),
             (args.frames == 0, "--frames 0 (needs a bounded budget)"),
         ):
             if bad:

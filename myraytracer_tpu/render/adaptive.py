@@ -35,6 +35,20 @@ round shrinks it to S2/(r+1), so the expected reduction is
 S2/(r(r+1)) — the block score is the pixel mean of that. Blocks with
 r < 2 score +inf (the bootstrap covers every block twice first).
 
+Sharding (``config.shard = "tiles"``): the linear block-id space is
+partitioned into ``ndev`` contiguous stripes and every device owns one —
+its stripe's statistics live in its HBM shard, and each round it scores,
+top-k-selects, renders, and folds *its own stripe* under ``shard_map``
+with **zero per-round communication** (the scene is replicated; the only
+cross-chip movement is the final framebuffer gather). The schedule
+policy therefore changes from global top-``n_sel`` to per-stripe
+top-``n_sel/ndev`` — each chip spends an equal budget on the worst
+blocks of its rows, which also load-balances by construction (a global
+top-k could pile every selected block onto one chip's rows). Per-pixel
+sample streams are scheduling-independent, so block sums stay bitwise
+equal to the unsharded session's at equal per-block schedules
+(tests/test_adaptive_sharded.py).
+
 Like any variance-guided stopping rule this trades the uniform
 estimator's exact unbiasedness for a data-dependent allocation (pixels
 whose early samples looked noisy get more). The estimator per pixel is
@@ -243,9 +257,12 @@ class AdaptiveSession:
     ``samples_per_frame`` samples each. ``run_budget(total)`` spends a
     total per-image sample budget (in units of uniform frames) and
     returns the framebuffer. Sessions checkpoint/resume exactly (the
-    per-block statistics and cursors round-trip — round 3); sharding is
-    not supported in this mode (use the uniform session), and the camera
-    is fixed for the session's lifetime (accumulation assumes one view).
+    per-block statistics and cursors round-trip — round 3). Tile
+    sharding composes (``config.shard = "tiles"``): each device owns a
+    contiguous stripe of block ids, keeps that stripe's statistics in
+    its own HBM shard, and schedules per-stripe top-k rounds with zero
+    per-round communication (module docstring). The camera is fixed for
+    the session's lifetime (accumulation assumes one view).
     """
 
     def __init__(
@@ -255,10 +272,15 @@ class AdaptiveSession:
         n_sel: int = 0,
         renderer_factory=None,
         interpret: bool = False,
+        mesh=None,
     ):
-        if config.shard != "none":
-            raise ValueError("adaptive sampling does not compose with "
-                             "sharding yet; use shard='none'")
+        if config.shard not in ("none", "tiles"):
+            raise ValueError(
+                "adaptive sampling shards over image tiles only: the "
+                "sample/hybrid modes would split each block's sample "
+                "window across devices, which the per-block cursors do "
+                "not describe; use shard='none' or shard='tiles'"
+            )
         self.world = world
         self.config = config
         self.width, self.height = config.resolve_size()
@@ -282,9 +304,32 @@ class AdaptiveSession:
             self.width, self.height, self.block_w, self.block_h
         )
         self.sentinel = self.n_blocks  # one-past-grid block id: renders nothing
+
+        if config.shard == "tiles":
+            from myraytracer_tpu.parallel import sharding as shmod
+
+            self.mesh = mesh if mesh is not None else shmod.default_mesh()
+            self.ndev = int(self.mesh.shape["tiles"])
+        else:
+            self.mesh = None
+            self.ndev = 1
         if n_sel <= 0:
             n_sel = max(1, self.n_blocks // 4)
-        self.n_sel = min(n_sel, self.n_blocks)
+        n_sel = min(n_sel, self.n_blocks)
+        # Device d owns the contiguous block-id stripe
+        # [d*local_nb, (d+1)*local_nb) ∩ [0, n_blocks); ids past the grid
+        # are dead (scheduled as the sentinel). Per-stripe selection picks
+        # n_sel_local blocks per device per round.
+        self.local_nb = -(-self.n_blocks // self.ndev)
+        self.n_sel_local = min(-(-n_sel // self.ndev), self.local_nb)
+        self.n_sel = self.n_sel_local * self.ndev
+        # Real (non-dead) blocks selected per auto round — dead stripe
+        # padding on the last device selects the sentinel instead.
+        self.sel_real = sum(
+            min(self.n_sel_local,
+                max(0, min(self.local_nb, self.n_blocks - d * self.local_nb)))
+            for d in range(self.ndev)
+        )
 
         self.scene = compile_scene(
             world,
@@ -334,19 +379,20 @@ class AdaptiveSession:
             ))
         self._render = factory(
             cam=world.camera, width=self.width, height=self.height,
-            n_sel=self.n_sel, max_samples=config.samples_per_frame,
+            n_sel=self.n_sel_local, max_samples=config.samples_per_frame,
             ray_depth=config.ray_depth, windows=self.windows, **kwargs,
         )
 
-        nb1 = self.n_blocks + 1  # spare row absorbs sentinel scatters
+        nb1 = self.local_nb + 1  # spare row absorbs sentinel scatters
         bshape = (nb1, self.block_h, self.block_w)
+        lead = (self.ndev,) if self.ndev > 1 else ()
         self._state = (
-            jnp.zeros(bshape + (3,), jnp.float32),  # fbB: per-pixel mean
-            jnp.zeros(bshape, jnp.float32),  # s1: sum of round means (lum)
-            jnp.zeros(bshape, jnp.float32),  # s2: sum of squared round means
-            jnp.zeros((nb1,), jnp.int32),  # n_b: per-block sample count
-            jnp.zeros((nb1,), jnp.int32),  # r_b: per-block round count
-            jnp.zeros((nb1,), jnp.uint32),  # cursor: per-block sample start
+            jnp.zeros(lead + bshape + (3,), jnp.float32),  # fbB: pixel mean
+            jnp.zeros(lead + bshape, jnp.float32),  # s1: sum of round means
+            jnp.zeros(lead + bshape, jnp.float32),  # s2: sum of sq round means
+            jnp.zeros(lead + (nb1,), jnp.int32),  # n_b: per-block samples
+            jnp.zeros(lead + (nb1,), jnp.int32),  # r_b: per-block rounds
+            jnp.zeros(lead + (nb1,), jnp.uint32),  # cursor: sample start
         )
         self.rounds = 0
         self.samples_spent = 0  # total per-pixel samples x pixels rendered
@@ -355,38 +401,115 @@ class AdaptiveSession:
         self._segs_total = 0.0
 
         k = self.config.samples_per_frame
-        n_blocks, n_sel_static = self.n_blocks, self.n_sel
+        n_blocks, n_sel_static = self.n_blocks, self.n_sel_local
+        local_nb = self.local_nb
         F = self.windows
 
-        def round_ids(scene, key, state, ids_u32):
-            """One call = F sub-rounds of the given block ids: render the
-            F-window batch, then fold each sub-window's sums as its own
-            statistics round (the windows are consecutive sample ranges
-            off the same cursor, so the fold order is the sample order —
-            bitwise what F separate rounds produce)."""
-            cursor = state[5]
-            idx = jnp.minimum(ids_u32.astype(jnp.int32), n_blocks)
-            samp0 = cursor[idx]  # sentinel reads the (unused) spare slot
-            sums, segs = self._render(scene, key, ids_u32, samp0)
+        def fold_round(state, lidx, render_ids, scene, key):
+            """Render ``render_ids`` (global ids; sentinel allowed) and
+            fold the F sub-window sums into the local statistics rows
+            ``lidx`` (spare row ``local_nb`` for sentinels). The windows
+            are consecutive sample ranges off the same cursor, so the
+            fold order is the sample order — bitwise what F separate
+            rounds produce."""
+            samp0 = state[5][lidx]  # sentinel reads the (unused) spare slot
+            sums, segs = self._render(scene, key, render_ids, samp0)
             if F == 1:
                 sums = sums[None]
 
             def fold(st, sums_w):
-                return _update_stats(*st, idx, sums_w, jnp.int32(k)), None
+                return _update_stats(*st, lidx, sums_w, jnp.int32(k)), None
 
             state, _ = jax.lax.scan(fold, state, sums)
             return state, segs
 
-        def round_auto(scene, key, state):
-            """One fully on-device adaptive round: score, select top-n_sel,
-            render, update. No host syncs — rounds pipeline."""
-            _, s1, s2, _, r_b, _ = state
-            scores = _block_scores(s1, s2, r_b)[:n_blocks]
-            _, top = jax.lax.top_k(scores, n_sel_static)
-            return round_ids(scene, key, state, top.astype(jnp.uint32))
+        if self.ndev == 1:
 
-        self._round_ids = jax.jit(round_ids)
-        self._round_auto = jax.jit(round_auto)
+            def round_ids(scene, key, state, ids_u32):
+                """One call = F sub-rounds of the given block ids."""
+                idx = jnp.minimum(ids_u32.astype(jnp.int32), n_blocks)
+                return fold_round(state, idx, ids_u32, scene, key)
+
+            def round_auto(scene, key, state):
+                """One fully on-device adaptive round: score, select
+                top-n_sel, render, update. No host syncs — rounds
+                pipeline."""
+                _, s1, s2, _, r_b, _ = state
+                scores = _block_scores(s1, s2, r_b)[:n_blocks]
+                _, top = jax.lax.top_k(scores, n_sel_static)
+                return round_ids(scene, key, state, top.astype(jnp.uint32))
+
+            self._round_ids = jax.jit(round_ids)
+            self._round_auto = jax.jit(round_auto)
+        else:
+            # Sharded rounds: each device squeezes out its own stripe of
+            # the [ndev, ...] state, renders/folds locally, and never
+            # communicates — the per-pixel RNG streams are global, so a
+            # block renders identically no matter which device owns it.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from myraytracer_tpu.parallel.sharding import (
+                shard_map as _shard_map,
+            )
+
+            self._state = tuple(
+                jax.device_put(a, NamedSharding(self.mesh, P("tiles")))
+                for a in self._state
+            )
+
+            def local_ids(scene, key, state, ids_u32):
+                state = jax.tree_util.tree_map(lambda a: a[0], state)
+                gid = ids_u32[0].astype(jnp.int32)
+                base = jax.lax.axis_index("tiles").astype(
+                    jnp.int32
+                ) * jnp.int32(local_nb)
+                owned = (gid >= base) & (
+                    gid < jnp.minimum(base + local_nb, n_blocks)
+                )
+                lidx = jnp.where(owned, gid - base, jnp.int32(local_nb))
+                render_ids = jnp.where(
+                    owned, ids_u32[0], jnp.uint32(n_blocks)
+                )
+                state, segs = fold_round(state, lidx, render_ids, scene, key)
+                return (
+                    jax.tree_util.tree_map(lambda a: a[None], state),
+                    segs[None],
+                )
+
+            def local_auto(scene, key, state):
+                st = jax.tree_util.tree_map(lambda a: a[0], state)
+                _, s1, s2, _, r_b, _ = st
+                scores = _block_scores(s1, s2, r_b)[:local_nb]
+                base = jax.lax.axis_index("tiles").astype(
+                    jnp.int32
+                ) * jnp.int32(local_nb)
+                alive = (
+                    base + jnp.arange(local_nb, dtype=jnp.int32)
+                ) < n_blocks
+                scores = jnp.where(alive, scores, -jnp.inf)
+                _, top = jax.lax.top_k(scores, n_sel_static)
+                gids = jnp.where(
+                    alive[top],
+                    (base + top).astype(jnp.uint32),
+                    jnp.uint32(n_blocks),
+                )
+                lidx = jnp.where(alive[top], top, jnp.int32(local_nb))
+                state, segs = fold_round(st, lidx, gids, scene, key)
+                return (
+                    jax.tree_util.tree_map(lambda a: a[None], state),
+                    segs[None],
+                )
+
+            self._round_ids = jax.jit(_shard_map(
+                local_ids, mesh=self.mesh,
+                in_specs=(P(), P(), P("tiles"), P("tiles")),
+                out_specs=(P("tiles"), P("tiles")),
+            ))
+            self._round_auto = jax.jit(_shard_map(
+                local_auto, mesh=self.mesh,
+                in_specs=(P(), P(), P("tiles")),
+                out_specs=(P("tiles"), P("tiles")),
+            ))
 
     # -- internals ----------------------------------------------------------
 
@@ -411,22 +534,36 @@ class AdaptiveSession:
         so the default F >= 2 bootstraps in a single pass over the
         grid — half the round-1 bootstrap's calls."""
         k = self.config.samples_per_frame
+        chunks = -(-self.local_nb // self.n_sel_local)
         for _ in range(-(-covers // self.windows)):
-            all_ids = np.arange(self.n_blocks, dtype=np.int64)
-            for i in range(0, self.n_blocks, self.n_sel):
-                ids = all_ids[i : i + self.n_sel]
-                pad = self.n_sel - len(ids)
-                ids_p = np.concatenate(
-                    [ids, np.full(pad, self.sentinel, np.int64)]
+            for c in range(chunks):
+                # Chunk c of every device's stripe, in one call. ids past
+                # a stripe's real blocks (chunk overrun, or grid padding
+                # on the last stripe) schedule the sentinel.
+                ids = np.empty((self.ndev, self.n_sel_local), np.int64)
+                for d in range(self.ndev):
+                    stripe_end = min(
+                        (d + 1) * self.local_nb, self.n_blocks
+                    )
+                    cand = (
+                        d * self.local_nb + c * self.n_sel_local
+                        + np.arange(self.n_sel_local, dtype=np.int64)
+                    )
+                    cand[cand >= stripe_end] = self.sentinel
+                    ids[d] = cand
+                n_real = int((ids != self.sentinel).sum())
+                if n_real == 0:
+                    continue
+                ids_dev = jnp.asarray(
+                    ids if self.ndev > 1 else ids[0], jnp.uint32
                 )
                 self._check_cursor_headroom()
                 self._state, segs = self._round_ids(
-                    self.scene, self.key, self._state,
-                    jnp.asarray(ids_p, jnp.uint32),
+                    self.scene, self.key, self._state, ids_dev
                 )
                 self.rounds += self.windows
                 self.samples_spent += (
-                    len(ids) * self.block_h * self.block_w * k * self.windows
+                    n_real * self.block_h * self.block_w * k * self.windows
                 )
                 self._segs_pending.append(segs)
         self._bootstrapped = True
@@ -440,7 +577,7 @@ class AdaptiveSession:
         self._state, segs = self._round_auto(self.scene, self.key, self._state)
         self.rounds += self.windows
         self.samples_spent += (
-            self.n_sel * self.block_h * self.block_w
+            self.sel_real * self.block_h * self.block_w
             * self.config.samples_per_frame * self.windows
         )
         self._segs_pending.append(segs)
@@ -453,7 +590,7 @@ class AdaptiveSession:
             * self.width * self.height
         )
         round_cost = (
-            self.n_sel * self.block_h * self.block_w
+            self.sel_real * self.block_h * self.block_w
             * self.config.samples_per_frame * self.windows
         )
         while self.samples_spent + round_cost <= budget:
@@ -497,6 +634,8 @@ class AdaptiveSession:
             "windows": self.windows,
             "block_w": self.block_w,
             "block_h": self.block_h,
+            "shard": self.config.shard,
+            "ndev": self.ndev,
         }
         arrays = {
             f"state{i}": np.asarray(a) for i, a in enumerate(self._state)
@@ -546,15 +685,28 @@ class AdaptiveSession:
             "windows": self.windows,
             "block_w": self.block_w,
             "block_h": self.block_h,
+            # Stripe ownership depends on the device count, so a sharded
+            # checkpoint resumes on an equal-size mesh only (pre-round-4
+            # checkpoints were always unsharded).
+            "shard": self.config.shard,
+            "ndev": self.ndev,
         }
+        defaults = {"shard": "none", "ndev": 1}
         for k, v in want.items():
-            if meta.get(k) != v:
+            if meta.get(k, defaults.get(k)) != v:
                 raise ValueError(
                     f"checkpoint {k}={meta.get(k)!r} != session {v!r}"
                 )
         state = tuple(
             jnp.asarray(data[f"state{i}"]) for i in range(len(self._state))
         )
+        if self.ndev > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            state = tuple(
+                jax.device_put(a, NamedSharding(self.mesh, P("tiles")))
+                for a in state
+            )
         self._state = state
         self.rounds = int(data["rounds"])
         self.samples_spent = int(data["samples_spent"])
@@ -562,8 +714,10 @@ class AdaptiveSession:
         self._segs_pending = []
         # Every block with r >= 2 has usable variance; resume skips the
         # bootstrap iff the saved run completed it.
-        r_b = np.asarray(state[4][: self.n_blocks])
-        self._bootstrapped = bool((r_b >= 2).all())
+        r_b = np.asarray(state[4])
+        if self.ndev > 1:
+            r_b = r_b[:, : self.local_nb].reshape(-1)
+        self._bootstrapped = bool((r_b[: self.n_blocks] >= 2).all())
 
     # -- outputs --------------------------------------------------------------
 
@@ -576,7 +730,15 @@ class AdaptiveSession:
     @property
     def framebuffer(self) -> jnp.ndarray:
         """Current per-pixel mean image [H, W, 3] (unscrambled blocks)."""
-        fb = self._state[0][: self.n_blocks].reshape(
+        fb = self._state[0]
+        if self.ndev > 1:
+            # Drop each stripe's spare row, then flatten the stripes back
+            # into the linear block-id space (contiguous ownership makes
+            # this a plain reshape; XLA gathers the shards).
+            fb = fb[:, : self.local_nb].reshape(
+                (self.ndev * self.local_nb,) + fb.shape[2:]
+            )
+        fb = fb[: self.n_blocks].reshape(
             self.blocks_y, self.blocks_x, self.block_h, self.block_w, 3
         )
         fb = fb.transpose(0, 2, 1, 3, 4).reshape(
@@ -588,7 +750,10 @@ class AdaptiveSession:
     def spp_map(self) -> np.ndarray:
         """Per-pixel accumulated sample count [H, W] (diagnostics;
         forces a host read)."""
-        n = np.asarray(self._state[3][: self.n_blocks])
+        n = np.asarray(self._state[3])
+        if self.ndev > 1:
+            n = n[:, : self.local_nb].reshape(-1)
+        n = n[: self.n_blocks]
         m = np.repeat(
             np.repeat(
                 n.reshape(self.blocks_y, self.blocks_x), self.block_h, axis=0

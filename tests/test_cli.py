@@ -132,6 +132,77 @@ def test_cli_url_query_rebuilds_session(tmp_path):
         viewer_mod.LiveViewer.__init__ = real_init
 
 
+def test_cli_adaptive_shard_tiles_renders(tmp_path):
+    """--adaptive --shard tiles: per-device block stripes through the
+    CLI path (round 4; the virtual 8-device CPU mesh)."""
+    out = tmp_path / "ad.png"
+    rc = cli.main([
+        "--width", "256", "--height", "128", "--samples-per-frame", "1",
+        "--ray-depth", "2", "--scene", "reference", "--backend", "jnp",
+        "--shard", "tiles", "--adaptive", "8", "--frames", "4",
+        "--out", str(out),
+    ])
+    assert rc == 0
+    img = read_png(out)
+    assert img.shape == (128, 256, 3)
+    assert img.max() > 0
+
+
+def test_cli_adaptive_serve_progress(tmp_path):
+    """--adaptive --serve: the browser viewer shows adaptive progress
+    (round 4). The final framebuffer and round/spp stats are published;
+    query-string session rebuilds are ignored (state is schedule-bound)."""
+    import json
+    import urllib.request
+
+    from myraytracer_tpu import viewer as viewer_mod
+
+    out = tmp_path / "served.png"
+    captured = {}
+    real_init = viewer_mod.LiveViewer.__init__
+
+    def init(self, port, gamma=2.0):
+        real_init(self, port, gamma)
+        captured["viewer"] = self
+
+    viewer_mod.LiveViewer.__init__ = init
+    try:
+        rc = cli.main(BASE + [
+            "--adaptive", "--frames", "4", "--serve", "0",
+            "--out", str(out),
+        ])
+        assert rc == 0
+        port = captured["viewer"].port
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats.json"
+        ) as r:
+            stats = json.loads(r.read())
+        # "frame" carries the adaptive round count; spp is the budget mean.
+        assert stats["width"] == 16 and stats["height"] == 8
+        assert stats["frame"] > 0 and stats["spp"] > 0
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/frame.png"
+        ) as r:
+            assert r.read()[:8] == b"\x89PNG\r\n\x1a\n"
+        captured["viewer"].close()
+    finally:
+        viewer_mod.LiveViewer.__init__ = real_init
+    assert read_png(out).shape == (8, 16, 3)
+
+
+def test_cli_adaptive_composition_bans(tmp_path):
+    out = str(tmp_path / "x.png")
+    for extra in (
+        ["--shard", "samples"],
+        ["--shard", "hybrid"],
+        ["--serve", "0", "--interactive"],
+        ["--frames", "0"],
+    ):
+        with pytest.raises(SystemExit):
+            cli.main(BASE + ["--adaptive", "--frames", "2", "--out", out]
+                     + extra)
+
+
 def test_cli_ambient_override(tmp_path):
     """--ambient replaces the sky: black ambient + no emitters = an
     all-black image (the sky was the only light source); a colored
