@@ -188,6 +188,18 @@ def _run_adaptive(args, config, world) -> int:
 
         viewer = LiveViewer(args.serve, gamma=args.gamma)
 
+    if args.resume and config.frame_batch == 0:
+        # Auto window selection must not invalidate a resume: the saved
+        # session's F is provenance (the schedule cadence), so inherit it
+        # rather than re-deriving from this run's (possibly different)
+        # --frames budget.
+        import json as _json
+
+        data = np.load(args.resume, allow_pickle=False)
+        saved = _json.loads(str(data["meta"])).get("windows")
+        if saved:
+            config = config.replace(frame_batch=int(saved))
+
     session = AdaptiveSession(world, config, n_sel=max(0, args.adaptive))
     if args.resume:
         session.load_checkpoint(args.resume)
@@ -206,10 +218,12 @@ def _run_adaptive(args, config, world) -> int:
     )
     log.info(
         "adaptive render %dx%d spp/round=%d depth=%d budget=%d frames "
-        "(%d blocks of %dx%d, %d per round) backend=%s shard=%s x%d",
+        "(%d blocks of %dx%d, %d per round, windows=%d%s) backend=%s "
+        "shard=%s x%d",
         session.width, session.height, config.samples_per_frame,
         config.ray_depth, args.frames, session.n_blocks, session.block_w,
-        session.block_h, session.n_sel, session.backend_resolved,
+        session.block_h, session.n_sel, session.windows,
+        "" if config.frame_batch > 0 else " auto", session.backend_resolved,
         config.shard, session.ndev,
     )
     t_sync = time.perf_counter()

@@ -117,5 +117,35 @@ class RenderConfig:
             auto = -(-self.max_frames // steps)
         return auto
 
+    def resolve_adaptive_windows(self, backend: str = "pallas") -> int:
+        """Sub-windows per adaptive round (F; render/adaptive.py).
+
+        Explicit ``frame_batch`` wins. Auto (0) stays at 1 off the
+        Pallas path — the win comes from amortizing the in-kernel
+        regeneration tail, which the jnp oracle doesn't have (same rule
+        as resolve_frame_batch). On Pallas it targets the measured
+        wall-clock knee at ~128-sample windows (F·spp ≈ 128): BENCH.md's
+        F-sweep on the headline scene peaks there at both spp 8 (F=16,
+        1.56×) and spp 32 (F=4, 1.55×) — the knee tracks the *window
+        sample count*, not F, because it balances the shared in-kernel
+        regeneration tail against scheduling granularity. Bounded so one
+        bootstrap pass (every block once at F windows) spends at most
+        ~1/4 of a bounded budget, and by the kernel's 64-frame bucket
+        cap (Mosaic compile blow-up past that — BENCH.md).
+
+        A per-scene runtime fit from the bootstrap's own round timings
+        was considered and rejected: first post-warm rounds on an idle
+        chip read 4-7x slow (the documented idle→busy phase artifact),
+        which would bias any bootstrap-time fit toward huge windows.
+        """
+        if self.frame_batch > 0:
+            return self.frame_batch
+        if backend != "pallas":
+            return 1
+        auto = max(1, min(64, 128 // max(1, self.samples_per_frame)))
+        if self.max_frames > 0:
+            auto = max(1, min(auto, self.max_frames // 4))
+        return auto
+
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

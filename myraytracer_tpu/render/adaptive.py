@@ -362,11 +362,11 @@ class AdaptiveSession:
         # `windows` consecutive spp-sample sub-windows per selected block
         # — the uniform frame-batching win applied to adaptive rounds
         # (shared regeneration tail) with per-window sums feeding the
-        # variance statistics at single-window resolution. Explicit knob
-        # (config.frame_batch); no auto policy — window count trades
-        # scheduling granularity for tail amortization, measured in
-        # tools/adaptive_bench.py.
-        self.windows = max(1, config.frame_batch)
+        # variance statistics at single-window resolution. Auto policy
+        # (round 4): the measured ~128-sample-window knee on the Pallas
+        # path, budget-bounded (config.resolve_adaptive_windows);
+        # config.frame_batch overrides.
+        self.windows = config.resolve_adaptive_windows(resolved)
         if renderer_factory is not None:
             factory = renderer_factory
         elif resolved == "pallas":

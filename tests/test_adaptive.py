@@ -148,6 +148,7 @@ def test_session_pallas_interpret_matches_oracle_session():
     world = presets.reference_scene()
     cfg = RenderConfig(
         width=w, height=h, samples_per_frame=spp, ray_depth=depth, seed=1,
+        frame_batch=1,  # pin F: auto picks per-backend (1 jnp, knee pallas)
     )
     a = AdaptiveSession(world, cfg.replace(backend="jnp"), n_sel=2)
     b = AdaptiveSession(
@@ -206,6 +207,28 @@ def test_windowed_kernel_matches_oracle_session():
         np.asarray(a.framebuffer), np.asarray(b.framebuffer), atol=2e-6
     )
     np.testing.assert_array_equal(a.spp_map, b.spp_map)
+
+
+def test_auto_window_policy():
+    """Auto F targets the measured ~128-sample-window knee on the Pallas
+    path (BENCH.md F-sweep: spp 8 → F 16 and spp 32 → F 4 both peak at
+    window 128), stays 1 on the jnp oracle (no regeneration tail to
+    amortize), caps at the 64-frame kernel bucket limit, and bounds the
+    bootstrap to ~1/4 of a bounded budget. Explicit frame_batch wins."""
+    C = RenderConfig
+    assert C(samples_per_frame=8).resolve_adaptive_windows("pallas") == 16
+    assert C(samples_per_frame=32).resolve_adaptive_windows("pallas") == 4
+    assert C(samples_per_frame=1).resolve_adaptive_windows("pallas") == 64
+    assert C(samples_per_frame=256).resolve_adaptive_windows("pallas") == 1
+    assert C(samples_per_frame=8).resolve_adaptive_windows("jnp") == 1
+    assert C(samples_per_frame=8,
+             max_frames=20).resolve_adaptive_windows("pallas") == 5
+    assert C(samples_per_frame=8, max_frames=2,
+             ).resolve_adaptive_windows("pallas") == 1
+    assert C(samples_per_frame=8,
+             frame_batch=3).resolve_adaptive_windows("pallas") == 3
+    assert C(samples_per_frame=8,
+             frame_batch=3).resolve_adaptive_windows("jnp") == 3
 
 
 def test_adaptive_checkpoint_resume_exact(tmp_path):

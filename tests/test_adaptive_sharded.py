@@ -29,6 +29,7 @@ def _cfg(**kw):
     base = dict(
         width=W, height=H, samples_per_frame=SPP, ray_depth=DEPTH,
         backend="jnp", seed=5,
+        frame_batch=1,  # pin F: auto picks per-backend (1 jnp, knee pallas)
     )
     base.update(kw)
     return RenderConfig(**base)

@@ -190,6 +190,23 @@ def test_cli_adaptive_serve_progress(tmp_path):
     assert read_png(out).shape == (8, 16, 3)
 
 
+def test_cli_adaptive_resume_inherits_window(tmp_path):
+    """A resumed adaptive run with auto --frame-batch inherits the
+    checkpoint's window count F instead of re-deriving it (the schedule
+    cadence is provenance; auto would pick a different F from this
+    run's budget and refuse the resume)."""
+    ck = str(tmp_path / "a.npz")
+    out = str(tmp_path / "a.png")
+    args = ["--width", "256", "--height", "128", "--samples-per-frame",
+            "1", "--ray-depth", "2", "--scene", "reference", "--backend",
+            "jnp", "--adaptive", "8", "--out", out]
+    assert cli.main(args + ["--frames", "4", "--frame-batch", "2",
+                            "--checkpoint", ck]) == 0
+    # No --frame-batch here: auto on jnp would be F=1 != saved F=2.
+    assert cli.main(args + ["--frames", "2", "--resume", ck]) == 0
+    assert read_png(out).shape == (128, 256, 3)
+
+
 def test_cli_adaptive_composition_bans(tmp_path):
     out = str(tmp_path / "x.png")
     for extra in (
