@@ -116,6 +116,7 @@ def main() -> int:
     )
     key = crng.key_from_seed(0)
 
+    used_export = False
     if (
         on_tpu and resolved == "pallas"
         and os.environ.get("MYRT_EXPORT_CACHE", "1") != "0"
@@ -153,8 +154,38 @@ def main() -> int:
 
     t0 = time.perf_counter()
     img, segs = render(scene, key, jnp.uint32(0))
-    np.asarray(img)
+    first_frame = np.asarray(img)
     log(f"bench: compile+first frame {time.perf_counter() - t0:.1f}s")
+
+    # Hardware golden (utils/hwgolden.py): the first frame's exact bits
+    # are pinned per (config, backend, exec path, device kind), so a
+    # kernel edit or compiler bump that silently changes hardware images
+    # fails loudly here instead of waiting for an eyeball diff.
+    # BENCH_RECORD_GOLDEN=1 (re)records; tools/tpu_goldens.py covers the
+    # per-preset rows.
+    golden_status = None
+    if on_tpu:
+        from myraytracer_tpu.utils import hwgolden
+
+        exec_path = "export" if used_export else "jit"
+        gkey = hwgolden.entry_key(
+            scene_name, width, height, spp_timed, depth, resolved,
+            jax.devices()[0].device_kind, exec_path=exec_path,
+        )
+        digest = hwgolden.frame_hash(first_frame)
+        if os.environ.get("BENCH_RECORD_GOLDEN", "0") == "1":
+            table = hwgolden.load_table()
+            table[gkey] = hwgolden.make_entry(
+                digest, first_frame.mean(), exec_path
+            )
+            hwgolden.save_table(table)
+            golden_status = "recorded"
+            log(f"bench: recorded hardware golden {gkey}: {digest[:16]}..")
+        else:
+            golden_status, rec = hwgolden.check(
+                gkey, digest, hwgolden.load_table()
+            )
+            log("bench: " + hwgolden.describe(golden_status, gkey, digest, rec))
 
     # Steady-state warmup: the chip ramps between performance phases under
     # sustained load — frames timed straight after a long idle compile
@@ -223,6 +254,10 @@ def main() -> int:
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 100.0, 4),
     }
+    if golden_status is not None:
+        # Bitwise-determinism re-check of the first frame vs the recorded
+        # hardware hash (match/mismatch/absent/recorded).
+        result["golden"] = golden_status
     print(json.dumps(result), flush=True)
     return 0
 
