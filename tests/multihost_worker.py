@@ -7,12 +7,16 @@ tile-sharded frame SPMD, and assembles the full image with the allgather
 fetch path (``parallel/sharding.fetch_array``). Process 0 writes the
 result for the test to compare against the single-process render.
 
-Usage: python multihost_worker.py COORD NPROCS PID OUT.npy [MODE]
+Usage: python multihost_worker.py COORD NPROCS PID OUT.npy [MODE] [ARGS...]
 
 MODE "jnp" (default) shards the oracle block; "pallas" shards the
 megakernel (interpret mode off-TPU) — the scalar-prefetch operands and
 static output layout must partition under shard_map across REAL process
-boundaries, not just the single-process virtual mesh.
+boundaries, not just the single-process virtual mesh. MODE "cli" drives
+the full production entry point (`cli.main`) with `--multihost` plus the
+passthrough ARGS — the path the checkpoint/resume integration test uses
+(RenderSession save/load under real process boundaries, not just the
+bare sharded renderer).
 """
 
 import pathlib
@@ -21,10 +25,7 @@ import sys
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
-def main() -> int:
-    coord, nprocs, pid, out = sys.argv[1:5]
-    mode = sys.argv[5] if len(sys.argv) > 5 else "jnp"
-
+def _force_cpu_platform():
     import jax
 
     # Force CPU before any backend use (this environment presets
@@ -36,6 +37,33 @@ def main() -> int:
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
     except Exception:
         pass  # older/newer jaxlib: default implementation
+
+
+def main() -> int:
+    coord, nprocs, pid, out = sys.argv[1:5]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "jnp"
+
+    import jax
+
+    _force_cpu_platform()
+
+    if mode == "cli":
+        # Production path: the CLI initializes jax.distributed itself
+        # (--multihost), builds the tile-sharded session via
+        # dispatch.make_session, and gates file writes to process 0.
+        from myraytracer_tpu import cli
+
+        rc = cli.main([
+            "--width", "16", "--height", "8", "--samples-per-frame", "2",
+            "--ray-depth", "4", "--scene", "three-sphere",
+            "--backend", "jnp", "--shard", "tiles",
+            "--multihost", f"{coord},{int(nprocs)},{int(pid)}",
+            "--out", out,
+            *sys.argv[6:],
+        ])
+        jax.distributed.shutdown()
+        return rc
+
     jax.distributed.initialize(
         coordinator_address=coord,
         num_processes=int(nprocs),
