@@ -159,9 +159,9 @@ def build_parser() -> argparse.ArgumentParser:
         "pixel-block granularity (render/adaptive.py). Optional value = "
         "blocks re-rendered per round (default ~1/4 of the grid). "
         "Composes with --frame-batch, --checkpoint/--resume, --shard "
-        "tiles (per-device block stripes), and --serve (progress view; "
-        "no query rebuilds/orbit); not with --shard samples/hybrid or "
-        "--multihost yet",
+        "tiles (per-device block stripes), --serve (progress view; "
+        "no query rebuilds/orbit), and --multihost (with --shard "
+        "tiles); not with --shard samples/hybrid",
     )
     return p
 
@@ -177,6 +177,12 @@ def _run_adaptive(args, config, world) -> int:
 
     from myraytracer_tpu.parallel.sharding import fetch_array
     from myraytracer_tpu.render.adaptive import AdaptiveSession
+
+    proc0 = True
+    if args.multihost is not None:
+        import jax
+
+        proc0 = jax.process_index() == 0
 
     viewer = None
     if args.serve is not None:
@@ -278,10 +284,13 @@ def _run_adaptive(args, config, world) -> int:
         smap.min(), float(smap.mean()), smap.max(),
     )
     if args.checkpoint:
-        session.save_checkpoint(args.checkpoint)
-        log.info("adaptive checkpoint saved to %s", args.checkpoint)
-    write_image(args.out, np.asarray(final), gamma=args.gamma)
-    log.info("wrote %s", args.out)
+        # Every process joins the state allgather; proc 0 owns the file.
+        session.save_checkpoint(args.checkpoint if proc0 else None)
+        if proc0:
+            log.info("adaptive checkpoint saved to %s", args.checkpoint)
+    if proc0:
+        write_image(args.out, np.asarray(final), gamma=args.gamma)
+        log.info("wrote %s", args.out)
     return 0
 
 
@@ -412,7 +421,10 @@ def main(argv=None) -> int:
         for bad, name in (
             (args.shard not in ("none", "tiles"),
              f"--shard {args.shard} (tile stripes only)"),
-            (args.multihost is not None, "--multihost"),
+            (args.multihost is not None and args.shard != "tiles",
+             "--multihost without --shard tiles"),
+            (args.multihost is not None and args.serve is not None,
+             "--serve under --multihost (the viewer is single-process)"),
             (args.interactive, "--interactive (fixed-camera accumulation)"),
             (args.frames == 0, "--frames 0 (needs a bounded budget)"),
         ):

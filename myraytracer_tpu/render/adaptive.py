@@ -606,6 +606,11 @@ class AdaptiveSession:
         backend, estimator flags, and the adaptive geometry (block grid,
         n_sel, windows) — the resumed session must continue the exact
         per-pixel sample streams and fold statistics identically.
+
+        ``path=None`` participates in the state gather without writing a
+        file — under ``--multihost`` the stripe-sharded state assembles
+        with an allgather every process must join, while only process 0
+        owns the file (the RenderSession.save_checkpoint contract).
         """
         import json
         import pathlib
@@ -637,8 +642,13 @@ class AdaptiveSession:
             "shard": self.config.shard,
             "ndev": self.ndev,
         }
+        # fetch_array, not np.asarray: the stripe-sharded state spans
+        # processes under --multihost and a plain host read of
+        # non-addressable shards raises (parallel/sharding.fetch_array).
+        from myraytracer_tpu.parallel.sharding import fetch_array
+
         arrays = {
-            f"state{i}": np.asarray(a) for i, a in enumerate(self._state)
+            f"state{i}": fetch_array(a) for i, a in enumerate(self._state)
         }
         arrays.update(
             rounds=np.int64(self.rounds),
@@ -646,7 +656,8 @@ class AdaptiveSession:
             segments_traced=np.float64(self.segments_traced),
             meta=json.dumps(meta),
         )
-        np.savez(pathlib.Path(path), **arrays)
+        if path is not None:
+            np.savez(pathlib.Path(path), **arrays)
 
     def load_checkpoint(self, path) -> None:
         import json
@@ -713,8 +724,9 @@ class AdaptiveSession:
         self._segs_total = float(data["segments_traced"])
         self._segs_pending = []
         # Every block with r >= 2 has usable variance; resume skips the
-        # bootstrap iff the saved run completed it.
-        r_b = np.asarray(state[4])
+        # bootstrap iff the saved run completed it. Read from the file,
+        # not the (possibly process-spanning) device arrays.
+        r_b = np.asarray(data["state4"])
         if self.ndev > 1:
             r_b = r_b[:, : self.local_nb].reshape(-1)
         self._bootstrapped = bool((r_b[: self.n_blocks] >= 2).all())
@@ -749,8 +761,10 @@ class AdaptiveSession:
     @property
     def spp_map(self) -> np.ndarray:
         """Per-pixel accumulated sample count [H, W] (diagnostics;
-        forces a host read)."""
-        n = np.asarray(self._state[3])
+        forces a host read — an allgather under --multihost)."""
+        from myraytracer_tpu.parallel.sharding import fetch_array
+
+        n = fetch_array(self._state[3])
         if self.ndev > 1:
             n = n[:, : self.local_nb].reshape(-1)
         n = n[: self.n_blocks]
@@ -766,9 +780,14 @@ class AdaptiveSession:
     def segments_traced(self) -> float:
         if self._segs_pending:
             pending, self._segs_pending = self._segs_pending, []
+            # Per-round segs are stripe-sharded [ndev] arrays; the fetch
+            # assembles process-spanning shards (an allgather under
+            # --multihost, a plain read otherwise).
+            from myraytracer_tpu.parallel.sharding import fetch_array
+
             self._segs_total += float(
                 np.asarray(
-                    jax.device_get(jnp.stack(pending)), dtype=np.float64
+                    fetch_array(jnp.stack(pending)), dtype=np.float64
                 ).sum()
             )
         return self._segs_total

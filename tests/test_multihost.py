@@ -108,6 +108,73 @@ def test_two_process_checkpoint_resume_bitwise(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_adaptive_checkpoint_resume_bitwise(tmp_path):
+    """Adaptive sampling under --multihost (round 4): a two-process
+    stripe-sharded adaptive run checkpoints, a fresh process pair
+    resumes it, and the full per-block state (stats, cursors, spp
+    allocation) continues bitwise vs an uninterrupted two-process run.
+    The final state also matches a single-process session on an
+    equal-size (4-device) virtual mesh — the stripe schedule depends
+    only on the device COUNT (checkpoint meta ``ndev``), not on how
+    devices map to processes."""
+    adaptive = ("--adaptive", "4", "--width", "256", "--height", "128")
+    ck_a = tmp_path / "a.npz"
+    ck_b = tmp_path / "b.npz"
+    ck_c = tmp_path / "c.npz"
+    _run_workers(tmp_path / "a.png", "cli",
+                 adaptive + ("--frames", "4", "--checkpoint", str(ck_a)))
+    _run_workers(tmp_path / "b.png", "cli",
+                 adaptive + ("--frames", "2", "--resume", str(ck_a),
+                             "--checkpoint", str(ck_b)))
+    _run_workers(tmp_path / "c.png", "cli",
+                 adaptive + ("--frames", "6", "--checkpoint", str(ck_c)))
+
+    b, c = np.load(ck_b), np.load(ck_c)
+    assert int(b["rounds"]) == int(c["rounds"])
+    assert int(b["samples_spent"]) == int(c["samples_spent"])
+    for i in range(6):
+        np.testing.assert_array_equal(b[f"state{i}"], c[f"state{i}"])
+    assert (tmp_path / "b.png").read_bytes() == \
+        (tmp_path / "c.png").read_bytes()
+
+    # Placement invariance: a single-process session over 4 of this
+    # process's virtual CPU devices (same stripe count as 2 procs x 2
+    # local devices) reproduces the uninterrupted state bitwise.
+    import jax
+    from jax.sharding import Mesh
+
+    from myraytracer_tpu.config import RenderConfig
+    from myraytracer_tpu.render.adaptive import AdaptiveSession
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("tiles",))
+    cfg = RenderConfig(
+        width=256, height=128, samples_per_frame=2, ray_depth=4,
+        backend="jnp", shard="tiles", seed=0,
+    )
+    from myraytracer_tpu.scene import presets
+
+    sess = AdaptiveSession(
+        presets.three_sphere_scene(), cfg, n_sel=4, mesh=mesh
+    )
+    budget = 6 * cfg.samples_per_frame * 256 * 128
+    round_cost = (
+        sess.sel_real * sess.block_h * sess.block_w
+        * cfg.samples_per_frame * sess.windows
+    )
+    sess.bootstrap()
+    while sess.samples_spent + round_cost <= budget:
+        sess.step()
+    assert sess.rounds == int(c["rounds"])
+    assert sess.samples_spent == int(c["samples_spent"])
+    from myraytracer_tpu.parallel.sharding import fetch_array
+
+    for i in range(6):
+        np.testing.assert_array_equal(
+            fetch_array(sess._state[i]), c[f"state{i}"]
+        )
+
+
+@pytest.mark.slow
 def test_two_process_pallas_block_tile_sharded(tmp_path):
     """The megakernel's scalar-prefetch operands and static output layout
     partition under shard_map across REAL process boundaries too (the
