@@ -163,7 +163,37 @@ def build_parser() -> argparse.ArgumentParser:
         "no query rebuilds/orbit), and --multihost (with --shard "
         "tiles); not with --shard samples/hybrid",
     )
+    p.add_argument(
+        "--denoise", type=int, nargs="?", const=0, default=None,
+        metavar="ITERS",
+        help="edge-avoiding à-trous wavelet denoise of the OUTPUT image "
+        "(render/denoise.py; extension): feature-guided reconstruction "
+        "from a primary-hit albedo/normal/depth pass — large quality "
+        "gains at low spp. Optional value = filter iterations "
+        "(default 5; support doubles per iteration). A display "
+        "transform only: checkpoints keep the raw accumulation and no "
+        "sample stream changes. Composes with every backend, --shard, "
+        "--adaptive, --serve, and --interactive",
+    )
     return p
+
+
+def _make_denoiser(args, config, world, width, height):
+    """Build the output denoiser for --denoise, or None.
+
+    A display transform bound to the world/camera/size (the feature
+    pass compiles its own scene — the cpu/C++ backend's session never
+    compiles a BVH); applied at every image sink (viewer pushes,
+    previews, the final write), never to checkpoints.
+    """
+    if args.denoise is None:
+        return None
+    from myraytracer_tpu.render.denoise import Denoiser
+
+    return Denoiser(
+        world, width, height, t_min=config.t_min, t_max=config.t_max,
+        **({"iterations": args.denoise} if args.denoise else {}),
+    )
 
 
 def _run_adaptive(args, config, world) -> int:
@@ -207,6 +237,8 @@ def _run_adaptive(args, config, world) -> int:
             config = config.replace(frame_batch=int(saved))
 
     session = AdaptiveSession(world, config, n_sel=max(0, args.adaptive))
+    denoise = _make_denoiser(args, config, world, session.width, session.height)
+    post = (lambda fb: np.asarray(denoise(fb))) if denoise else (lambda fb: fb)
     if args.resume:
         session.load_checkpoint(args.resume)
         log.info(
@@ -259,7 +291,7 @@ def _run_adaptive(args, config, world) -> int:
             t_sync, segs_sync = time.perf_counter(), segs
             if viewer is not None:
                 viewer.update(
-                    fb, session.rounds,
+                    post(fb), session.rounds,
                     session.samples_spent
                     // (session.width * session.height),
                 )
@@ -270,6 +302,8 @@ def _run_adaptive(args, config, world) -> int:
                         "(restart with new flags instead)"
                     )
     final = fetch_array(session.framebuffer)
+    if denoise is not None:
+        final = post(final)
     if viewer is not None:
         viewer.update(
             final, session.rounds,
@@ -433,6 +467,18 @@ def main(argv=None) -> int:
         return _run_adaptive(args, config, build_world(scene_name, config))
 
     world, session = build_session(scene_name, config)
+    denoise = _make_denoiser(args, config, world, session.width, session.height)
+
+    def post(fb):
+        """Output transform: --denoise at every image sink (never on
+        checkpoints). Reads the CURRENT session/denoiser bindings, which
+        a viewer session rebuild swaps."""
+        if denoise is None:
+            return fb
+        import numpy as np
+
+        return np.asarray(denoise(fb, session.scene.cam))
+
     if args.resume:
         session.load_checkpoint(args.resume)
         log.info(
@@ -541,6 +587,10 @@ def main(argv=None) -> int:
                             )
                         else:
                             scene_name, config = req_scene, req_config
+                            denoise = _make_denoiser(
+                                args, config, world,
+                                session.width, session.height,
+                            )
                             # The rebuilt session restarts accumulation
                             # (page-reload semantics), so restart the
                             # frame budget under its (possibly different)
@@ -571,7 +621,7 @@ def main(argv=None) -> int:
                 frames_sync = 0
                 if viewer is not None:
                     viewer.update(
-                        session.framebuffer, session.frame_count,
+                        post(session.framebuffer), session.frame_count,
                         session.accumulated_spp,
                     )
                     # (Not on the last frame: a move would zero the
@@ -607,7 +657,7 @@ def main(argv=None) -> int:
                     )
                     preview = fetch_array(session.framebuffer)
                     if proc0:
-                        write_image(args.out, preview, gamma=args.gamma)
+                        write_image(args.out, post(preview), gamma=args.gamma)
                         log.info("preview → %s", args.out)
         except KeyboardInterrupt:
             # Graceful exit for the run-forever mode (and any long run):
@@ -627,7 +677,7 @@ def main(argv=None) -> int:
 
     final = fetch_array(session.framebuffer)
     if proc0:
-        write_image(args.out, final, gamma=args.gamma)
+        write_image(args.out, post(final), gamma=args.gamma)
         log.info("wrote %s", args.out)
     return 0
 

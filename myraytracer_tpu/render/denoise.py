@@ -1,0 +1,280 @@
+"""Edge-avoiding à-trous wavelet denoiser (extension; output post-process).
+
+The reference presents the raw accumulation buffer (``shader.wgsl:383-386``
+— gamma only); at low sample counts the image is visibly noisy and the
+only fix is more samples. Production path tracers pair low-spp renders
+with a feature-guided reconstruction filter instead. This module is that
+filter, TPU-first:
+
+* **à-trous wavelet** (Dammertz et al., "Edge-Avoiding À-Trous Wavelet
+  Transform for Fast Global Illumination Filtering", HPG 2010): N
+  iterations of a 5×5 B3-spline cross-bilateral kernel with tap spacing
+  doubling each iteration — a 5-iteration filter has the support of an
+  ~81×81 bilateral at 25 taps/pixel/iteration. Every tap is a static
+  image shift + elementwise math over [H, W, 3]: pure VPU work that XLA
+  fuses, no gathers, no data-dependent control flow.
+* **Feature buffers** come from one deterministic primary-hit pass
+  (center-of-pixel ray through the lens center, the existing
+  ``closest_hit`` oracle): per-pixel albedo (texture-evaluated), shading
+  normal, and hit distance. Edge-stopping weights on normal and relative
+  depth keep geometry and silhouette edges sharp while smoothing noise.
+* **Albedo demodulation**: the filter runs on irradiance
+  (``color / max(albedo, eps)``) and remodulates afterwards, so texture
+  detail (checker/marble/image) survives aggressive smoothing.
+
+The filter is a *display/output* transform: checkpoints store the raw
+accumulation state (blending semantics are untouched), and `--denoise`
+changes no sample stream — the same checkpoint renders raw or denoised.
+
+Known limit (documented, inherent to primary-hit features): under strong
+defocus the aux buffers are pinhole-sharp while the image is blurry, so
+edge-stopping under-smooths inside bokeh regions; and perfectly specular
+reflections carry the *mirror's* features, so reflected-image noise is
+smoothed only by the color weight. Both degrade toward "less denoising",
+never toward extra bias across true edges.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from myraytracer_tpu.core.vec import V3
+from myraytracer_tpu.render import camera as cam_mod
+from myraytracer_tpu.render.hit import closest_hit
+from myraytracer_tpu.render.textures import apply_texture
+from myraytracer_tpu.scene import api
+from myraytracer_tpu.scene.compile import compile_scene
+
+# Demodulation floor: out = filter(fb / max(albedo, EPS)) * max(albedo, EPS)
+# is exactly identity-consistent for an unfiltered signal at any albedo.
+ALBEDO_EPS = 0.05
+
+# 1-D B3 spline taps; the 5x5 kernel is the outer product (Dammertz §3).
+_B3 = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
+
+# Defaults tuned on the preset scenes (tools/denoise_bench.py; BENCH.md
+# "Denoising"): sigma_color is DIMENSIONLESS (the luminance distance is
+# normalized by a per-pixel noise estimate, so one default serves every
+# scene scale and sample count); normal is unit-vector L2², depth relative.
+DEFAULT_ITERATIONS = 5
+DEFAULT_SIGMA_COLOR = 4.0
+DEFAULT_SIGMA_NORMAL = 0.35
+DEFAULT_SIGMA_DEPTH = 0.07
+
+# Rec.709 luma weights (the color weight runs on luminance, SVGF-style).
+_LUM = (0.2126, 0.7152, 0.0722)
+# 1-D 3-tap Gaussian for the local noise-moment estimate.
+_G3 = (0.25, 0.5, 0.25)
+
+
+def aux_buffers(
+    scene,
+    ray_gen,
+    width: int,
+    height: int,
+    t_min: float,
+    t_max: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One primary-hit feature pass → (albedo, normal, depth).
+
+    Deterministic center rays: sub-pixel uniforms 0.5 (the sample
+    window's center on both camera modes) and the lens-disk draw pinned
+    to the aperture center (``unit_disk_from_uniforms(0, ·) = (0, 0)``).
+    Miss lanes get albedo 1 (sky is demodulation-neutral), normal ``-d``
+    (smooth across the sky), and depth ``t_max`` (a hard relative-depth
+    edge against all geometry).
+    """
+    n = height * width
+    pix = jnp.arange(n, dtype=jnp.uint32)
+    ix = (pix % jnp.uint32(width)).astype(jnp.int32)
+    iy = (pix // jnp.uint32(width)).astype(jnp.int32)
+    half = jnp.full((n,), 0.5, jnp.float32)
+    zero = jnp.zeros((n,), jnp.float32)
+    o, d = ray_gen(ix, iy, half, half, zero, zero)
+    hit = closest_hit(o, d, scene, t_min, t_max)
+    hit = apply_texture(hit, image=scene.tex_image)
+    one = jnp.ones((n,), jnp.float32)
+    albedo = V3.where(hit.mask, hit.albedo, V3(one, one, one))
+    normal = V3.where(hit.mask, hit.normal, -d)
+    depth = hit.t  # == t_max on miss by closest_hit's contract
+    stack = lambda v: jnp.stack(
+        [v.x, v.y, v.z], axis=-1
+    ).reshape(height, width, 3)
+    return stack(albedo), stack(normal), depth.reshape(height, width)
+
+
+def _shift(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """out[y, x] = a[clamp(y + dy), clamp(x + dx)] (edge-replicated)."""
+    t, b = max(-dy, 0), max(dy, 0)
+    l, r = max(-dx, 0), max(dx, 0)
+    ap = jnp.pad(a, ((t, b), (l, r)) + ((0, 0),) * (a.ndim - 2), mode="edge")
+    return ap[b:b + a.shape[0], r:r + a.shape[1]]
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def atrous_denoise(
+    fb: jnp.ndarray,
+    albedo: jnp.ndarray,
+    normal: jnp.ndarray,
+    depth: jnp.ndarray,
+    iterations: int = DEFAULT_ITERATIONS,
+    sigma_color: float = DEFAULT_SIGMA_COLOR,
+    sigma_normal: float = DEFAULT_SIGMA_NORMAL,
+    sigma_depth: float = DEFAULT_SIGMA_DEPTH,
+) -> jnp.ndarray:
+    """Filter a linear [H, W, 3] framebuffer with its feature buffers.
+
+    Weights per tap q around pixel p (all edge-stopping):
+
+    * color (noise-adaptive, the SVGF form — Schied et al. 2017):
+      ``exp(-|l_p - l_q| / (σ_c · sqrt(var_p) + ε))`` where ``l`` is the
+      demodulated luminance and ``var_p`` a local 3×3 Gaussian moment
+      estimate of its variance, *recomputed each iteration* from the
+      current filtered signal — as noise shrinks, the color weight
+      tightens and recovered detail stops re-blurring. Normalizing by
+      the noise level makes one σ_c default serve every scene scale and
+      sample count (a fixed HDR σ under-smooths exactly when noise is
+      worst — measured in tools/denoise_bench.py);
+    * normal: ``exp(-|n_p - n_q|² / σ_n²)``;
+    * depth:  ``exp(-((t_p - t_q) / (σ_z · max(t_p, t_q)))²)`` —
+      *relative* distance, so the same σ works at any scene scale and
+      sky (t = t_max) is a hard edge against every surface.
+    """
+    alb = jnp.maximum(albedo, jnp.float32(ALBEDO_EPS))
+    c = fb / alb
+    # Sigmas are traced (not static): sigma sweeps (tools/denoise_bench.py)
+    # must not recompile the 25-tap graph per combination.
+    inv_sn2 = 1.0 / jnp.square(jnp.asarray(sigma_normal, jnp.float32))
+    inv_sz = 1.0 / jnp.asarray(sigma_depth, jnp.float32)
+    sigma_color = jnp.asarray(sigma_color, jnp.float32)
+    lum = lambda a: (
+        jnp.float32(_LUM[0]) * a[..., 0]
+        + jnp.float32(_LUM[1]) * a[..., 1]
+        + jnp.float32(_LUM[2]) * a[..., 2]
+    )
+    for i in range(int(iterations)):
+        step = 1 << i
+        l = lum(c)
+        mu = jnp.zeros_like(l)
+        m2 = jnp.zeros_like(l)
+        for gy in range(3):
+            for gx in range(3):
+                g = jnp.float32(_G3[gy] * _G3[gx])
+                lq = _shift(l, gy - 1, gx - 1)
+                mu = mu + g * lq
+                m2 = m2 + g * lq * lq
+        noise = sigma_color * jnp.sqrt(
+            jnp.maximum(m2 - mu * mu, 0.0)
+        ) + jnp.float32(1e-4)
+        num = jnp.zeros_like(c)
+        den = jnp.zeros_like(depth)
+        for ty in range(5):
+            for tx in range(5):
+                dy, dx = (ty - 2) * step, (tx - 2) * step
+                h = jnp.float32(_B3[ty] * _B3[tx])
+                cq = _shift(c, dy, dx)
+                nq = _shift(normal, dy, dx)
+                zq = _shift(depth, dy, dx)
+                dc = jnp.abs(l - _shift(l, dy, dx)) / noise
+                dn = jnp.sum((normal - nq) ** 2, axis=-1)
+                dz = (depth - zq) * (inv_sz / jnp.maximum(
+                    jnp.maximum(depth, zq), jnp.float32(1e-6)
+                ))
+                w = h * jnp.exp(-dc - dn * inv_sn2 - dz * dz)
+                num = num + w[..., None] * cq
+                den = den + w
+        c = num / den[..., None]  # den >= center tap weight > 0
+    return c * alb
+
+
+class Denoiser:
+    """Bound filter: scene features compiled once, reused per frame.
+
+    Built from the *API world* (not a session's compiled scene) so the
+    feature pass can pick its own acceleration structure — the flat
+    skip-link BVH for large meshes — independent of the rendering
+    backend (the cpu/C++ backend's session never compiles one).
+
+    A packed runtime camera (the session's ``scene.cam`` operand, moved
+    by ``set_camera``/interactive orbit) is passed per call; feature
+    buffers are cached and recomputed only when it changes.
+    """
+
+    def __init__(
+        self,
+        world: api.World,
+        width: int,
+        height: int,
+        iterations: int = DEFAULT_ITERATIONS,
+        sigma_color: float = DEFAULT_SIGMA_COLOR,
+        sigma_normal: float = DEFAULT_SIGMA_NORMAL,
+        sigma_depth: float = DEFAULT_SIGMA_DEPTH,
+        t_min: float = 1e-3,
+        t_max: float = 1e4,
+    ):
+        if iterations < 1:
+            raise ValueError(f"denoise iterations must be >= 1, got {iterations}")
+        self.width, self.height = int(width), int(height)
+        self.iterations = int(iterations)
+        self.sigmas = (
+            float(sigma_color), float(sigma_normal), float(sigma_depth)
+        )
+        self._scene = compile_scene(
+            world, triangle_bvh=world.triangle_count > 512
+        )
+        self._t = (float(t_min), float(t_max))
+        self._static_gen = cam_mod.make_ray_generator(
+            world.camera, self.width, self.height
+        )
+        self._reference_mode = world.camera.reference_mode
+        self._aux = None
+        self._aux_cam = None
+
+        @jax.jit
+        def _aux_fixed(scene):
+            return aux_buffers(
+                scene, self._static_gen, self.width, self.height, *self._t
+            )
+
+        @jax.jit
+        def _aux_packed(scene, cam):
+            gen = lambda ix, iy, u1, u2, l1, l2: cam_mod.rays_from_packed(
+                cam, self.width, self.height, ix, iy, u1, u2, l1, l2
+            )
+            return aux_buffers(scene, gen, self.width, self.height, *self._t)
+
+        self._aux_fixed = _aux_fixed
+        self._aux_packed = _aux_packed
+
+    def _features(self, cam):
+        key = None if cam is None else id(cam)
+        if self._aux is None or key != self._aux_cam:
+            if cam is None or self._reference_mode:
+                self._aux = self._aux_fixed(self._scene)
+            else:
+                self._aux = self._aux_packed(self._scene, cam)
+            self._aux_cam = key
+        return self._aux
+
+    def __call__(self, fb, cam=None) -> jnp.ndarray:
+        """Denoise a linear [H, W, 3] framebuffer (np or jnp) → jnp.
+
+        ``cam`` is the session's packed runtime-camera operand
+        (``session.scene.cam``), or None for the construction camera.
+        """
+        albedo, normal, depth = self._features(cam)
+        return atrous_denoise(
+            jnp.asarray(fb, jnp.float32), albedo, normal, depth,
+            self.iterations, *self.sigmas,
+        )
+
+
+def make_denoiser(
+    world: api.World, width: int, height: int, **kwargs
+) -> Optional[Denoiser]:
+    """CLI-facing constructor (see Denoiser)."""
+    return Denoiser(world, width, height, **kwargs)

@@ -1,0 +1,178 @@
+"""Edge-avoiding à-trous denoiser (render/denoise.py).
+
+Contracts under test:
+* feature pass: sky lanes get (albedo 1, depth t_max); hit lanes carry
+  the texture-evaluated albedo and the shading normal;
+* exact identity on a constant signal with uniform features (the filter
+  is a normalized weighted mean — a constant is a fixed point);
+* edge preservation: a two-region synthetic image with a feature edge
+  keeps its region means while in-region noise shrinks;
+* quality: denoised low-spp render has lower RMSE against a high-spp
+  reference of the same stream than the raw framebuffer;
+* determinism: same inputs → bitwise-same output; the checkpoint holds
+  the RAW accumulation (denoise is an output transform);
+* CLI: --denoise writes a different image than the raw run from the
+  identical accumulation state.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from myraytracer_tpu.config import RenderConfig
+from myraytracer_tpu.render.denoise import (
+    Denoiser,
+    atrous_denoise,
+    aux_buffers,
+)
+from myraytracer_tpu.render.session import RenderSession
+from myraytracer_tpu.render import camera as cam_mod
+from myraytracer_tpu.scene import presets
+from myraytracer_tpu.scene.compile import compile_scene
+
+W, H = 96, 48
+
+
+def _aux(world, w=W, h=H, t_max=1e4):
+    scene = compile_scene(world)
+    gen = cam_mod.make_ray_generator(world.camera, w, h)
+    return aux_buffers(scene, gen, w, h, 1e-3, t_max)
+
+
+def test_aux_buffers_sky_and_hits():
+    world = presets.reference_scene()  # fixed camera, 4 spheres
+    albedo, normal, depth = _aux(world)
+    assert albedo.shape == (H, W, 3) and depth.shape == (H, W)
+    a, d = np.asarray(albedo), np.asarray(depth)
+    n = np.asarray(normal)
+    sky = d >= 1e4
+    assert sky.any() and (~sky).any()
+    # Sky: demodulation-neutral albedo.
+    assert np.all(a[sky] == 1.0)
+    # Normals are unit everywhere (hit normals and sky's -d alike).
+    assert np.allclose((n * n).sum(-1), 1.0, atol=1e-4)
+    # The reference camera looks down -Z; the image center hits the
+    # red center sphere (albedo 0.7, 0.3, 0.3 — lib.rs:692-696).
+    center = a[H // 2, W // 2]
+    assert np.allclose(center, [0.7, 0.3, 0.3], atol=1e-5)
+
+
+def test_aux_buffers_textured_albedo():
+    world = presets.get_scene("texture", seed=0)  # checker ground
+    albedo, _, depth = _aux(world)
+    a, d = np.asarray(albedo), np.asarray(depth)
+    hit = d < 1e4
+    # A checkered surface yields at least two distinct albedo values.
+    vals = np.unique(np.round(a[hit], 4), axis=0)
+    assert len(vals) >= 2
+
+
+def test_constant_image_is_fixed_point():
+    fb = jnp.full((H, W, 3), 0.37, jnp.float32)
+    albedo = jnp.ones((H, W, 3), jnp.float32)
+    normal = jnp.tile(jnp.asarray([0.0, 1.0, 0.0], jnp.float32), (H, W, 1))
+    depth = jnp.ones((H, W), jnp.float32)
+    out = np.asarray(atrous_denoise(fb, albedo, normal, depth, 3))
+    np.testing.assert_allclose(out, 0.37, rtol=1e-6)
+
+
+def test_edge_preserved_noise_removed():
+    rng = np.random.default_rng(7)
+    left = np.s_[:, : W // 2]
+    right = np.s_[:, W // 2:]
+    fb = np.empty((H, W, 3), np.float32)
+    fb[left] = 0.2
+    fb[right] = 0.9
+    noisy = fb + rng.normal(0.0, 0.08, fb.shape).astype(np.float32)
+    albedo = np.ones((H, W, 3), np.float32)
+    # Feature edge between the halves: opposing normals + a depth step.
+    normal = np.zeros((H, W, 3), np.float32)
+    normal[left] = (0.0, 0.0, 1.0)
+    normal[right] = (1.0, 0.0, 0.0)
+    depth = np.full((H, W), 2.0, np.float32)
+    depth[right] = 6.0
+    out = np.asarray(atrous_denoise(
+        jnp.asarray(noisy), jnp.asarray(albedo), jnp.asarray(normal),
+        jnp.asarray(depth), 4,
+    ))
+    # In-region noise shrinks substantially...
+    inner_l = np.s_[8:-8, 8: W // 2 - 8]
+    inner_r = np.s_[8:-8, W // 2 + 8: -8]
+    for sl, mean in ((inner_l, 0.2), (inner_r, 0.9)):
+        raw_std = float(noisy[sl].std())
+        dn_std = float(out[sl].std())
+        assert dn_std < raw_std * 0.35, (raw_std, dn_std)
+        # ...while the region mean is preserved (no cross-edge bleed).
+        assert abs(float(out[sl].mean()) - mean) < 0.02
+
+
+def test_denoise_improves_low_spp_rmse():
+    world = presets.three_sphere_scene()
+    cfg = RenderConfig(
+        width=W, height=H, samples_per_frame=4, ray_depth=6, backend="jnp",
+    )
+    s = RenderSession(world, cfg)
+    low = np.asarray(s.run(1))  # 4 spp
+    for _ in range(23):
+        s.step()
+    ref = np.asarray(s.framebuffer)  # 96 spp, same stream
+    dn = Denoiser(world, W, H)
+    out = np.asarray(dn(low, s.scene.cam))
+    rmse = lambda a, b: float(np.sqrt(np.mean((a - b) ** 2)))
+    r_raw, r_dn = rmse(low, ref), rmse(out, ref)
+    assert r_dn < 0.8 * r_raw, (r_raw, r_dn)
+    # Determinism: the filter is a pure function.
+    again = np.asarray(dn(low, s.scene.cam))
+    np.testing.assert_array_equal(out, again)
+
+
+def test_denoiser_tracks_runtime_camera():
+    world = presets.get_scene("defocus", seed=0)  # general-mode camera
+    dn = Denoiser(world, W, H)
+    cam0 = jnp.asarray(cam_mod.pack_camera(world.camera, W, H))
+    a0 = np.asarray(dn._features(cam0)[2])
+    moved = cam_mod.orbit_camera(world.camera, 0.8, 0.1, 1.0)
+    cam1 = jnp.asarray(cam_mod.pack_camera(moved, W, H))
+    a1 = np.asarray(dn._features(cam1)[2])
+    assert not np.array_equal(a0, a1)  # features followed the camera
+
+
+def test_cli_denoise_output_differs_checkpoint_raw(tmp_path):
+    from myraytracer_tpu import cli
+
+    common = [
+        "--width", "64", "--height", "32", "--samples-per-frame", "2",
+        "--ray-depth", "4", "--frames", "2", "--scene", "three-sphere",
+        "--backend", "jnp",
+    ]
+    raw_png = tmp_path / "raw.png"
+    dn_png = tmp_path / "dn.png"
+    ck_a = tmp_path / "a.npz"
+    ck_b = tmp_path / "b.npz"
+    assert cli.main(common + [
+        "--out", str(raw_png), "--checkpoint", str(ck_a),
+    ]) == 0
+    assert cli.main(common + [
+        "--denoise", "--out", str(dn_png), "--checkpoint", str(ck_b),
+    ]) == 0
+    # Same accumulation state (denoise touches no sample stream)...
+    a, b = np.load(ck_a), np.load(ck_b)
+    np.testing.assert_array_equal(a["framebuffer"], b["framebuffer"])
+    # ...different output image.
+    assert raw_png.read_bytes() != dn_png.read_bytes()
+
+
+def test_cli_denoise_composes_with_adaptive(tmp_path):
+    from myraytracer_tpu import cli
+
+    out = tmp_path / "adn.png"
+    assert cli.main([
+        "--width", "64", "--height", "32", "--samples-per-frame", "2",
+        "--ray-depth", "4", "--frames", "4", "--scene", "three-sphere",
+        "--backend", "jnp", "--adaptive", "--denoise", "--out", str(out),
+    ]) == 0
+    from myraytracer_tpu.output.image import read_png
+
+    img = read_png(str(out))
+    assert img.shape == (32, 64, 3)
+    assert img.mean() > 1.0  # nonzero content
