@@ -178,21 +178,28 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _make_denoiser(args, config, world, width, height):
-    """Build the output denoiser for --denoise, or None.
+class _DenoiseOnly(Exception):
+    """Control flow: a viewer query that only toggles --denoise (the
+    serving loop swaps the output filter without a session rebuild)."""
 
-    A display transform bound to the world/camera/size (the feature
-    pass compiles its own scene — the cpu/C++ backend's session never
-    compiles a BVH); applied at every image sink (viewer pushes,
-    previews, the final write), never to checkpoints.
+
+def _make_denoiser(denoise_arg, config, world, width, height):
+    """Build the output denoiser, or None.
+
+    ``denoise_arg``: None = off, 0 = default iterations, N >= 1 = N
+    iterations (the --denoise CLI contract; the viewer's ?denoise=N
+    maps 0 → off). A display transform bound to the world/camera/size
+    (the feature pass compiles its own scene — the cpu/C++ backend's
+    session never compiles a BVH); applied at every image sink (viewer
+    pushes, previews, the final write), never to checkpoints.
     """
-    if args.denoise is None:
+    if denoise_arg is None:
         return None
     from myraytracer_tpu.render.denoise import Denoiser
 
     return Denoiser(
         world, width, height, t_min=config.t_min, t_max=config.t_max,
-        **({"iterations": args.denoise} if args.denoise else {}),
+        **({"iterations": denoise_arg} if denoise_arg else {}),
     )
 
 
@@ -237,7 +244,9 @@ def _run_adaptive(args, config, world) -> int:
             config = config.replace(frame_batch=int(saved))
 
     session = AdaptiveSession(world, config, n_sel=max(0, args.adaptive))
-    denoise = _make_denoiser(args, config, world, session.width, session.height)
+    denoise = _make_denoiser(
+        args.denoise, config, world, session.width, session.height
+    )
     post = (lambda fb: np.asarray(denoise(fb))) if denoise else (lambda fb: fb)
     if args.resume:
         session.load_checkpoint(args.resume)
@@ -467,7 +476,10 @@ def main(argv=None) -> int:
         return _run_adaptive(args, config, build_world(scene_name, config))
 
     world, session = build_session(scene_name, config)
-    denoise = _make_denoiser(args, config, world, session.width, session.height)
+    denoise_arg = args.denoise
+    denoise = _make_denoiser(
+        denoise_arg, config, world, session.width, session.height
+    )
 
     def post(fb):
         """Output transform: --denoise at every image sink (never on
@@ -571,6 +583,25 @@ def main(argv=None) -> int:
                             )
 
                             req_scene = sreq.pop("scene", scene_name)
+                            # ?denoise=N: 0 = off, N >= 1 = iterations.
+                            # A display transform: a denoise-ONLY query
+                            # swaps the output filter in place — no
+                            # session rebuild, accumulation continues.
+                            req_dn = sreq.pop("denoise", None)
+                            if not sreq and req_scene == scene_name \
+                                    and req_dn is not None:
+                                denoise_arg = req_dn if req_dn else None
+                                denoise = _make_denoiser(
+                                    denoise_arg, config, world,
+                                    session.width, session.height,
+                                )
+                                log.info(
+                                    "denoise %s (live toggle, "
+                                    "accumulation kept)",
+                                    f"on ({denoise.iterations} iters)"
+                                    if denoise else "off",
+                                )
+                                raise _DenoiseOnly
                             req_config = make_config(**sreq)
                             # Bound the merged config, not just the raw
                             # query — e.g. ?width=4096 alone must not
@@ -580,6 +611,8 @@ def main(argv=None) -> int:
                             world, session = build_session(
                                 req_scene, req_config
                             )
+                        except _DenoiseOnly:
+                            pass
                         except (SystemExit, ValueError, KeyError,
                                 TypeError) as e:
                             log.warning(
@@ -587,8 +620,10 @@ def main(argv=None) -> int:
                             )
                         else:
                             scene_name, config = req_scene, req_config
+                            if req_dn is not None:
+                                denoise_arg = req_dn if req_dn else None
                             denoise = _make_denoiser(
-                                args, config, world,
+                                denoise_arg, config, world,
                                 session.width, session.height,
                             )
                             # The rebuilt session restarts accumulation

@@ -71,6 +71,10 @@ SESSION_PARAMS = {
     "nee": lambda s: s.lower() not in ("0", "false", ""),
     # ?qmc=1 toggles low-discrepancy camera sampling (core/rng.py).
     "qmc": lambda s: s.lower() not in ("0", "false", ""),
+    # ?denoise=N: 0 turns the à-trous output filter off, N>=1 sets its
+    # iteration count (render/denoise.py; a display transform — the
+    # accumulation/checkpoint state is unaffected by toggling it live).
+    "denoise": int,
 }
 
 # Magnitude bounds on viewer-requested rebuilds. The serving loop rebuilds
@@ -87,6 +91,8 @@ SESSION_BOUNDS = {
     # rebuilds are cost-bounded: depth multiplies worst-case kernel time.
     "ray_depth": (1, 1024),
     "max_framebuffer_weight": (0.0, 1.0),
+    # Filter support doubles per iteration; 12 covers any sane display.
+    "denoise": (0, 12),
 }
 # Bound on the *resolved* pixel count (the per-dimension bounds alone
 # admit 4096x4096 ≈ 16.8M pixels — 4x the budget).
@@ -102,8 +108,9 @@ def validate_config_bounds(config) -> None:
     already-large height into an over-budget framebuffer.
     """
     for k, (lo, hi) in SESSION_BOUNDS.items():
-        v = getattr(config, k)
-        if not lo <= v <= hi:
+        # Non-config knobs (e.g. denoise) are bounded at query-parse time.
+        v = getattr(config, k, None)
+        if v is not None and not lo <= v <= hi:
             raise ValueError(f"{k}={v} outside viewer bounds [{lo}, {hi}]")
     w, h = config.resolve_size()
     if w * h > MAX_PIXELS:

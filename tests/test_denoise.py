@@ -162,6 +162,62 @@ def test_cli_denoise_output_differs_checkpoint_raw(tmp_path):
     assert raw_png.read_bytes() != dn_png.read_bytes()
 
 
+def test_cli_denoise_live_viewer_toggle_keeps_session(tmp_path):
+    """A /?denoise=N query during --serve swaps the output filter in
+    place: NO session rebuild (the accumulation stream continues) and
+    the frame budget is not restarted. ?denoise=0 turns it back off."""
+    import urllib.request
+
+    from myraytracer_tpu import cli
+    from myraytracer_tpu import viewer as viewer_mod
+
+    out = tmp_path / "served.png"
+    captured = {}
+    real_init = viewer_mod.LiveViewer.__init__
+
+    def vinit(self, port, gamma=2.0):
+        real_init(self, port, gamma)
+        captured["viewer"] = self
+
+    real_sinit = RenderSession.__init__
+    real_step = RenderSession.step
+    counts = {"sessions": 0, "steps": 0}
+
+    def sinit(self, *a, **kw):
+        counts["sessions"] += 1
+        real_sinit(self, *a, **kw)
+
+    def step(self):
+        counts["steps"] += 1
+        if counts["steps"] in (2, 4):
+            q = "denoise=2" if counts["steps"] == 2 else "denoise=0"
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{captured['viewer'].port}/?{q}"
+            ) as r:
+                r.read()
+        return real_step(self)
+
+    viewer_mod.LiveViewer.__init__ = vinit
+    RenderSession.__init__ = sinit
+    RenderSession.step = step
+    try:
+        rc = cli.main([
+            "--width", "64", "--height", "32", "--samples-per-frame", "2",
+            "--ray-depth", "4", "--frames", "6", "--scene", "three-sphere",
+            "--backend", "jnp", "--serve", "0", "--out", str(out),
+        ])
+    finally:
+        RenderSession.step = real_step
+        RenderSession.__init__ = real_sinit
+        viewer_mod.LiveViewer.__init__ = real_init
+    assert rc == 0
+    # One session for the whole run: both toggles swapped the filter
+    # without the page-reload rebuild path...
+    assert counts["sessions"] == 1
+    # ...and the frame budget was not restarted by either toggle.
+    assert counts["steps"] == 6
+
+
 def test_cli_denoise_composes_with_adaptive(tmp_path):
     from myraytracer_tpu import cli
 

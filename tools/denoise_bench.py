@@ -36,7 +36,9 @@ REF_FRAMES = int(os.environ.get("DB_REF_FRAMES", "512"))
 FRAMES = [int(x) for x in os.environ.get("DB_FRAMES", "1,2,4,8,16").split(",")]
 BACKEND = os.environ.get("DB_BACKEND", "")
 SWEEP = os.environ.get("DB_SWEEP", "0") == "1"
-ITERS = int(os.environ.get("DB_ITERS", "5"))
+# Comma list sweeps the iteration ladder (bias floor vs smoothing reach).
+ITERS_LIST = [int(x) for x in os.environ.get("DB_ITERS", "5").split(",")]
+ITERS = ITERS_LIST[0]
 
 
 def rmse(a, b):
@@ -45,6 +47,7 @@ def rmse(a, b):
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     if not BACKEND or jax.default_backend() != "tpu":
         jax.config.update("jax_platforms", "cpu")
@@ -78,38 +81,38 @@ def main():
         snaps[n] = np.asarray(session.framebuffer)
     ref = snaps[REF_FRAMES]
 
-    dn = Denoiser(world, W, H, iterations=ITERS)
+    dn = Denoiser(world, W, H, iterations=max(ITERS_LIST))
     albedo, normal, depth = dn._features(session.scene.cam)
 
-    print(f"{'spp':>6} {'rmse raw':>10} {'rmse dn':>10} {'gain':>6} "
-          f"{'eff x':>6}", file=sys.stderr)
     rows = []
-    raw_curve = []
-    for n in FRAMES:
-        if n == REF_FRAMES:
-            continue
-        raw = snaps[n]
-        t0 = time.perf_counter()
-        out = np.asarray(dn(raw, session.scene.cam))
-        dt = time.perf_counter() - t0
-        r_raw, r_dn = rmse(raw, ref), rmse(out, ref)
-        # Equal-RMSE sample efficiency from the 1/sqrt(n) law:
-        # n_equiv / n = (r_raw / r_dn)^2.
-        eff = (r_raw / r_dn) ** 2
-        raw_curve.append((n * SPP, r_raw))
-        rows.append((n * SPP, r_raw, r_dn, eff, dt))
-        print(f"{n * SPP:>6} {r_raw:>10.5f} {r_dn:>10.5f} "
-              f"{r_raw / r_dn:>6.2f} {eff:>6.2f}", file=sys.stderr)
+    for iters in ITERS_LIST:
+        print(f"{'spp':>6} {'rmse raw':>10} {'rmse dn':>10} {'gain':>6} "
+              f"{'eff x':>6}   (iters={iters})", file=sys.stderr)
+        for n in FRAMES:
+            if n == REF_FRAMES:
+                continue
+            raw = snaps[n]
+            t0 = time.perf_counter()
+            out = np.asarray(atrous_denoise(
+                jnp.asarray(raw), albedo, normal, depth, iters,
+                *dn.sigmas,
+            ))
+            dt = time.perf_counter() - t0
+            r_raw, r_dn = rmse(raw, ref), rmse(out, ref)
+            # Equal-RMSE sample efficiency from the 1/sqrt(n) law:
+            # n_equiv / n = (r_raw / r_dn)^2.
+            eff = (r_raw / r_dn) ** 2
+            rows.append((iters, n * SPP, r_raw, r_dn, eff, dt))
+            print(f"{n * SPP:>6} {r_raw:>10.5f} {r_dn:>10.5f} "
+                  f"{r_raw / r_dn:>6.2f} {eff:>6.2f}", file=sys.stderr)
 
     if SWEEP:
-        import jax.numpy as jnp
-
         raw = jnp.asarray(snaps[FRAMES[len(FRAMES) // 2]])
         base = rmse(raw, ref)
         print(f"sweep at {FRAMES[len(FRAMES) // 2] * SPP} spp "
               f"(raw {base:.5f})", file=sys.stderr)
         best = None
-        for sc in (0.15, 0.25, 0.35, 0.5, 0.8, 1.2):
+        for sc in (1.0, 2.0, 4.0, 8.0, 16.0):
             for sn in (0.15, 0.35, 0.8):
                 for sz in (0.03, 0.07, 0.15):
                     out = atrous_denoise(
@@ -128,11 +131,11 @@ def main():
     import json
 
     print(json.dumps({
-        "scene": SCENE, "size": [W, H], "iters": ITERS,
+        "scene": SCENE, "size": [W, H],
         "rows": [
-            {"spp": s, "rmse_raw": a, "rmse_dn": b, "efficiency_x": e,
-             "filter_s": round(dt, 4)}
-            for s, a, b, e, dt in rows
+            {"iters": it, "spp": s, "rmse_raw": a, "rmse_dn": b,
+             "efficiency_x": e, "filter_s": round(dt, 4)}
+            for it, s, a, b, e, dt in rows
         ],
     }))
 
