@@ -247,7 +247,11 @@ def _run_adaptive(args, config, world) -> int:
     denoise = _make_denoiser(
         args.denoise, config, world, session.width, session.height
     )
-    post = (lambda fb: np.asarray(denoise(fb))) if denoise else (lambda fb: fb)
+
+    def post(fb):
+        """Output transform: reads the CURRENT --denoise binding (the
+        viewer's live toggle rebinds it); never applied to checkpoints."""
+        return np.asarray(denoise(fb)) if denoise is not None else fb
     if args.resume:
         session.load_checkpoint(args.resume)
         log.info(
@@ -303,20 +307,38 @@ def _run_adaptive(args, config, world) -> int:
                     post(fb), session.rounds,
                     session.samples_spent
                     // (session.width * session.height),
+                    denoise=denoise.iterations if denoise else 0,
                 )
-                if viewer.pending_session() is not None:
-                    log.warning(
-                        "viewer session request ignored: adaptive state "
-                        "is bound to one scene/size for the session "
-                        "(restart with new flags instead)"
-                    )
+                sreq = viewer.pending_session()
+                if sreq is not None:
+                    req_dn = sreq.pop("denoise", None)
+                    if sreq or req_dn is None:
+                        log.warning(
+                            "viewer session request ignored: adaptive "
+                            "state is bound to one scene/size for the "
+                            "session (restart with new flags instead)"
+                        )
+                    else:
+                        # ?denoise=N is a display transform: swap the
+                        # output filter; the schedule/accumulation
+                        # state is untouched (unlike scene/size, which
+                        # the adaptive state is bound to).
+                        denoise = _make_denoiser(
+                            req_dn if req_dn else None, config, world,
+                            session.width, session.height,
+                        )
+                        log.info(
+                            "denoise %s (live toggle, schedule kept)",
+                            f"on ({denoise.iterations} iters)"
+                            if denoise else "off",
+                        )
     final = fetch_array(session.framebuffer)
-    if denoise is not None:
-        final = post(final)
+    final = post(final)
     if viewer is not None:
         viewer.update(
             final, session.rounds,
             session.samples_spent // (session.width * session.height),
+            denoise=denoise.iterations if denoise else 0,
         )
     smap = session.spp_map
     log.info(
@@ -658,6 +680,7 @@ def main(argv=None) -> int:
                     viewer.update(
                         post(session.framebuffer), session.frame_count,
                         session.accumulated_spp,
+                        denoise=denoise.iterations if denoise else 0,
                     )
                     # (Not on the last frame: a move would zero the
                     # accumulator with nothing left to refill it before

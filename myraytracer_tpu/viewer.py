@@ -133,6 +133,7 @@ _PAGE = b"""<!doctype html>
 </head>
 <body>
 <div id="bar">myraytracer_tpu &mdash; <span id="stats">connecting&hellip;</span>
+  <button id="dn" title="toggle the a-trous output filter (display only)">denoise: &hellip;</button>
   <span id="hint" style="color:#777"> &mdash; drag to orbit, wheel to zoom</span></div>
 <img id="frame" src="/frame.png" draggable="false">
 <script>
@@ -151,16 +152,27 @@ _PAGE = b"""<!doctype html>
   }
   const img = document.getElementById("frame");
   const stats = document.getElementById("stats");
+  const dnBtn = document.getElementById("dn");
+  let dnState = 0;  // last server-reported iteration count (0 = off)
   async function tick() {
     try {
       const s = await (await fetch("/stats.json")).json();
       stats.textContent = `${s.width}x${s.height}  frame ${s.frame}  ` +
                           `${s.spp} spp accumulated`;
+      dnState = s.denoise | 0;
+      dnBtn.textContent = dnState ? `denoise: ${dnState} iters` : "denoise: off";
       img.src = "/frame.png?f=" + s.frame;  // cache-bust per frame
     } catch (e) { stats.textContent = "render loop finished"; }
   }
   setInterval(tick, 500);
   tick();
+
+  // Denoise is a display transform: the toggle query swaps the output
+  // filter server-side without touching the accumulation (cli.py's
+  // denoise-only session-request path). 5 = render/denoise.py default.
+  dnBtn.addEventListener("click", () => {
+    fetch(`/?denoise=${dnState ? 0 : 5}`).catch(() => {});
+  });
 
   // Camera controls: spherical orbit about the scene's look-at point.
   // The render loop polls /set's latest value between frames and repacks
@@ -301,8 +313,13 @@ class LiveViewer:
         self._thread.start()
         log.info("live viewer at http://localhost:%d/", self.port)
 
-    def update(self, framebuffer, frame: int, spp: int) -> None:
-        """Publish a new accumulated frame (host float radiance array)."""
+    def update(self, framebuffer, frame: int, spp: int,
+               denoise: int = 0) -> None:
+        """Publish a new accumulated frame (host float radiance array).
+
+        ``denoise`` reports the active output-filter iteration count
+        (0 = off) so the page's toggle button reflects server state.
+        """
         fb = np.asarray(framebuffer)
         png = encode_png(to_u8(fb, self.gamma))
         with self._lock:
@@ -312,6 +329,7 @@ class LiveViewer:
                 "spp": int(spp),
                 "width": int(fb.shape[1]),
                 "height": int(fb.shape[0]),
+                "denoise": int(denoise),
             }
 
     def pending_camera(self):

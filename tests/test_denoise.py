@@ -218,6 +218,58 @@ def test_cli_denoise_live_viewer_toggle_keeps_session(tmp_path):
     assert counts["steps"] == 6
 
 
+def test_cli_denoise_live_toggle_adaptive(tmp_path):
+    """/?denoise=N during --adaptive --serve swaps the output filter
+    (display transform) while scene/size queries stay rejected — the
+    schedule state is untouched. /stats.json reports the active count."""
+    import time
+    import urllib.request
+
+    from myraytracer_tpu import cli
+    from myraytracer_tpu import viewer as viewer_mod
+    from myraytracer_tpu.render.adaptive import AdaptiveSession
+
+    out = tmp_path / "served.png"
+    captured = {}
+    real_init = viewer_mod.LiveViewer.__init__
+
+    def vinit(self, port, gamma=2.0):
+        real_init(self, port, gamma)
+        captured["viewer"] = self
+
+    real_step = AdaptiveSession.step
+    calls = {"n": 0}
+
+    def step(self):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{captured['viewer'].port}/?denoise=2"
+            ) as r:
+                r.read()
+        # Slow each round past the viewer sync cadence so the toggle is
+        # consumed deterministically on the next push.
+        time.sleep(0.3)
+        return real_step(self)
+
+    viewer_mod.LiveViewer.__init__ = vinit
+    AdaptiveSession.step = step
+    try:
+        rc = cli.main([
+            "--width", "64", "--height", "32", "--samples-per-frame", "2",
+            "--ray-depth", "4", "--frames", "6", "--scene", "three-sphere",
+            "--backend", "jnp", "--adaptive", "--serve", "0",
+            "--out", str(out),
+        ])
+    finally:
+        AdaptiveSession.step = real_step
+        viewer_mod.LiveViewer.__init__ = real_init
+    assert rc == 0
+    assert calls["n"] >= 2  # the toggle did not end the schedule
+    # The final stats push reports the toggled filter.
+    assert captured["viewer"]._stats["denoise"] == 2
+
+
 def test_cli_denoise_composes_with_adaptive(tmp_path):
     from myraytracer_tpu import cli
 

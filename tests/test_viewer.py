@@ -29,7 +29,8 @@ def test_viewer_serves_page_frame_and_stats(tmp_path):
         stats, ctype = _get(viewer.port, "/stats.json")
         assert ctype == "application/json"
         s = json.loads(stats)
-        assert s == {"frame": 3, "spp": 12, "width": 6, "height": 4}
+        assert s == {"frame": 3, "spp": 12, "width": 6, "height": 4,
+                     "denoise": 0}
 
         png, ctype = _get(viewer.port, "/frame.png?f=3")
         assert ctype == "image/png"
