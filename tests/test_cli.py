@@ -207,6 +207,64 @@ def test_cli_adaptive_resume_inherits_window(tmp_path):
     assert read_png(out).shape == (128, 256, 3)
 
 
+def test_cli_interactive_orbit_with_denoise(tmp_path):
+    """--serve --interactive end-to-end through cli.main: a /set orbit
+    request mid-run repacks the runtime camera (set_camera), and
+    --denoise composes (the feature pass follows the moved camera on
+    the next viewer push)."""
+    import time
+    import urllib.request
+
+    from myraytracer_tpu import viewer as viewer_mod
+
+    out = tmp_path / "served.png"
+    captured = {}
+    real_init = viewer_mod.LiveViewer.__init__
+
+    def vinit(self, port, gamma=2.0):
+        real_init(self, port, gamma)
+        captured["viewer"] = self
+
+    real_step = RenderSession.step
+    real_setcam = RenderSession.set_camera
+    calls = {"step": 0, "setcam": 0}
+
+    def step(self):
+        calls["step"] += 1
+        if calls["step"] == 2:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{captured['viewer'].port}"
+                f"/set?yaw=0.5&pitch=0.1&dist=1.2"
+            ) as r:
+                r.read()
+        # Outlast the 0.25 s viewer sync cadence so every frame pushes
+        # (and polls the camera) deterministically.
+        time.sleep(0.3)
+        return real_step(self)
+
+    def setcam(self, cam):
+        calls["setcam"] += 1
+        return real_setcam(self, cam)
+
+    viewer_mod.LiveViewer.__init__ = vinit
+    RenderSession.step = step
+    RenderSession.set_camera = setcam
+    try:
+        rc = cli.main([
+            "--width", "32", "--height", "16", "--samples-per-frame", "1",
+            "--ray-depth", "2", "--frames", "5", "--scene", "defocus",
+            "--backend", "jnp", "--serve", "0", "--interactive",
+            "--denoise", "2", "--out", str(out),
+        ])
+    finally:
+        RenderSession.step = real_step
+        RenderSession.set_camera = real_setcam
+        viewer_mod.LiveViewer.__init__ = real_init
+    assert rc == 0
+    assert calls["setcam"] == 1  # the orbit was applied exactly once
+    assert read_png(out).shape == (16, 32, 3)
+
+
 def test_cli_adaptive_composition_bans(tmp_path):
     out = str(tmp_path / "x.png")
     for extra in (
