@@ -27,6 +27,14 @@ from myraytracer_tpu.scene.presets import SCENES, get_scene
 log = logging.getLogger("myraytracer_tpu")
 
 
+def _denoise_value(s: str):
+    """--denoise value: an iteration count, or 'auto' (spp-scheduled —
+    render/denoise.py:auto_iterations). argparse type callable."""
+    if s.strip().lower() == "auto":
+        return "auto"
+    return int(s)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="myraytracer_tpu",
@@ -164,16 +172,30 @@ def build_parser() -> argparse.ArgumentParser:
         "tiles); not with --shard samples/hybrid",
     )
     p.add_argument(
-        "--denoise", type=int, nargs="?", const=0, default=None,
-        metavar="ITERS",
+        "--denoise", type=_denoise_value, nargs="?", const=0, default=None,
+        metavar="ITERS|auto",
         help="edge-avoiding à-trous wavelet denoise of the OUTPUT image "
         "(render/denoise.py; extension): feature-guided reconstruction "
         "from a primary-hit albedo/normal/depth pass — large quality "
         "gains at low spp. Optional value = filter iterations "
-        "(default 5; support doubles per iteration). A display "
+        "(default 5; support doubles per iteration), or 'auto' = "
+        "iteration count scheduled from the accumulated spp (the "
+        "measured ladder, BENCH.md: 5 iters at <=2 spp down to off past "
+        "the ~64-spp crossover — progressive renders sharpen to raw as "
+        "they converge). A display "
         "transform only: checkpoints keep the raw accumulation and no "
         "sample stream changes. Composes with every backend, --shard, "
         "--adaptive, --serve, and --interactive",
+    )
+    p.add_argument(
+        "--aov", type=str, default=None, metavar="LIST",
+        help="comma list from {albedo,normal,depth} (extension): write "
+        "arbitrary-output-variable images next to --out as "
+        "<stem>.<aov><ext>, from the same deterministic primary-hit "
+        "feature pass --denoise uses (render/denoise.py:aux_buffers) — "
+        "the guide channels external denoisers (e.g. OIDN) expect. "
+        "u8 sinks encode linearly (normal mapped (n+1)/2, depth "
+        "t/(1+t)); .pfm/.npy sinks carry the raw float values",
     )
     return p
 
@@ -187,6 +209,7 @@ def _make_denoiser(denoise_arg, config, world, width, height):
     """Build the output denoiser, or None.
 
     ``denoise_arg``: None = off, 0 = default iterations, N >= 1 = N
+    iterations, "auto" (or the viewer's -1 sentinel) = spp-scheduled
     iterations (the --denoise CLI contract; the viewer's ?denoise=N
     maps 0 → off). A display transform bound to the world/camera/size
     (the feature pass compiles its own scene — the cpu/C++ backend's
@@ -197,10 +220,63 @@ def _make_denoiser(denoise_arg, config, world, width, height):
         return None
     from myraytracer_tpu.render.denoise import Denoiser
 
+    auto = denoise_arg == "auto" or denoise_arg == -1
+    fixed = 0 if auto else denoise_arg
     return Denoiser(
         world, width, height, t_min=config.t_min, t_max=config.t_max,
-        **({"iterations": denoise_arg} if denoise_arg else {}),
+        auto=auto, **({"iterations": fixed} if fixed else {}),
     )
+
+
+_AOV_NAMES = ("albedo", "normal", "depth")
+
+
+def _write_aovs(aov_arg, out_path, config, world, width, height,
+                cam=None, denoiser=None):
+    """Write AOV (arbitrary-output-variable) images next to ``--out``.
+
+    Production renderers ship auxiliary per-pixel channels alongside the
+    beauty pass; albedo/normal/depth are the standard guide set (what
+    external denoisers consume). Sourced from the one deterministic
+    primary-hit pass the in-tree denoiser compiles
+    (render/denoise.py:aux_buffers) — reused from ``denoiser`` when
+    --denoise is active (same size/world), else compiled here once.
+    Encodings per sink (see --aov help): u8 formats get linear encodes
+    (gamma 1.0; normal (n+1)/2, depth t/(1+t) so sky→~1); .pfm/.npy get
+    the raw float buffers (depth as grayscale Pf).
+    """
+    import pathlib
+
+    import numpy as np
+
+    names = [s.strip().lower() for s in aov_arg.split(",") if s.strip()]
+    bad = [n for n in names if n not in _AOV_NAMES]
+    if bad:
+        raise SystemExit(
+            f"--aov: unknown channel(s) {bad}; choose from {_AOV_NAMES}"
+        )
+    dn = denoiser
+    if dn is None or (dn.width, dn.height) != (width, height):
+        from myraytracer_tpu.render.denoise import Denoiser
+
+        dn = Denoiser(
+            world, width, height, t_min=config.t_min, t_max=config.t_max
+        )
+    albedo, normal, depth = (np.asarray(a) for a in dn.features(cam))
+    out = pathlib.Path(out_path)
+    hdr = out.suffix.lower() in (".pfm", ".npy")
+    for name in names:
+        p = out.with_name(f"{out.stem}.{name}{out.suffix}")
+        if name == "albedo":
+            img = albedo
+        elif name == "normal":
+            img = normal if hdr else normal * np.float32(0.5) + np.float32(0.5)
+        else:
+            img = depth if hdr else np.repeat(
+                (depth / (1.0 + depth))[..., None], 3, axis=-1
+            )
+        write_image(p, img, gamma=1.0)
+        log.info("aov %s → %s", name, p)
 
 
 def _run_adaptive(args, config, world) -> int:
@@ -250,8 +326,13 @@ def _run_adaptive(args, config, world) -> int:
 
     def post(fb):
         """Output transform: reads the CURRENT --denoise binding (the
-        viewer's live toggle rebinds it); never applied to checkpoints."""
-        return np.asarray(denoise(fb)) if denoise is not None else fb
+        viewer's live toggle rebinds it); never applied to checkpoints.
+        Auto mode schedules off the budget-average spp (adaptive spp is
+        per-pixel; the average is the right scale for a global filter)."""
+        if denoise is None:
+            return fb
+        spp = session.samples_spent // (session.width * session.height)
+        return np.asarray(denoise(fb, spp=spp))
     if args.resume:
         session.load_checkpoint(args.resume)
         log.info(
@@ -303,11 +384,13 @@ def _run_adaptive(args, config, world) -> int:
             )
             t_sync, segs_sync = time.perf_counter(), segs
             if viewer is not None:
+                avg_spp = session.samples_spent // (
+                    session.width * session.height
+                )
                 viewer.update(
-                    post(fb), session.rounds,
-                    session.samples_spent
-                    // (session.width * session.height),
-                    denoise=denoise.iterations if denoise else 0,
+                    post(fb), session.rounds, avg_spp,
+                    denoise=denoise.effective_iterations(avg_spp)
+                    if denoise else 0,
                 )
                 sreq = viewer.pending_session()
                 if sreq is not None:
@@ -329,7 +412,8 @@ def _run_adaptive(args, config, world) -> int:
                         )
                         log.info(
                             "denoise %s (live toggle, schedule kept)",
-                            f"on ({denoise.iterations} iters)"
+                            ("on (auto)" if denoise.auto else
+                             f"on ({denoise.iterations} iters)")
                             if denoise else "off",
                         )
     final = fetch_array(session.framebuffer)
@@ -338,7 +422,9 @@ def _run_adaptive(args, config, world) -> int:
         viewer.update(
             final, session.rounds,
             session.samples_spent // (session.width * session.height),
-            denoise=denoise.iterations if denoise else 0,
+            denoise=denoise.effective_iterations(
+                session.samples_spent // (session.width * session.height)
+            ) if denoise else 0,
         )
     smap = session.spp_map
     log.info(
@@ -356,6 +442,11 @@ def _run_adaptive(args, config, world) -> int:
     if proc0:
         write_image(args.out, np.asarray(final), gamma=args.gamma)
         log.info("wrote %s", args.out)
+        if args.aov:
+            _write_aovs(
+                args.aov, args.out, config, world,
+                session.width, session.height, denoiser=denoise,
+            )
     return 0
 
 
@@ -511,7 +602,9 @@ def main(argv=None) -> int:
             return fb
         import numpy as np
 
-        return np.asarray(denoise(fb, session.scene.cam))
+        return np.asarray(
+            denoise(fb, session.scene.cam, spp=session.accumulated_spp)
+        )
 
     if args.resume:
         session.load_checkpoint(args.resume)
@@ -620,7 +713,8 @@ def main(argv=None) -> int:
                                 log.info(
                                     "denoise %s (live toggle, "
                                     "accumulation kept)",
-                                    f"on ({denoise.iterations} iters)"
+                                    ("on (auto)" if denoise.auto else
+                                     f"on ({denoise.iterations} iters)")
                                     if denoise else "off",
                                 )
                                 raise _DenoiseOnly
@@ -680,7 +774,9 @@ def main(argv=None) -> int:
                     viewer.update(
                         post(session.framebuffer), session.frame_count,
                         session.accumulated_spp,
-                        denoise=denoise.iterations if denoise else 0,
+                        denoise=denoise.effective_iterations(
+                            session.accumulated_spp
+                        ) if denoise else 0,
                     )
                     # (Not on the last frame: a move would zero the
                     # accumulator with nothing left to refill it before
@@ -737,6 +833,15 @@ def main(argv=None) -> int:
     if proc0:
         write_image(args.out, post(final), gamma=args.gamma)
         log.info("wrote %s", args.out)
+        if args.aov:
+            # The features follow the FINAL camera (an --interactive
+            # orbit moves session.scene.cam; reference-mode scenes use
+            # the fixed construction camera inside features()).
+            _write_aovs(
+                args.aov, args.out, config, world,
+                session.width, session.height,
+                cam=session.scene.cam, denoiser=denoise,
+            )
     return 0
 
 

@@ -148,13 +148,56 @@ def read_png(path) -> np.ndarray:
     return raw[:, 1:].reshape(h, w, 3)
 
 
+def write_pfm(path, img: np.ndarray) -> None:
+    """Write float32 data as Portable FloatMap (PFM) — the HDR sink.
+
+    ``PF`` for [H, W, 3] color, ``Pf`` for [H, W] grayscale (e.g. a
+    depth AOV); scale ``-1.0`` = little-endian; rows bottom-to-top per
+    the format. Raw linear values — no transfer function, no quantize —
+    so a renderer's radiance (or any float AOV) roundtrips exactly.
+    """
+    img = np.ascontiguousarray(np.asarray(img, np.float32))
+    if img.ndim == 3 and img.shape[2] == 3:
+        magic = b"PF"
+    elif img.ndim == 2:
+        magic = b"Pf"
+    else:
+        raise ValueError(f"PFM needs [H,W,3] or [H,W], got {img.shape}")
+    h, w = img.shape[:2]
+    with open(path, "wb") as f:
+        f.write(magic + b"\n%d %d\n-1.0\n" % (w, h))
+        f.write(img[::-1].tobytes())  # bottom-up row order
+
+
+def read_pfm(path) -> np.ndarray:
+    """Read a PFM written by write_pfm (little-endian only)."""
+    with open(path, "rb") as f:
+        magic = f.readline().strip()
+        w, h = (int(x) for x in f.readline().split())
+        scale = float(f.readline())
+        if scale >= 0:
+            raise ValueError("big-endian PFM not supported")
+        chans = 3 if magic == b"PF" else 1
+        data = np.frombuffer(f.read(w * h * chans * 4), "<f4")
+    img = data.reshape((h, w, 3) if chans == 3 else (h, w))
+    return img[::-1].copy()
+
+
 def write_image(path, img: np.ndarray, gamma: float = 2.0) -> None:
-    """Write float radiance to .ppm or .png based on the extension."""
+    """Write float radiance by extension: .ppm/.png (gamma-encoded u8)
+    or the HDR sinks .pfm/.npy (raw linear float32, gamma ignored)."""
     path = pathlib.Path(path)
+    suffix = path.suffix.lower()
+    if suffix == ".pfm":
+        write_pfm(path, np.asarray(img, np.float32))
+        return
+    if suffix == ".npy":
+        np.save(path, np.asarray(img, np.float32))
+        return
     u8 = to_u8(np.asarray(img), gamma)
-    if path.suffix.lower() == ".ppm":
+    if suffix == ".ppm":
         write_ppm(path, u8)
-    elif path.suffix.lower() == ".png":
+    elif suffix == ".png":
         write_png(path, u8)
     else:
         raise ValueError(f"unsupported image extension: {path.suffix!r}")

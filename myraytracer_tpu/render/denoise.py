@@ -37,6 +37,7 @@ never toward extra bias across true edges.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -69,6 +70,34 @@ DEFAULT_SIGMA_DEPTH = 0.07
 _LUM = (0.2126, 0.7152, 0.0722)
 # 1-D 3-tap Gaussian for the local noise-moment estimate.
 _G3 = (0.25, 0.5, 0.25)
+
+# Measured raw-vs-denoised crossover (tools/denoise_bench.py; BENCH.md
+# "Denoising"): past ~45-64 accumulated spp the raw estimator beats the
+# filter's bias floor, and at intermediate counts FEWER iterations win
+# (2 iters beat 5 at 16 spp). 64 anchors the auto schedule below.
+AUTO_CROSSOVER_SPP = 64
+
+
+def auto_iterations(spp: int, crossover: int = AUTO_CROSSOVER_SPP) -> int:
+    """spp-scheduled iteration count for ``--denoise auto``.
+
+    The measured ladder (BENCH.md "Denoising"): the filter is a low-spp
+    tool whose optimal support shrinks as the accumulation deepens —
+    5 iterations win at 4 spp (8.2x equal-RMSE efficiency), 2 beat 5 at
+    16 spp (1.52x vs ~1.0x), and past the ~45-64 spp crossover the raw
+    buffer wins. The schedule halves the filtered-out noise target per
+    accumulation doubling::
+
+        iters = clamp(ceil(log2(crossover / spp)), 0, DEFAULT_ITERATIONS)
+
+    i.e. 5 at <=2 spp, 4 at 4 spp, 3 at 8, 2 at 16 (the measured
+    optimum), 1 at 32, 0 (raw) at >= ``crossover``. At most
+    ``DEFAULT_ITERATIONS + 1`` distinct filter graphs ever compile.
+    """
+    spp = max(1, int(spp))
+    if spp >= crossover:
+        return 0
+    return min(DEFAULT_ITERATIONS, max(1, math.ceil(math.log2(crossover / spp))))
 
 
 def aux_buffers(
@@ -215,9 +244,14 @@ class Denoiser:
         sigma_depth: float = DEFAULT_SIGMA_DEPTH,
         t_min: float = 1e-3,
         t_max: float = 1e4,
+        auto: bool = False,
     ):
         if iterations < 1:
             raise ValueError(f"denoise iterations must be >= 1, got {iterations}")
+        # auto: iteration count follows the accumulated spp passed per
+        # call (auto_iterations); ``iterations`` is then the no-spp
+        # fallback only.
+        self.auto = bool(auto)
         self.width, self.height = int(width), int(height)
         self.iterations = int(iterations)
         self.sigmas = (
@@ -260,16 +294,36 @@ class Denoiser:
             self._aux_cam = key
         return self._aux
 
-    def __call__(self, fb, cam=None) -> jnp.ndarray:
+    def features(self, cam=None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """The (albedo [H,W,3], normal [H,W,3], depth [H,W]) feature
+        buffers for the current camera — also the CLI's --aov source
+        (arbitrary-output-variable sinks reuse this deterministic
+        primary-hit pass; cached per camera like the filter path)."""
+        return self._features(cam)
+
+    def effective_iterations(self, spp: Optional[int] = None) -> int:
+        """Iteration count this call would run: the spp schedule when
+        ``auto`` (0 = pass-through past the measured crossover), else
+        the fixed construction count."""
+        if self.auto and spp is not None:
+            return auto_iterations(spp)
+        return self.iterations
+
+    def __call__(self, fb, cam=None, spp: Optional[int] = None) -> jnp.ndarray:
         """Denoise a linear [H, W, 3] framebuffer (np or jnp) → jnp.
 
         ``cam`` is the session's packed runtime-camera operand
         (``session.scene.cam``), or None for the construction camera.
+        ``spp`` is the accumulated samples-per-pixel driving the auto
+        schedule (ignored unless constructed with ``auto=True``).
         """
+        iters = self.effective_iterations(spp)
+        if iters <= 0:
+            return jnp.asarray(fb, jnp.float32)
         albedo, normal, depth = self._features(cam)
         return atrous_denoise(
             jnp.asarray(fb, jnp.float32), albedo, normal, depth,
-            self.iterations, *self.sigmas,
+            iters, *self.sigmas,
         )
 
 

@@ -72,9 +72,10 @@ SESSION_PARAMS = {
     # ?qmc=1 toggles low-discrepancy camera sampling (core/rng.py).
     "qmc": lambda s: s.lower() not in ("0", "false", ""),
     # ?denoise=N: 0 turns the à-trous output filter off, N>=1 sets its
-    # iteration count (render/denoise.py; a display transform — the
-    # accumulation/checkpoint state is unaffected by toggling it live).
-    "denoise": int,
+    # iteration count, 'auto' (sentinel -1) schedules it from the
+    # accumulated spp (render/denoise.py:auto_iterations; a display
+    # transform — accumulation/checkpoint state is unaffected live).
+    "denoise": lambda s: -1 if s.strip().lower() == "auto" else int(s),
 }
 
 # Magnitude bounds on viewer-requested rebuilds. The serving loop rebuilds
@@ -92,7 +93,8 @@ SESSION_BOUNDS = {
     "ray_depth": (1, 1024),
     "max_framebuffer_weight": (0.0, 1.0),
     # Filter support doubles per iteration; 12 covers any sane display.
-    "denoise": (0, 12),
+    # -1 is the ?denoise=auto sentinel (spp-scheduled iterations).
+    "denoise": (-1, 12),
 }
 # Bound on the *resolved* pixel count (the per-dimension bounds alone
 # admit 4096x4096 ≈ 16.8M pixels — 4x the budget).

@@ -330,3 +330,60 @@ def test_auto_frame_batch_never_overshoots_frames():
         fb = RenderConfig(samples_per_frame=1,
                           max_frames=frames).resolve_frame_batch("pallas")
         assert -(-frames // fb) * fb == frames
+
+
+def test_cli_aov_outputs(tmp_path):
+    """--aov writes albedo/normal/depth next to --out from the
+    deterministic primary-hit feature pass (cli._write_aovs)."""
+    import numpy as np
+
+    from myraytracer_tpu import cli
+    from myraytracer_tpu.output.image import read_pfm, read_png
+
+    common = [
+        "--width", "64", "--height", "32", "--samples-per-frame", "1",
+        "--ray-depth", "2", "--frames", "1", "--scene", "reference",
+        "--backend", "jnp",
+    ]
+    out = tmp_path / "r.png"
+    assert cli.main(common + [
+        "--out", str(out), "--aov", "albedo,normal,depth"]) == 0
+    alb = read_png(str(tmp_path / "r.albedo.png"))
+    nrm = read_png(str(tmp_path / "r.normal.png"))
+    dep = read_png(str(tmp_path / "r.depth.png"))
+    assert alb.shape == nrm.shape == dep.shape == (32, 64, 3)
+    # Reference scene center: the red sphere (0.7, 0.3, 0.3), linear u8.
+    np.testing.assert_allclose(
+        alb[16, 32] / 255.0, [0.7, 0.3, 0.3], atol=1.5 / 255.0
+    )
+    # Its center normal faces the camera (+Z): encoded (n+1)/2 ≈ (.5,.5,1)
+    # (the pixel center sits ~half a pixel off the sphere axis, so the
+    # x/y components are small but nonzero).
+    np.testing.assert_allclose(
+        nrm[16, 32] / 255.0, [0.5, 0.5, 1.0], atol=0.05
+    )
+    # Sky pixels exist and their depth t/(1+t) saturates to ~1.
+    assert (dep[..., 0] == 255).any()
+    # HDR sink: raw values (signed normals, t in world units).
+    out2 = tmp_path / "r.pfm"
+    assert cli.main(common + [
+        "--out", str(out2), "--aov", "normal,depth"]) == 0
+    nrm_f = read_pfm(tmp_path / "r.normal.pfm")
+    dep_f = read_pfm(tmp_path / "r.depth.pfm")
+    assert nrm_f.shape == (32, 64, 3) and dep_f.shape == (32, 64)
+    np.testing.assert_allclose(nrm_f[16, 32], [0, 0, 1], atol=0.1)
+    assert (dep_f == 1e4).any()  # sky = t_max
+    assert 0.5 < dep_f[16, 32] < 2.0  # center sphere ~1 unit away
+
+
+def test_cli_aov_rejects_unknown_channel(tmp_path):
+    import pytest
+
+    from myraytracer_tpu import cli
+
+    with pytest.raises(SystemExit):
+        cli.main([
+            "--width", "16", "--height", "8", "--samples-per-frame", "1",
+            "--ray-depth", "2", "--frames", "1", "--backend", "jnp",
+            "--out", str(tmp_path / "x.png"), "--aov", "beauty",
+        ])

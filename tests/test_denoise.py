@@ -284,3 +284,79 @@ def test_cli_denoise_composes_with_adaptive(tmp_path):
     img = read_png(str(out))
     assert img.shape == (32, 64, 3)
     assert img.mean() > 1.0  # nonzero content
+
+
+def test_auto_iterations_matches_measured_ladder():
+    """The --denoise auto schedule reproduces the measured optima
+    (BENCH.md "Denoising"): full support at the lowest counts, the
+    16-spp optimum of 2 iterations, pass-through past the crossover."""
+    from myraytracer_tpu.render.denoise import (
+        AUTO_CROSSOVER_SPP,
+        auto_iterations,
+    )
+
+    assert auto_iterations(1) == 5
+    assert auto_iterations(4) == 4
+    assert auto_iterations(8) == 3
+    assert auto_iterations(16) == 2  # the measured 16-spp optimum
+    assert auto_iterations(32) == 1
+    assert auto_iterations(AUTO_CROSSOVER_SPP) == 0
+    assert auto_iterations(500) == 0
+    # Monotone non-increasing in spp; never above the default.
+    prev = 99
+    for spp in range(1, 130):
+        it = auto_iterations(spp)
+        assert 0 <= it <= 5 and it <= prev
+        prev = it
+
+
+def test_denoiser_auto_mode_schedules_and_passes_through():
+    world = presets.reference_scene()
+    dn = Denoiser(world, W, H, auto=True)
+    rng = np.random.default_rng(0)
+    fb = jnp.asarray(rng.random((H, W, 3)), jnp.float32)
+    # Past the crossover: exact pass-through (raw accumulation wins).
+    out_hi = dn(fb, spp=4096)
+    np.testing.assert_array_equal(np.asarray(out_hi), np.asarray(fb))
+    assert dn.effective_iterations(4096) == 0
+    # Low spp: the filter runs (output differs) with scheduled support.
+    assert dn.effective_iterations(4) == 4
+    out_lo = np.asarray(dn(fb, spp=4))
+    assert not np.array_equal(out_lo, np.asarray(fb))
+    # Fewer iterations at 32 spp than at 4 — verify via the fixed path
+    # equivalence: auto at spp=32 equals a fixed 1-iteration filter.
+    fixed1 = Denoiser(world, W, H, iterations=1)
+    np.testing.assert_array_equal(
+        np.asarray(dn(fb, spp=32)), np.asarray(fixed1(fb))
+    )
+
+
+def test_cli_denoise_auto_sharpens_to_raw(tmp_path):
+    """--denoise auto: a short low-spp run filters its output; a long
+    run past the crossover writes the RAW image (bitwise equal to the
+    no-denoise run) while a fixed --denoise 2 run still filters."""
+    from myraytracer_tpu import cli
+
+    common = [
+        "--width", "64", "--height", "32", "--samples-per-frame", "4",
+        "--ray-depth", "4", "--scene", "three-sphere", "--backend", "jnp",
+    ]
+    raw, auto_lo, auto_hi, fixed = (
+        tmp_path / n for n in ("raw.png", "lo.png", "hi.png", "fx.png")
+    )
+    # 2 frames x 4 spp = 8 accumulated spp: auto filters (3 iters).
+    assert cli.main(common + [
+        "--frames", "2", "--out", str(raw)]) == 0
+    assert cli.main(common + [
+        "--frames", "2", "--denoise", "auto", "--out", str(auto_lo)]) == 0
+    assert raw.read_bytes() != auto_lo.read_bytes()
+    # 17 frames x 4 spp = 68 >= crossover: auto = raw, fixed still filters.
+    raw17 = tmp_path / "raw17.png"
+    assert cli.main(common + [
+        "--frames", "17", "--out", str(raw17)]) == 0
+    assert cli.main(common + [
+        "--frames", "17", "--denoise", "auto", "--out", str(auto_hi)]) == 0
+    assert cli.main(common + [
+        "--frames", "17", "--denoise", "2", "--out", str(fixed)]) == 0
+    assert auto_hi.read_bytes() == raw17.read_bytes()
+    assert fixed.read_bytes() != raw17.read_bytes()

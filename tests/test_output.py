@@ -87,3 +87,35 @@ def test_srgb_transfer_option():
 
     assert build_parser().parse_args(["--gamma", "srgb"]).gamma == "srgb"
     assert build_parser().parse_args(["--gamma", "1.8"]).gamma == 1.8
+
+
+def test_pfm_roundtrip_color_and_gray():
+    """write_pfm/read_pfm: bitwise float roundtrip for PF (color) and
+    Pf (grayscale) — the HDR sink must not touch the radiance values."""
+    import numpy as np
+
+    from myraytracer_tpu.output.image import read_pfm, write_pfm
+
+    rng = np.random.default_rng(7)
+    color = (rng.standard_normal((17, 23, 3)) * 10).astype(np.float32)
+    gray = (rng.random((9, 5)) * 1e4).astype(np.float32)
+    write_pfm("/tmp/_pfm_c.pfm", color)
+    write_pfm("/tmp/_pfm_g.pfm", gray)
+    np.testing.assert_array_equal(read_pfm("/tmp/_pfm_c.pfm"), color)
+    np.testing.assert_array_equal(read_pfm("/tmp/_pfm_g.pfm"), gray)
+
+
+def test_write_image_hdr_sinks_skip_transfer(tmp_path):
+    """.pfm and .npy sinks write RAW linear float32 — no gamma encode,
+    no u8 quantize (values above 1.0 and negatives survive)."""
+    import numpy as np
+
+    from myraytracer_tpu.output.image import read_pfm, write_image
+
+    img = np.array(
+        [[[2.5, 0.25, -0.5], [0.0, 1.0, 7.0]]], np.float32
+    )
+    write_image(tmp_path / "x.pfm", img, gamma=2.0)
+    write_image(tmp_path / "x.npy", img, gamma=2.0)
+    np.testing.assert_array_equal(read_pfm(tmp_path / "x.pfm"), img)
+    np.testing.assert_array_equal(np.load(tmp_path / "x.npy"), img)
