@@ -88,15 +88,22 @@ def build_parser() -> argparse.ArgumentParser:
         "--obj", default=None, metavar="FILE",
         help="render an OBJ mesh (overrides --scene; native C++ loader)",
     )
-    p.add_argument("--out", default="out.png", help=".png or .ppm output path")
+    p.add_argument(
+        "--out", default="out.png",
+        help=".png/.ppm (u8, --gamma transfer) or .pfm/.npy (raw linear "
+        "float HDR) output path",
+    )
     from myraytracer_tpu.output.image import parse_gamma
 
     p.add_argument(
-        "--gamma", type=parse_gamma, default=2.0, metavar="G|srgb",
-        help="output transfer: float exponent (2.0 = RTiOW sqrt) or "
+        "--gamma", type=parse_gamma, default=2.0, metavar="G|srgb|aces",
+        help="output transfer: float exponent (2.0 = RTiOW sqrt), "
         "'srgb' (the piecewise sRGB encode / inverse EOTF — pixel-exact "
         "with the live reference, which presents through an sRGB "
-        "surface, lib.rs:1105-1107)",
+        "surface, lib.rs:1105-1107), or 'aces' (filmic tonemap — the "
+        "Narkowicz ACES fit on unclipped radiance then sRGB encode; "
+        "rolls off the >1.0 highlights emissive scenes produce instead "
+        "of hard-clipping)",
     )
     p.add_argument(
         "--backend", choices=["auto", "jnp", "pallas", "cpu"], default="auto",

@@ -23,14 +23,25 @@ import numpy as np
 def gamma_encode(img: np.ndarray, gamma=2.0) -> np.ndarray:
     """Clamp to [0,1] and apply the transfer function.
 
-    ``gamma`` is a float exponent (2.0 ⇒ sqrt, RTiOW's convention) or the
+    ``gamma`` is a float exponent (2.0 ⇒ sqrt, RTiOW's convention), the
     string ``"srgb"`` for the piecewise sRGB encode (the inverse EOTF /
     OETF: linear → encoded) — the transfer the reference effectively uses
     by presenting through an sRGB surface format (``lib.rs:1105-1107``),
     so ``--gamma srgb`` output compares pixel-exactly with the live
-    reference window.
+    reference window — or ``"aces"`` for a filmic tonemap (extension):
+    the Narkowicz 2015 rational fit of the ACES RRT+ODT applied to the
+    UNCLIPPED linear radiance, then sRGB-encoded. Emissive scenes
+    (cornell/light) produce radiance well above 1.0 that every other
+    mode hard-clips; ACES rolls those highlights off smoothly instead.
     """
-    img = np.clip(np.asarray(img, np.float32), 0.0, 1.0)
+    img = np.asarray(img, np.float32)
+    if gamma == "aces":
+        x = np.maximum(img, 0.0)
+        tone = x * (np.float32(2.51) * x + np.float32(0.03)) / (
+            x * (np.float32(2.43) * x + np.float32(0.59)) + np.float32(0.14)
+        )
+        return gamma_encode(tone, "srgb")
+    img = np.clip(img, 0.0, 1.0)
     if gamma == "srgb":
         lo = img * np.float32(12.92)
         hi = np.float32(1.055) * img ** np.float32(1.0 / 2.4) - np.float32(0.055)
@@ -50,13 +61,15 @@ def to_u8(img: np.ndarray, gamma=2.0) -> np.ndarray:
 
 
 def parse_gamma(value):
-    """CLI ``--gamma`` values: a float exponent or the literal 'srgb'."""
-    if isinstance(value, str) and value.strip().lower() == "srgb":
-        return "srgb"
+    """CLI ``--gamma`` values: a float exponent, 'srgb', or 'aces'."""
+    if isinstance(value, str) and value.strip().lower() in ("srgb", "aces"):
+        return value.strip().lower()
     try:
         g = float(value)
     except (TypeError, ValueError):
-        raise ValueError(f"gamma must be a float or 'srgb', got {value!r}")
+        raise ValueError(
+            f"gamma must be a float, 'srgb', or 'aces', got {value!r}"
+        )
     if g <= 0:
         raise ValueError(f"gamma must be positive, got {g}")
     return g

@@ -119,3 +119,39 @@ def test_write_image_hdr_sinks_skip_transfer(tmp_path):
     write_image(tmp_path / "x.npy", img, gamma=2.0)
     np.testing.assert_array_equal(read_pfm(tmp_path / "x.pfm"), img)
     np.testing.assert_array_equal(np.load(tmp_path / "x.npy"), img)
+
+
+def test_aces_tonemap_rolls_off_highlights():
+    """--gamma aces: the Narkowicz ACES fit runs on UNCLIPPED radiance —
+    monotone, 0→0, and HDR highlights compress smoothly instead of the
+    hard clip every other mode applies."""
+    import numpy as np
+
+    from myraytracer_tpu.output.image import gamma_encode, parse_gamma, to_u8
+
+    assert parse_gamma("aces") == "aces"
+    assert parse_gamma("ACES") == "aces"
+    x = np.array([[[0.0, 0.18, 0.5], [1.0, 2.0, 16.0]]], np.float32)
+    enc = gamma_encode(x, "aces")
+    flat = enc.reshape(-1)
+    assert flat[0] == 0.0
+    # Monotone in the input ordering above.
+    assert np.all(np.diff(flat) > 0)
+    # x=2.0 is NOT clipped to the x=1.0 level (sqrt/srgb modes clip both
+    # to 255); under ACES they quantize to distinct u8 values.
+    u8 = to_u8(x, "aces").reshape(-1)
+    assert u8[3] < u8[4] < u8[5] <= 255
+    clipped = to_u8(x, 2.0).reshape(-1)
+    assert clipped[3] == clipped[4] == clipped[5] == 255
+    # Mid-gray matches the published fit: aces(0.18) ≈ 0.267 linear
+    # → ≈ 0.553 sRGB-encoded → u8 141.
+    assert 138 <= u8[1] <= 144
+
+
+def test_parse_gamma_rejects_unknown_string():
+    import pytest
+
+    from myraytracer_tpu.output.image import parse_gamma
+
+    with pytest.raises(ValueError):
+        parse_gamma("filmic")
