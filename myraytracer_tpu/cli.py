@@ -202,7 +202,9 @@ def build_parser() -> argparse.ArgumentParser:
         "feature pass --denoise uses (render/denoise.py:aux_buffers) — "
         "the guide channels external denoisers (e.g. OIDN) expect. "
         "u8 sinks encode linearly (normal mapped (n+1)/2, depth "
-        "t/(1+t)); .pfm/.npy sinks carry the raw float values",
+        "t/(1+t)); .pfm/.npy sinks carry the raw float values. With "
+        "--serve, also published live at /aov/<name>.png (refreshed on "
+        "orbit/session changes)",
     )
     return p
 
@@ -238,6 +240,53 @@ def _make_denoiser(denoise_arg, config, world, width, height):
 _AOV_NAMES = ("albedo", "normal", "depth")
 
 
+def _parse_aov_names(aov_arg):
+    """Validate a --aov comma list → channel names (SystemExit on junk)."""
+    names = [s.strip().lower() for s in aov_arg.split(",") if s.strip()]
+    bad = [n for n in names if n not in _AOV_NAMES]
+    if bad:
+        raise SystemExit(
+            f"--aov: unknown channel(s) {bad}; choose from {_AOV_NAMES}"
+        )
+    return names
+
+
+def _aov_feature_pass(config, world, width, height, denoiser=None):
+    """The Denoiser whose primary-hit pass sources the AOVs — reuse the
+    active --denoise instance when its size matches, else build one."""
+    if denoiser is not None and (denoiser.width, denoiser.height) == (
+        width, height
+    ):
+        return denoiser
+    from myraytracer_tpu.render.denoise import Denoiser
+
+    return Denoiser(
+        world, width, height, t_min=config.t_min, t_max=config.t_max
+    )
+
+
+def _aov_images(dn, cam, names, hdr=False):
+    """name → image dict from the feature pass. ``hdr`` keeps raw float
+    values (signed normals, world-unit depth); else display encodes
+    (normal (n+1)/2, depth t/(1+t) so sky→~1; albedo is already [0,1])."""
+    import numpy as np
+
+    albedo, normal, depth = (np.asarray(a) for a in dn.features(cam))
+    out = {}
+    for name in names:
+        if name == "albedo":
+            out[name] = albedo
+        elif name == "normal":
+            out[name] = normal if hdr else (
+                normal * np.float32(0.5) + np.float32(0.5)
+            )
+        else:
+            out[name] = depth if hdr else np.repeat(
+                (depth / (1.0 + depth))[..., None], 3, axis=-1
+            )
+    return out
+
+
 def _write_aovs(aov_arg, out_path, config, world, width, height,
                 cam=None, denoiser=None):
     """Write AOV (arbitrary-output-variable) images next to ``--out``.
@@ -254,34 +303,12 @@ def _write_aovs(aov_arg, out_path, config, world, width, height,
     """
     import pathlib
 
-    import numpy as np
-
-    names = [s.strip().lower() for s in aov_arg.split(",") if s.strip()]
-    bad = [n for n in names if n not in _AOV_NAMES]
-    if bad:
-        raise SystemExit(
-            f"--aov: unknown channel(s) {bad}; choose from {_AOV_NAMES}"
-        )
-    dn = denoiser
-    if dn is None or (dn.width, dn.height) != (width, height):
-        from myraytracer_tpu.render.denoise import Denoiser
-
-        dn = Denoiser(
-            world, width, height, t_min=config.t_min, t_max=config.t_max
-        )
-    albedo, normal, depth = (np.asarray(a) for a in dn.features(cam))
+    names = _parse_aov_names(aov_arg)
+    dn = _aov_feature_pass(config, world, width, height, denoiser)
     out = pathlib.Path(out_path)
     hdr = out.suffix.lower() in (".pfm", ".npy")
-    for name in names:
+    for name, img in _aov_images(dn, cam, names, hdr=hdr).items():
         p = out.with_name(f"{out.stem}.{name}{out.suffix}")
-        if name == "albedo":
-            img = albedo
-        elif name == "normal":
-            img = normal if hdr else normal * np.float32(0.5) + np.float32(0.5)
-        else:
-            img = depth if hdr else np.repeat(
-                (depth / (1.0 + depth))[..., None], 3, axis=-1
-            )
         write_image(p, img, gamma=1.0)
         log.info("aov %s → %s", name, p)
 
@@ -330,6 +357,15 @@ def _run_adaptive(args, config, world) -> int:
     denoise = _make_denoiser(
         args.denoise, config, world, session.width, session.height
     )
+    if viewer is not None and args.aov:
+        # Adaptive cameras are fixed for the session: publish the
+        # /aov/<name>.png endpoints once.
+        dn = _aov_feature_pass(
+            config, world, session.width, session.height, denoise
+        )
+        viewer.set_aovs(
+            _aov_images(dn, None, _parse_aov_names(args.aov))
+        )
 
     def post(fb):
         """Output transform: reads the CURRENT --denoise binding (the
@@ -662,6 +698,41 @@ def main(argv=None) -> int:
             "camera scene, and --shard none"
         )
 
+    aov_names = _parse_aov_names(args.aov) if args.aov else []
+    aov_pass = {}  # cached feature pass for the viewer AOV endpoints
+
+    def push_aovs():
+        """Publish /aov/<name>.png to the viewer (--aov with --serve).
+
+        Features are static per camera, so this runs only when the
+        camera or session changes (startup, rebuild, orbit) — never per
+        frame. The feature pass is cached: rebuilding a Denoiser per
+        orbit move would re-jit its aux pass every time.
+        """
+        if viewer is None or not aov_names:
+            return
+        dn = denoise
+        if dn is None or (dn.width, dn.height) != (
+            session.width, session.height
+        ):
+            dn = aov_pass.get("dn")
+            if (dn is None
+                    or (dn.width, dn.height) != (session.width, session.height)
+                    or aov_pass.get("world") is not world):
+                dn = _aov_feature_pass(
+                    config, world, session.width, session.height
+                )
+                aov_pass["dn"], aov_pass["world"] = dn, world
+        log.info(
+            "publishing /aov/{%s}.png (first call compiles the feature "
+            "pass — may take a while on a cold cache)",
+            ",".join(aov_names),
+        )
+        viewer.set_aovs(_aov_images(dn, session.scene.cam, aov_names))
+        log.info("aov endpoints live")
+
+    push_aovs()
+
     # With a live viewer, frames are NOT host-synced individually: small
     # frames are dominated by the tunnel round-trip, and JAX pipelines
     # dispatches — so sync (and push to the browser / poll the camera)
@@ -755,6 +826,7 @@ def main(argv=None) -> int:
                             # frame_batch too.
                             n_steps = -(-args.frames // session.frame_batch)
                             i = 1  # the in-flight step is the 1st
+                            push_aovs()  # new scene/size/camera
                         t_sync = time.perf_counter()
                         segs_sync = session.segments_traced
                         frames_sync = 0
@@ -806,6 +878,7 @@ def main(argv=None) -> int:
                                 req.get("yaw", 0.0), req.get("pitch", 0.0),
                                 req.get("dist", 1.0),
                             )
+                            push_aovs()  # features follow the orbit
                 if args.preview_every and session.frame_count > 0 \
                         and session.frame_count // args.preview_every \
                         > previews_written:

@@ -210,9 +210,12 @@ class LiveViewer:
     """Serve the accumulating framebuffer at ``http://localhost:port/``."""
 
     def __init__(self, port: int, gamma=2.0):
-        self.gamma = gamma if gamma == "srgb" else float(gamma)
+        # String transfers pass through verbatim ('srgb', 'aces' — already
+        # validated by parse_gamma); anything else is a float exponent.
+        self.gamma = gamma if isinstance(gamma, str) else float(gamma)
         self._lock = threading.Lock()
         self._png = encode_png(np.zeros((1, 1, 3), np.uint8))
+        self._aovs = {}
         self._stats = {"frame": 0, "spp": 0, "width": 0, "height": 0}
         self._camera_request = None  # latest /set payload, consumed by poll
         self._session_request = None  # latest /?param= payload, ditto
@@ -294,6 +297,17 @@ class LiveViewer:
                     with viewer._lock:
                         body = json.dumps(viewer._stats).encode()
                     ctype = "application/json"
+                elif path.startswith("/aov/") and path.endswith(".png"):
+                    # Live guide-buffer inspection: /aov/<name>.png for
+                    # whatever the CLI published via set_aovs (--aov
+                    # with --serve). 404 for unpublished channels.
+                    name = path[len("/aov/"):-len(".png")]
+                    with viewer._lock:
+                        body = viewer._aovs.get(name)
+                    if body is None:
+                        self.send_error(404, f"aov {name!r} not published")
+                        return
+                    ctype = "image/png"
                 else:
                     self.send_error(404)
                     return
@@ -333,6 +347,22 @@ class LiveViewer:
                 "height": int(fb.shape[0]),
                 "denoise": int(denoise),
             }
+
+    def set_aovs(self, images) -> None:
+        """Publish AOV images for ``/aov/<name>.png``.
+
+        ``images``: dict of name → [H, W, 3] float array already in
+        display range [0, 1] (the CLI's LDR AOV encodes — linear u8,
+        gamma 1.0). Encoded once here, served from cache; re-publish
+        whenever the camera or session changes (features are static per
+        camera, so there is nothing to refresh between frames).
+        """
+        encoded = {
+            str(name): encode_png(to_u8(np.asarray(img), 1.0))
+            for name, img in images.items()
+        }
+        with self._lock:
+            self._aovs = encoded
 
     def pending_camera(self):
         """Return-and-clear the latest camera request from the page.

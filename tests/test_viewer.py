@@ -208,3 +208,96 @@ def test_viewer_log_level_query():
     finally:
         logger.setLevel(old)
         viewer.close()
+
+
+def test_viewer_aov_endpoints_and_string_gamma():
+    """set_aovs publishes /aov/<name>.png (404 for unpublished names),
+    and string transfers ('srgb'/'aces') construct without the old
+    float() crash."""
+    import urllib.error
+    import urllib.request
+
+    import numpy as np
+
+    from myraytracer_tpu.output.image import read_png
+    from myraytracer_tpu.viewer import LiveViewer
+
+    v = LiveViewer(0, gamma="aces")
+    try:
+        img = np.zeros((8, 16, 3), np.float32)
+        img[..., 0] = 0.5
+        v.set_aovs({"albedo": img})
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{v.port}/aov/albedo.png"
+        ) as r:
+            body = r.read()
+        import io
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".png") as f:
+            f.write(body)
+            f.flush()
+            decoded = read_png(f.name)
+        assert decoded.shape == (8, 16, 3)
+        # Linear (gamma-1.0) encode: 0.5 → 128, no transfer curve.
+        assert abs(int(decoded[0, 0, 0]) - 128) <= 1
+        assert decoded[0, 0, 1] == 0
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{v.port}/aov/depth.png"
+            )
+            assert False, "unpublished AOV must 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        v._server.shutdown()
+
+
+def test_cli_serve_publishes_aovs(tmp_path):
+    """--serve + --aov: the render loop publishes the requested guide
+    channels at startup; unrequested channels stay 404."""
+    import urllib.error
+    import urllib.request
+
+    from myraytracer_tpu import cli
+    from myraytracer_tpu import viewer as viewer_mod
+    from myraytracer_tpu.render.session import RenderSession
+
+    captured = {}
+    real_init = viewer_mod.LiveViewer.__init__
+
+    def vinit(self, port, gamma=2.0):
+        real_init(self, port, gamma)
+        captured["viewer"] = self
+
+    real_step = RenderSession.step
+    counts = {"steps": 0, "codes": {}}
+
+    def step(self):
+        counts["steps"] += 1
+        if counts["steps"] == 2:
+            for name in ("albedo", "normal", "depth"):
+                try:
+                    with urllib.request.urlopen(
+                        "http://127.0.0.1:%d/aov/%s.png"
+                        % (captured["viewer"].port, name)
+                    ) as r:
+                        counts["codes"][name] = r.status
+                except urllib.error.HTTPError as e:
+                    counts["codes"][name] = e.code
+        return real_step(self)
+
+    viewer_mod.LiveViewer.__init__ = vinit
+    RenderSession.step = step
+    try:
+        rc = cli.main([
+            "--width", "64", "--height", "32", "--samples-per-frame", "2",
+            "--ray-depth", "4", "--frames", "4", "--scene", "three-sphere",
+            "--backend", "jnp", "--serve", "0", "--aov", "albedo,normal",
+            "--out", str(tmp_path / "s.png"),
+        ])
+    finally:
+        RenderSession.step = real_step
+        viewer_mod.LiveViewer.__init__ = real_init
+    assert rc == 0
+    assert counts["codes"] == {"albedo": 200, "normal": 200, "depth": 404}
