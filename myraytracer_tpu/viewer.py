@@ -136,6 +136,7 @@ _PAGE = b"""<!doctype html>
 <body>
 <div id="bar">myraytracer_tpu &mdash; <span id="stats">connecting&hellip;</span>
   <button id="dn" title="toggle the a-trous output filter (display only)">denoise: &hellip;</button>
+  <span id="aovs"></span>
   <span id="hint" style="color:#777"> &mdash; drag to orbit, wheel to zoom</span></div>
 <img id="frame" src="/frame.png" draggable="false">
 <script>
@@ -163,6 +164,14 @@ _PAGE = b"""<!doctype html>
                           `${s.spp} spp accumulated`;
       dnState = s.denoise | 0;
       dnBtn.textContent = dnState ? `denoise: ${dnState} iters` : "denoise: off";
+      // Published AOV guide buffers (--aov with --serve): link them.
+      const aovSpan = document.getElementById("aovs");
+      const names = s.aovs || [];
+      if (aovSpan.childElementCount !== names.length) {
+        aovSpan.innerHTML = names.map(n =>
+          ` <a href="/aov/${n}.png" target="_blank"
+               style="color:#8ab">${n}</a>`).join("");
+      }
       img.src = "/frame.png?f=" + s.frame;  // cache-bust per frame
     } catch (e) { stats.textContent = "render loop finished"; }
   }
@@ -216,6 +225,7 @@ class LiveViewer:
         self._lock = threading.Lock()
         self._png = encode_png(np.zeros((1, 1, 3), np.uint8))
         self._aovs = {}
+        self._aov_names = []
         self._stats = {"frame": 0, "spp": 0, "width": 0, "height": 0}
         self._camera_request = None  # latest /set payload, consumed by poll
         self._session_request = None  # latest /?param= payload, ditto
@@ -347,6 +357,8 @@ class LiveViewer:
                 "height": int(fb.shape[0]),
                 "denoise": int(denoise),
             }
+            if self._aov_names:
+                self._stats["aovs"] = self._aov_names
 
     def set_aovs(self, images) -> None:
         """Publish AOV images for ``/aov/<name>.png``.
@@ -363,6 +375,8 @@ class LiveViewer:
         }
         with self._lock:
             self._aovs = encoded
+            self._aov_names = sorted(encoded)
+            self._stats["aovs"] = self._aov_names
 
     def pending_camera(self):
         """Return-and-clear the latest camera request from the page.

@@ -301,3 +301,28 @@ def test_cli_serve_publishes_aovs(tmp_path):
         viewer_mod.LiveViewer.__init__ = real_init
     assert rc == 0
     assert counts["codes"] == {"albedo": 200, "normal": 200, "depth": 404}
+
+
+def test_stats_reports_published_aovs():
+    """/stats.json lists published AOV names (page renders them as
+    links), surviving subsequent frame updates."""
+    import json
+    import urllib.request
+
+    import numpy as np
+
+    from myraytracer_tpu.viewer import LiveViewer
+
+    v = LiveViewer(0)
+    try:
+        v.set_aovs({"albedo": np.zeros((4, 4, 3), np.float32),
+                    "depth": np.zeros((4, 4, 3), np.float32)})
+        v.update(np.zeros((4, 4, 3), np.float32), 1, 2)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{v.port}/stats.json"
+        ) as r:
+            stats = json.loads(r.read())
+        assert stats["aovs"] == ["albedo", "depth"]
+        assert stats["frame"] == 1
+    finally:
+        v._server.shutdown()
