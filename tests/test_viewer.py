@@ -326,3 +326,52 @@ def test_stats_reports_published_aovs():
         assert stats["frame"] == 1
     finally:
         v._server.shutdown()
+
+
+def test_cli_adaptive_serve_publishes_aovs(tmp_path):
+    """--adaptive --serve + --aov publishes the guide channels once
+    (fixed camera) before the schedule starts."""
+    import urllib.error
+    import urllib.request
+
+    from myraytracer_tpu import cli
+    from myraytracer_tpu import viewer as viewer_mod
+    from myraytracer_tpu.render.adaptive import AdaptiveSession
+
+    captured = {}
+    real_init = viewer_mod.LiveViewer.__init__
+
+    def vinit(self, port, gamma=2.0):
+        real_init(self, port, gamma)
+        captured["viewer"] = self
+
+    real_step = AdaptiveSession.step
+    codes = {}
+
+    def step(self):
+        if not codes:
+            for name in ("depth", "albedo"):
+                try:
+                    with urllib.request.urlopen(
+                        "http://127.0.0.1:%d/aov/%s.png"
+                        % (captured["viewer"].port, name)
+                    ) as r:
+                        codes[name] = r.status
+                except urllib.error.HTTPError as e:
+                    codes[name] = e.code
+        return real_step(self)
+
+    viewer_mod.LiveViewer.__init__ = vinit
+    AdaptiveSession.step = step
+    try:
+        rc = cli.main([
+            "--width", "64", "--height", "32", "--samples-per-frame", "2",
+            "--ray-depth", "4", "--frames", "6", "--scene", "three-sphere",
+            "--backend", "jnp", "--adaptive", "--serve", "0",
+            "--aov", "depth", "--out", str(tmp_path / "a.png"),
+        ])
+    finally:
+        AdaptiveSession.step = real_step
+        viewer_mod.LiveViewer.__init__ = real_init
+    assert rc == 0
+    assert codes == {"depth": 200, "albedo": 404}
