@@ -106,6 +106,13 @@ def build_parser() -> argparse.ArgumentParser:
         "of hard-clipping)",
     )
     p.add_argument(
+        "--exposure", type=float, default=1.0, metavar="SCALE",
+        help="linear pre-transfer exposure scale for display encodes "
+        "(1.0 = neutral, 2.0 = +1 stop; the standard companion to "
+        "--gamma aces). Display-side only: .pfm/.npy HDR sinks, AOVs, "
+        "and checkpoints always carry the unscaled radiance",
+    )
+    p.add_argument(
         "--backend", choices=["auto", "jnp", "pallas", "cpu"], default="auto",
         help="integrator backend: pure-jnp oracle, fused Pallas kernel, or "
         "the native C++ SAH-BVH renderer (cpu — large mesh/sphere scenes; "
@@ -339,7 +346,9 @@ def _run_adaptive(args, config, world) -> int:
         # rejected rather than silently restarting the budget.
         from myraytracer_tpu.viewer import LiveViewer
 
-        viewer = LiveViewer(args.serve, gamma=args.gamma)
+        viewer = LiveViewer(
+            args.serve, gamma=args.gamma, exposure=args.exposure
+        )
 
     if args.resume and config.frame_batch == 0:
         # Auto window selection must not invalidate a resume: the saved
@@ -483,7 +492,8 @@ def _run_adaptive(args, config, world) -> int:
         if proc0:
             log.info("adaptive checkpoint saved to %s", args.checkpoint)
     if proc0:
-        write_image(args.out, np.asarray(final), gamma=args.gamma)
+        write_image(args.out, np.asarray(final), gamma=args.gamma,
+                    exposure=args.exposure)
         log.info("wrote %s", args.out)
         if args.aov:
             _write_aovs(
@@ -689,7 +699,9 @@ def main(argv=None) -> int:
     if args.serve is not None and proc0:
         from myraytracer_tpu.viewer import LiveViewer
 
-        viewer = LiveViewer(args.serve, gamma=args.gamma)
+        viewer = LiveViewer(
+            args.serve, gamma=args.gamma, exposure=args.exposure
+        )
     if args.interactive and (
         viewer is None or world.camera.reference_mode or args.shard != "none"
     ):
@@ -891,7 +903,8 @@ def main(argv=None) -> int:
                     )
                     preview = fetch_array(session.framebuffer)
                     if proc0:
-                        write_image(args.out, post(preview), gamma=args.gamma)
+                        write_image(args.out, post(preview), gamma=args.gamma,
+                                    exposure=args.exposure)
                         log.info("preview → %s", args.out)
         except KeyboardInterrupt:
             # Graceful exit for the run-forever mode (and any long run):
@@ -911,7 +924,8 @@ def main(argv=None) -> int:
 
     final = fetch_array(session.framebuffer)
     if proc0:
-        write_image(args.out, post(final), gamma=args.gamma)
+        write_image(args.out, post(final), gamma=args.gamma,
+                    exposure=args.exposure)
         log.info("wrote %s", args.out)
         if args.aov:
             # The features follow the FINAL camera (an --interactive

@@ -20,7 +20,7 @@ import zlib
 import numpy as np
 
 
-def gamma_encode(img: np.ndarray, gamma=2.0) -> np.ndarray:
+def gamma_encode(img: np.ndarray, gamma=2.0, exposure: float = 1.0) -> np.ndarray:
     """Clamp to [0,1] and apply the transfer function.
 
     ``gamma`` is a float exponent (2.0 ⇒ sqrt, RTiOW's convention), the
@@ -33,8 +33,15 @@ def gamma_encode(img: np.ndarray, gamma=2.0) -> np.ndarray:
     UNCLIPPED linear radiance, then sRGB-encoded. Emissive scenes
     (cornell/light) produce radiance well above 1.0 that every other
     mode hard-clips; ACES rolls those highlights off smoothly instead.
+
+    ``exposure`` is a linear pre-transfer scale (1.0 = neutral, 2.0 =
+    +1 stop) applied to the radiance before any encode — the standard
+    companion to a filmic tonemap. Display-side only: the HDR sinks
+    (write_image ``.pfm``/``.npy``) always carry unscaled radiance.
     """
     img = np.asarray(img, np.float32)
+    if exposure != 1.0:
+        img = img * np.float32(exposure)
     if gamma == "aces":
         x = np.maximum(img, 0.0)
         tone = x * (np.float32(2.51) * x + np.float32(0.03)) / (
@@ -54,9 +61,9 @@ def gamma_encode(img: np.ndarray, gamma=2.0) -> np.ndarray:
     return img ** np.float32(1.0 / gamma)
 
 
-def to_u8(img: np.ndarray, gamma=2.0) -> np.ndarray:
+def to_u8(img: np.ndarray, gamma=2.0, exposure: float = 1.0) -> np.ndarray:
     """[H,W,3] float radiance → [H,W,3] u8 with gamma/sRGB encode."""
-    enc = gamma_encode(img, gamma)
+    enc = gamma_encode(img, gamma, exposure)
     return (enc * 255.0 + 0.5).astype(np.uint8)
 
 
@@ -196,9 +203,11 @@ def read_pfm(path) -> np.ndarray:
     return img[::-1].copy()
 
 
-def write_image(path, img: np.ndarray, gamma: float = 2.0) -> None:
+def write_image(path, img: np.ndarray, gamma: float = 2.0,
+                exposure: float = 1.0) -> None:
     """Write float radiance by extension: .ppm/.png (gamma-encoded u8)
-    or the HDR sinks .pfm/.npy (raw linear float32, gamma ignored)."""
+    or the HDR sinks .pfm/.npy (raw linear float32, gamma and exposure
+    ignored — compositing gets the untouched radiance)."""
     path = pathlib.Path(path)
     suffix = path.suffix.lower()
     if suffix == ".pfm":
@@ -207,7 +216,7 @@ def write_image(path, img: np.ndarray, gamma: float = 2.0) -> None:
     if suffix == ".npy":
         np.save(path, np.asarray(img, np.float32))
         return
-    u8 = to_u8(np.asarray(img), gamma)
+    u8 = to_u8(np.asarray(img), gamma, exposure)
     if suffix == ".ppm":
         write_ppm(path, u8)
     elif suffix == ".png":

@@ -218,10 +218,11 @@ _PAGE = b"""<!doctype html>
 class LiveViewer:
     """Serve the accumulating framebuffer at ``http://localhost:port/``."""
 
-    def __init__(self, port: int, gamma=2.0):
+    def __init__(self, port: int, gamma=2.0, exposure: float = 1.0):
         # String transfers pass through verbatim ('srgb', 'aces' — already
         # validated by parse_gamma); anything else is a float exponent.
         self.gamma = gamma if isinstance(gamma, str) else float(gamma)
+        self.exposure = float(exposure)
         self._lock = threading.Lock()
         self._png = encode_png(np.zeros((1, 1, 3), np.uint8))
         self._aovs = {}
@@ -347,7 +348,7 @@ class LiveViewer:
         (0 = off) so the page's toggle button reflects server state.
         """
         fb = np.asarray(framebuffer)
-        png = encode_png(to_u8(fb, self.gamma))
+        png = encode_png(to_u8(fb, self.gamma, self.exposure))
         with self._lock:
             self._png = png
             self._stats = {

@@ -98,8 +98,8 @@ def test_cli_url_query_rebuilds_session(tmp_path):
     captured = {}
     real_init = viewer_mod.LiveViewer.__init__
 
-    def init(self, port, gamma=2.0):
-        real_init(self, port, gamma)
+    def init(self, port, *a, **kw):
+        real_init(self, port, *a, **kw)
         captured["viewer"] = self
 
     viewer_mod.LiveViewer.__init__ = init
@@ -161,8 +161,8 @@ def test_cli_adaptive_serve_progress(tmp_path):
     captured = {}
     real_init = viewer_mod.LiveViewer.__init__
 
-    def init(self, port, gamma=2.0):
-        real_init(self, port, gamma)
+    def init(self, port, *a, **kw):
+        real_init(self, port, *a, **kw)
         captured["viewer"] = self
 
     viewer_mod.LiveViewer.__init__ = init
@@ -221,8 +221,8 @@ def test_cli_interactive_orbit_with_denoise(tmp_path):
     captured = {}
     real_init = viewer_mod.LiveViewer.__init__
 
-    def vinit(self, port, gamma=2.0):
-        real_init(self, port, gamma)
+    def vinit(self, port, *a, **kw):
+        real_init(self, port, *a, **kw)
         captured["viewer"] = self
 
     real_step = RenderSession.step

@@ -175,8 +175,8 @@ def test_cli_denoise_live_viewer_toggle_keeps_session(tmp_path):
     captured = {}
     real_init = viewer_mod.LiveViewer.__init__
 
-    def vinit(self, port, gamma=2.0):
-        real_init(self, port, gamma)
+    def vinit(self, port, *a, **kw):
+        real_init(self, port, *a, **kw)
         captured["viewer"] = self
 
     real_sinit = RenderSession.__init__
@@ -233,8 +233,8 @@ def test_cli_denoise_live_toggle_adaptive(tmp_path):
     captured = {}
     real_init = viewer_mod.LiveViewer.__init__
 
-    def vinit(self, port, gamma=2.0):
-        real_init(self, port, gamma)
+    def vinit(self, port, *a, **kw):
+        real_init(self, port, *a, **kw)
         captured["viewer"] = self
 
     real_step = AdaptiveSession.step

@@ -155,3 +155,41 @@ def test_parse_gamma_rejects_unknown_string():
 
     with pytest.raises(ValueError):
         parse_gamma("filmic")
+
+
+def test_exposure_scales_before_transfer(tmp_path):
+    """--exposure: linear pre-transfer scale for display encodes; HDR
+    sinks stay unscaled."""
+    import numpy as np
+
+    from myraytracer_tpu.output.image import (
+        read_pfm,
+        to_u8,
+        write_image,
+    )
+
+    img = np.full((2, 2, 3), 0.2, np.float32)
+    # gamma 1.0: 0.2*2 = 0.4 → 102.
+    assert to_u8(img, 1.0, exposure=2.0)[0, 0, 0] == 102
+    assert to_u8(img, 1.0)[0, 0, 0] == 51
+    # ACES composes: exposure shifts the tonemap operating point.
+    assert to_u8(img, "aces", exposure=2.0)[0, 0, 0] > \
+        to_u8(img, "aces")[0, 0, 0]
+    # HDR sink ignores exposure (raw radiance for compositing).
+    write_image(tmp_path / "e.pfm", img, gamma=1.0, exposure=4.0)
+    np.testing.assert_array_equal(read_pfm(tmp_path / "e.pfm"), img)
+
+
+def test_cli_exposure_changes_output(tmp_path):
+    from myraytracer_tpu import cli
+    from myraytracer_tpu.output.image import read_png
+
+    common = [
+        "--width", "32", "--height", "16", "--samples-per-frame", "1",
+        "--ray-depth", "2", "--frames", "1", "--scene", "three-sphere",
+        "--backend", "jnp",
+    ]
+    a, b = tmp_path / "n.png", tmp_path / "e.png"
+    assert cli.main(common + ["--out", str(a)]) == 0
+    assert cli.main(common + ["--out", str(b), "--exposure", "2.0"]) == 0
+    assert read_png(str(b)).mean() > read_png(str(a)).mean()

@@ -266,8 +266,8 @@ def test_cli_serve_publishes_aovs(tmp_path):
     captured = {}
     real_init = viewer_mod.LiveViewer.__init__
 
-    def vinit(self, port, gamma=2.0):
-        real_init(self, port, gamma)
+    def vinit(self, port, *a, **kw):
+        real_init(self, port, *a, **kw)
         captured["viewer"] = self
 
     real_step = RenderSession.step
@@ -341,8 +341,8 @@ def test_cli_adaptive_serve_publishes_aovs(tmp_path):
     captured = {}
     real_init = viewer_mod.LiveViewer.__init__
 
-    def vinit(self, port, gamma=2.0):
-        real_init(self, port, gamma)
+    def vinit(self, port, *a, **kw):
+        real_init(self, port, *a, **kw)
         captured["viewer"] = self
 
     real_step = AdaptiveSession.step
