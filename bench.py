@@ -53,6 +53,7 @@ def _probe_devices(timeout_s: float):
 
 
 def main() -> int:
+    phases = {}
     platform = _probe_devices(float(os.environ.get("BENCH_PROBE_TIMEOUT", 240)))
 
     import jax
@@ -66,6 +67,19 @@ def main() -> int:
     enable_persistent_cache()
 
     on_tpu = platform == "tpu"
+
+    # Phase 0 — trivial dispatch. The axon tunnel has a documented
+    # idle→busy ramp (BENCH.md cold-start caveats: up to ~227 s observed
+    # before a first dispatch on a VERIFIED warm cache). Timing a tiny
+    # jitted op first separates that stall from the megakernel's XLA
+    # compile: if THIS is slow, the r04-style cold number was the tunnel,
+    # not the compiler.
+    import numpy as np
+
+    t0 = time.perf_counter()
+    np.asarray(jax.jit(lambda x: x + 1)(jnp.arange(8)))
+    phases["trivial_dispatch_s"] = round(time.perf_counter() - t0, 1)
+    log(f"bench: trivial dispatch {phases['trivial_dispatch_s']}s")
 
     scene_name = os.environ.get("BENCH_SCENE", "final")
     width = int(os.environ.get("BENCH_WIDTH", 1200 if on_tpu else 200))
@@ -137,9 +151,10 @@ def main() -> int:
                 repr(sorted(render_kwargs.items())),
             ),
         )
+        phases["export_load_s"] = round(time.perf_counter() - t0, 1)
         log(
             f"bench: exec path {'export' if used_export else 'jit'} "
-            f"(renderer build {time.perf_counter() - t0:.1f}s)"
+            f"(renderer build {phases['export_load_s']}s)"
         )
 
     log(
@@ -148,14 +163,33 @@ def main() -> int:
         f"spheres={len(world.spheres)}"
     )
 
-    # Warmup / compile. NOTE: under the axon tunnel block_until_ready does
-    # not actually block; a host read does.
-    import numpy as np
-
-    t0 = time.perf_counter()
-    img, segs = render(scene, key, jnp.uint32(0))
-    first_frame = np.asarray(img)
-    log(f"bench: compile+first frame {time.perf_counter() - t0:.1f}s")
+    # First frame, phase-split so a slow cold start is attributable in the
+    # emitted JSON (the r04 driver run showed 315 s with an export HIT and
+    # no way to tell XLA recompile from tunnel stall). On the export path
+    # the renderer is a plain jitted call, so AOT staging separates
+    # xla_compile_s (persistent-cache hit = seconds; miss = minutes on the
+    # remote service) from first_dispatch_s (pure device+tunnel). NOTE:
+    # under the axon tunnel block_until_ready does not actually block; a
+    # host read does.
+    if used_export and hasattr(render, "lower"):
+        t0 = time.perf_counter()
+        compiled = render.lower(scene, key, jnp.uint32(0)).compile()
+        phases["xla_compile_s"] = round(time.perf_counter() - t0, 1)
+        log(f"bench: XLA compile {phases['xla_compile_s']}s")
+        # All further calls go through the AOT executable — the same
+        # module, no second jit-cache compile.
+        render = compiled
+        t0 = time.perf_counter()
+        img, segs = render(scene, key, jnp.uint32(0))
+        first_frame = np.asarray(img)
+        phases["first_dispatch_s"] = round(time.perf_counter() - t0, 1)
+        log(f"bench: first dispatch+frame {phases['first_dispatch_s']}s")
+    else:
+        t0 = time.perf_counter()
+        img, segs = render(scene, key, jnp.uint32(0))
+        first_frame = np.asarray(img)
+        phases["first_frame_s"] = round(time.perf_counter() - t0, 1)
+        log(f"bench: compile+first frame {phases['first_frame_s']}s")
 
     # Hardware golden (utils/hwgolden.py): the first frame's exact bits
     # are pinned per (config, backend, exec path, device kind), so a
@@ -253,6 +287,11 @@ def main() -> int:
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 100.0, 4),
+        # Cold-path attribution (VERDICT r04 item 2): trivial_dispatch_s
+        # isolates the tunnel's idle→busy ramp, export_load_s the
+        # trace/lower cache, xla_compile_s the compiler (persistent-cache
+        # hit vs miss), first_dispatch_s the device itself.
+        "phases": phases,
     }
     if golden_status is not None:
         # Bitwise-determinism re-check of the first frame vs the recorded

@@ -32,7 +32,19 @@ def _denoise_value(s: str):
     render/denoise.py:auto_iterations). argparse type callable."""
     if s.strip().lower() == "auto":
         return "auto"
-    return int(s)
+    try:
+        n = int(s)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"expected an iteration count or 'auto', got {s!r}"
+        )
+    if n < 0:
+        # -1 is strictly an internal viewer sentinel (auto schedule); a
+        # negative CLI value must not reach Denoiser(iterations<0).
+        raise argparse.ArgumentTypeError(
+            "iteration count must be >= 0 (or 'auto')"
+        )
+    return n
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -260,10 +272,12 @@ def _parse_aov_names(aov_arg):
 
 def _aov_feature_pass(config, world, width, height, denoiser=None):
     """The Denoiser whose primary-hit pass sources the AOVs — reuse the
-    active --denoise instance when its size matches, else build one."""
-    if denoiser is not None and (denoiser.width, denoiser.height) == (
-        width, height
-    ):
+    active --denoise instance when it was built from this world at this
+    size, else build one (a size match alone could silently serve stale
+    features from another scene)."""
+    if denoiser is not None and denoiser.world is world and (
+        denoiser.width, denoiser.height
+    ) == (width, height):
         return denoiser
     from myraytracer_tpu.render.denoise import Denoiser
 
@@ -331,6 +345,12 @@ def _run_adaptive(args, config, world) -> int:
 
     from myraytracer_tpu.parallel.sharding import fetch_array
     from myraytracer_tpu.render.adaptive import AdaptiveSession
+
+    if args.aov:
+        # Fail on a bad channel list NOW — the non-serve path otherwise
+        # first touches it in _write_aovs, after the (potentially
+        # hours-long) adaptive budget is spent.
+        _parse_aov_names(args.aov)
 
     proc0 = True
     if args.multihost is not None:
@@ -443,6 +463,7 @@ def _run_adaptive(args, config, world) -> int:
                     post(fb), session.rounds, avg_spp,
                     denoise=denoise.effective_iterations(avg_spp)
                     if denoise else 0,
+                    denoise_auto=bool(denoise and denoise.auto),
                 )
                 sreq = viewer.pending_session()
                 if sreq is not None:
@@ -477,6 +498,7 @@ def _run_adaptive(args, config, world) -> int:
             denoise=denoise.effective_iterations(
                 session.samples_spent // (session.width * session.height)
             ) if denoise else 0,
+            denoise_auto=bool(denoise and denoise.auto),
         )
     smap = session.spp_map
     log.info(
@@ -868,6 +890,7 @@ def main(argv=None) -> int:
                         denoise=denoise.effective_iterations(
                             session.accumulated_spp
                         ) if denoise else 0,
+                        denoise_auto=bool(denoise and denoise.auto),
                     )
                     # (Not on the last frame: a move would zero the
                     # accumulator with nothing left to refill it before

@@ -252,6 +252,10 @@ class Denoiser:
         # call (auto_iterations); ``iterations`` is then the no-spp
         # fallback only.
         self.auto = bool(auto)
+        # Originating world, kept so callers reusing a Denoiser as an AOV
+        # feature source can verify it was built from the same scene
+        # (cli._aov_feature_pass) — width/height alone is not identity.
+        self.world = world
         self.width, self.height = int(width), int(height)
         self.iterations = int(iterations)
         self.sigmas = (

@@ -157,13 +157,16 @@ _PAGE = b"""<!doctype html>
   const stats = document.getElementById("stats");
   const dnBtn = document.getElementById("dn");
   let dnState = 0;  // last server-reported iteration count (0 = off)
+  let dnAuto = false;  // spp-scheduled filter armed (count may be 0)
   async function tick() {
     try {
       const s = await (await fetch("/stats.json")).json();
       stats.textContent = `${s.width}x${s.height}  frame ${s.frame}  ` +
                           `${s.spp} spp accumulated`;
       dnState = s.denoise | 0;
-      dnBtn.textContent = dnState ? `denoise: ${dnState} iters` : "denoise: off";
+      dnAuto = !!s.denoise_auto;
+      dnBtn.textContent = dnAuto ? `denoise: auto (${dnState} iters)`
+        : (dnState ? `denoise: ${dnState} iters` : "denoise: off");
       // Published AOV guide buffers (--aov with --serve): link them.
       const aovSpan = document.getElementById("aovs");
       const names = s.aovs || [];
@@ -182,7 +185,7 @@ _PAGE = b"""<!doctype html>
   // filter server-side without touching the accumulation (cli.py's
   // denoise-only session-request path). 5 = render/denoise.py default.
   dnBtn.addEventListener("click", () => {
-    fetch(`/?denoise=${dnState ? 0 : 5}`).catch(() => {});
+    fetch(`/?denoise=${(dnState || dnAuto) ? 0 : 5}`).catch(() => {});
   });
 
   // Camera controls: spherical orbit about the scene's look-at point.
@@ -341,11 +344,15 @@ class LiveViewer:
         log.info("live viewer at http://localhost:%d/", self.port)
 
     def update(self, framebuffer, frame: int, spp: int,
-               denoise: int = 0) -> None:
+               denoise: int = 0, denoise_auto: bool = False) -> None:
         """Publish a new accumulated frame (host float radiance array).
 
         ``denoise`` reports the active output-filter iteration count
-        (0 = off) so the page's toggle button reflects server state.
+        (0 = off) so the page's toggle button reflects server state;
+        ``denoise_auto`` marks an spp-scheduled filter, whose effective
+        count can be 0 past the crossover while auto mode is still armed
+        — without the flag the page would show 'off' for an active
+        schedule.
         """
         fb = np.asarray(framebuffer)
         png = encode_png(to_u8(fb, self.gamma, self.exposure))
@@ -357,6 +364,7 @@ class LiveViewer:
                 "width": int(fb.shape[1]),
                 "height": int(fb.shape[0]),
                 "denoise": int(denoise),
+                "denoise_auto": bool(denoise_auto),
             }
             if self._aov_names:
                 self._stats["aovs"] = self._aov_names

@@ -310,6 +310,31 @@ def test_cli_rejects_negative_frames(tmp_path):
         cli.main(BASE + ["--frames", "-3", "--out", str(tmp_path / "x.png")])
 
 
+def test_cli_rejects_negative_denoise(tmp_path):
+    """Negative --denoise must be an argparse error: -1 is strictly the
+    internal viewer sentinel for auto mode, and lower values would reach
+    Denoiser(iterations<0) as a raw traceback."""
+    for bad in ("-1", "-3", "five"):
+        with pytest.raises(SystemExit):
+            cli.main(BASE + ["--denoise", bad,
+                             "--out", str(tmp_path / "x.png")])
+
+
+def test_cli_adaptive_rejects_bad_aov_up_front(tmp_path, monkeypatch):
+    """--adaptive with a bad --aov list must fail before rendering (the
+    old path validated only in _write_aovs, after the budget was spent)."""
+    from myraytracer_tpu.render import adaptive as adaptive_mod
+
+    def boom(*a, **k):  # the render must never start
+        raise AssertionError("AdaptiveSession built before --aov validation")
+
+    monkeypatch.setattr(adaptive_mod, "AdaptiveSession", boom)
+    with pytest.raises(SystemExit):
+        cli.main(BASE + ["--adaptive", "0", "--frames", "2",
+                         "--aov", "albedo,bogus",
+                         "--out", str(tmp_path / "x.png")])
+
+
 def test_auto_frame_batch_never_overshoots_frames():
     """--frames 100 at spp 1 must render exactly 100 frames (2x50), not
     round a 64-frame auto batch up to 128."""

@@ -30,7 +30,7 @@ def test_viewer_serves_page_frame_and_stats(tmp_path):
         assert ctype == "application/json"
         s = json.loads(stats)
         assert s == {"frame": 3, "spp": 12, "width": 6, "height": 4,
-                     "denoise": 0}
+                     "denoise": 0, "denoise_auto": False}
 
         png, ctype = _get(viewer.port, "/frame.png?f=3")
         assert ctype == "image/png"
