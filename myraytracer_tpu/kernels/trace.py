@@ -95,7 +95,11 @@ from myraytracer_tpu.render.hit import TRI_DET_EPS, Hit
 from myraytracer_tpu.render.materials import color_sky, scatter
 from myraytracer_tpu.render.textures import apply_texture
 from myraytracer_tpu.scene.api import Camera
-from myraytracer_tpu.scene.compile import LEADERS, CompiledScene
+from myraytracer_tpu.scene.compile import (
+    LEADERS,
+    TRI_CHUNK_AUTO,
+    CompiledScene,
+)
 
 LANES = 128
 # Pixel-block width per tile (block height = tile_size / BLOCK_W).
@@ -104,13 +108,17 @@ BLOCK_W = 64
 # loop) so Mosaic can software-pipeline the SMEM scalar loads.
 UNROLL_MAX = 64
 # Above this sphere count the hit/fetch sweeps run chunked with per-chunk
-# AABB culling (requires a Morton-sorted scene for locality). With the
-# scene's giant spheres hoisted into the ungated LEADERS prologue the
-# remaining chunks' AABBs are tight, and 32-sphere chunks measured a
-# consistent few-percent win over 64 (each gate costs a cross-lane any()
-# reduction, so much finer chunks lose again — 16 measured worse).
+# AABB culling (requires a spatially-sorted scene for locality). With the
+# scene's giant spheres hoisted into the ungated LEADERS prologue and the
+# round-5 kd partition (compile_scene partition="kd": balanced
+# longest-axis splits aligned to CULL_CHUNK groups, −49% total chunk AABB
+# surface vs the Morton curve), 48-sphere chunks measured best across
+# both sphere regimes — −8% frame time on the 486-sphere final scene and
+# −21% at 40k spheres vs the old morton/32 (tools/sweep.py, BENCH.md
+# "Per-ray culling"). Finer chunks lose to per-gate any() reductions
+# (16: +4..5%), coarser to swept-pair growth (128: ~0 vs morton/32).
 CULL_MIN = 64
-CULL_CHUNK = 32
+CULL_CHUNK = 48
 # Triangle chunk width is scene-size dependent (KernelConfig.TRI_CHUNK=0
 # = auto, resolve_tri_chunk): the Möller-Trumbore interior is ~40
 # ops/primitive, so once gates go dynamic the win flips from fewer gates
@@ -119,7 +127,9 @@ CULL_CHUNK = 32
 # worse), 32 best at 1.3k-5k (-6..7% vs 64), 16 best at 20k+ (-24% vs
 # 64, -10% vs 32); 8 loses again to per-gate any() reductions.
 TRI_CHUNK = 64
-TRI_CHUNK_AUTO = ((768, 64), (8192, 32), (None, 16))
+# The auto ladder lives in scene/compile.py (imported below) so the kd
+# partitioner can align its triangle groups to the kernel's chunk width
+# without a circular import.
 # Two-level culling: group SUPER consecutive chunks under one outer AABB
 # gate once the chunk count reaches SUPER_MIN — an implicit two-level BVH
 # over the Morton order (the TPU-native answer to the reference's absent
@@ -226,6 +236,21 @@ class KernelConfig:
     # Bake the general camera into the compiled kernel (the
     # pre-runtime-camera path) instead of reading the packed SMEM operand.
     STATIC_CAM: bool = False
+    # --- Per-ray culling experiments (tools/sweep.py A/B; BENCH.md
+    # "Per-ray culling") -------------------------------------------------
+    # AND each sphere chunk's per-lane slab mask into ``better`` for the
+    # duration of that chunk's sweep: a lane whose ray cannot enter the
+    # chunk AABB before its current t_best contributes a provable no-op
+    # instead of a real candidate. Exact (the mask is the conservative
+    # slab test the gate already computes), no control flow — but on SIMD
+    # lanes the candidates are still computed, so this can only win if
+    # masking shortens the carry-select critical path for Mosaic.
+    LANE_GATE: bool = False
+    # Diagnostic only: sqrt(disc) as disc * rsqrt(disc). Differs from the
+    # production stream in ulps (and drops exact-tangent hits, disc == 0),
+    # so it can never ship — it exists to measure how much of the sweep's
+    # 3.7x latency-over-ALU factor is the sqrt dependency chain.
+    SQRT_RSQRT: bool = False
 
     def replace(self, **kw) -> "KernelConfig":
         return dataclasses.replace(self, **kw)
@@ -609,6 +634,8 @@ def _trace_kernel(
     SWEEP_WIDTH = cfg.SWEEP_WIDTH
     SQRT_GUARD = cfg.SQRT_GUARD
     WINDOW_FUSE = cfg.WINDOW_FUSE
+    LANE_GATE = cfg.LANE_GATE
+    SQRT_RSQRT = cfg.SQRT_RSQRT
 
     nee = bool(nee_lights)
     tile = pl.program_id(0)
@@ -818,7 +845,12 @@ def _trace_kernel(
                 b_ = ocx * d.x + ocy * d.y + ocz * d.z
                 c_ = ocx * ocx + ocy * ocy + ocz * ocz - rsq
                 disc = b_ * b_ - c_
-                if SQRT_GUARD:
+                if SQRT_RSQRT:
+                    # Diagnostic form (KernelConfig.SQRT_RSQRT): disc<=0
+                    # still yields NaN (rsqrt(neg)=NaN; 0*inf=NaN), so
+                    # misses reject identically; hit t's differ in ulps.
+                    sq = disc * jax.lax.rsqrt(disc)
+                elif SQRT_GUARD:
                     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
                 else:
                     # sqrt(disc<0) = NaN; every comparison on a NaN t below
@@ -856,10 +888,19 @@ def _trace_kernel(
 
             n_rec = 4 + len(rec_rows)
 
+            # LANE_GATE experiment: the chunk gates set this cell to their
+            # per-lane slab mask for the duration of one chunk's sweep
+            # (trace-time mutation — each gate branch traces sequentially),
+            # and the sweep ANDs it into `better`. None = unmasked (the
+            # leaders prologue and ungated sweeps).
+            lane_mask = [None]
+
             def hit_body(si, hc):
                 t_best = hc[0]
                 t_cand, vals = sphere_cand(si, merged)
                 better = t_cand < t_best
+                if lane_mask[0] is not None:
+                    better = better & lane_mask[0]
                 t_best = jnp.where(better, t_cand, t_best)
                 if not merged:
                     i_best = jnp.where(better, si, hc[1])
@@ -934,6 +975,8 @@ def _trace_kernel(
                 )
                 t_best = hc[0]
                 better = t_g < t_best
+                if lane_mask[0] is not None:
+                    better = better & lane_mask[0]
                 new = [jnp.where(better, t_g, t_best)]
                 new.extend(
                     jnp.where(better, v, prev)
@@ -1003,9 +1046,14 @@ def _trace_kernel(
 
                     def sweep():
                         base = LEADERS + c * CULL_CHUNK
-                        if n_spheres <= UNROLL_TOTAL_MAX:
-                            return run_span(base, CULL_CHUNK, hc)
-                        return run_fori(base, CULL_CHUNK, hc)
+                        if LANE_GATE:
+                            lane_mask[0] = enter
+                        try:
+                            if n_spheres <= UNROLL_TOTAL_MAX:
+                                return run_span(base, CULL_CHUNK, hc)
+                            return run_fori(base, CULL_CHUNK, hc)
+                        finally:
+                            lane_mask[0] = None
 
                     return jax.lax.cond(jnp.any(enter), sweep, lambda: hc)
 
@@ -1017,10 +1065,15 @@ def _trace_kernel(
                     enter = slab_enter(aabb_ref, c, hc[0])
 
                     def sweep(hc=hc, c=c):
-                        return run_fori(
-                            jnp.int32(LEADERS) + c * jnp.int32(CULL_CHUNK),
-                            CULL_CHUNK, hc,
-                        )
+                        if LANE_GATE:
+                            lane_mask[0] = enter
+                        try:
+                            return run_fori(
+                                jnp.int32(LEADERS) + c * jnp.int32(CULL_CHUNK),
+                                CULL_CHUNK, hc,
+                            )
+                        finally:
+                            lane_mask[0] = None
 
                     return jax.lax.cond(
                         jnp.any(enter), sweep, lambda hc=hc: hc

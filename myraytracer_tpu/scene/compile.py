@@ -171,9 +171,23 @@ def _material_row(m: api.Material):
     raise TypeError(f"unknown material: {m!r}")
 
 
+# The kernel's scene-size-dependent triangle chunk widths (mirrored by
+# kernels/trace.py:resolve_tri_chunk, which imports this table): kd
+# partitioning aligns its triangle groups to the width the kernel will
+# gate at.
+TRI_CHUNK_AUTO = ((768, 64), (8192, 32), (None, 16))
+
+
+def _auto_tri_chunk(n_tris: int) -> int:
+    for bound, chunk in TRI_CHUNK_AUTO:
+        if bound is None or n_tris <= bound:
+            return chunk
+    return TRI_CHUNK_AUTO[-1][1]
+
+
 def _compile_triangles(
     meshes, pad_to: int, with_bvh: bool, spatial_sort: bool,
-    textured: bool = False,
+    textured: bool = False, partition: str = "morton",
 ) -> CompiledTriangles:
     t = sum(len(m) for m in meshes)
     tpad = max(pad_to, -(-max(t, 1) // pad_to) * pad_to)
@@ -211,11 +225,15 @@ def _compile_triangles(
         k += n_m
 
     if spatial_sort and not with_bvh and t > 64:
-        # Morton-sort triangles by centroid so the Pallas kernel's chunked
-        # AABB culling gets spatial locality (ties-only semantic effect,
-        # like the sphere sort).
+        # Spatially sort triangles by centroid so the Pallas kernel's
+        # chunked AABB culling gets spatial locality (ties-only semantic
+        # effect, like the sphere sort). "kd" groups to the kernel's auto
+        # chunk width for tighter per-chunk AABBs than the Morton curve.
         cent = v0 + (e1 + e2) / 3.0
-        order = morton_order(cent)
+        if partition == "kd":
+            order = kd_chunk_order(cent, _auto_tri_chunk(t))
+        else:
+            order = morton_order(cent)
         v0, e1, e2 = v0[order], e1[order], e2[order]
         albedo, fuzz, ior, mat_ty = (
             albedo[order], fuzz[order], ior[order], mat_ty[order],
@@ -303,6 +321,32 @@ def morton_order(centers: np.ndarray) -> np.ndarray:
     return np.argsort(_morton3(q), kind="stable")
 
 
+def kd_chunk_order(centers: np.ndarray, chunk: int) -> np.ndarray:
+    """Permutation grouping centers into consecutive ``chunk``-sized,
+    spatially compact groups by recursive balanced longest-axis splits.
+
+    The Pallas kernel gates each consecutive CULL_CHUNK-slot group behind
+    its AABB (kernels/trace.py); a Morton curve makes those groups *local*
+    but its discontinuities leave some boxes loose. A median kd split
+    always partitions along the widest axis, so group AABBs are as tight
+    as a balanced equal-size partition gets — fewer opened gates per
+    tile-bounce for the same kernel. Split points land on multiples of
+    ``chunk`` so only the final group is partial (it absorbs the pads).
+    Like the Morton sort, the reorder affects only equal-t tie-breaking.
+    """
+    def rec(idx):
+        if len(idx) <= chunk:
+            return [idx]
+        c = centers[idx]
+        ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        order = idx[np.argsort(c[:, ax], kind="stable")]
+        n_groups = -(-len(idx) // chunk)
+        m = (n_groups // 2) * chunk
+        return rec(order[:m]) + rec(order[m:])
+
+    return np.concatenate(rec(np.arange(len(centers))))
+
+
 # Spheres hoisted to the front of the spatially-sorted order (the LEADERS
 # largest by |radius|): the Pallas kernel sweeps the first LEADERS table
 # slots unconditionally and applies chunk-AABB culling only to the rest,
@@ -341,20 +385,32 @@ def compile_scene(
     pad_to: int = SPHERE_PAD,
     spatial_sort: bool = False,
     triangle_bvh: bool = False,
+    partition: str = "kd",
+    partition_chunk: int = 48,  # = kernels.trace.CULL_CHUNK default
 ) -> CompiledScene:
     """Flatten an api.World into padded SoA jnp arrays.
 
     ``spatial_sort`` reorders spheres (and triangles past 64, unless a
-    BVH reorders them instead) along a Morton curve so that consecutive
-    index chunks are spatially compact — the Pallas kernel's
-    chunk-AABB culling (kernels/trace.py) depends on that locality.
-    Reordering only affects equal-t tie-breaking (the reference's scan
-    order, shader.wgsl:320, matters only for exact ties), so all compute
-    paths stay statistically identical.
+    BVH reorders them instead) so that consecutive index chunks are
+    spatially compact — the Pallas kernel's chunk-AABB culling
+    (kernels/trace.py) depends on that locality. Reordering only affects
+    equal-t tie-breaking (the reference's scan order, shader.wgsl:320,
+    matters only for exact ties), so all compute paths stay
+    statistically identical.
+
+    ``partition`` selects the ordering under ``spatial_sort``: ``"kd"``
+    (default since round 5: ``kd_chunk_order`` — balanced kd splits
+    aligned to ``partition_chunk``-slot groups; −49% total chunk-AABB
+    surface and −8/−21% measured frame time vs the curve, BENCH.md
+    "Per-ray culling") or ``"morton"`` (the round-1..4 curve order,
+    kept for A/B). ``partition_chunk`` should match the kernel's
+    CULL_CHUNK (mismatch is correctness-safe, just loses tightness).
     """
     n = len(world.spheres)
     spheres = world.spheres
     if spatial_sort and n > 1:
+        if partition not in ("morton", "kd"):
+            raise ValueError(f"unknown partition {partition!r}")
         centers = np.asarray([s.center for s in spheres], np.float32)
         order = morton_order(centers)
         if n > LEADERS:
@@ -366,6 +422,16 @@ def compile_scene(
             lead_mask = np.zeros(len(order), bool)
             lead_mask[big] = True
             order = np.concatenate([order[lead_mask], order[~lead_mask]])
+            if partition == "kd":
+                # Leaders keep their slots; the chunk-gated remainder is
+                # regrouped for tighter per-chunk AABBs.
+                rest = order[LEADERS:]
+                order = np.concatenate([
+                    order[:LEADERS],
+                    rest[kd_chunk_order(centers[rest], partition_chunk)],
+                ])
+        elif partition == "kd":
+            order = order[kd_chunk_order(centers[order], partition_chunk)]
         spheres = tuple(spheres[i] for i in order)
         world = api.World(spheres, camera=world.camera,
                           meshes=world.meshes, ambient=world.ambient)
@@ -425,6 +491,7 @@ def compile_scene(
                 with_bvh=bool(triangle_bvh),
                 spatial_sort=spatial_sort,
                 textured=textured,
+                partition=partition,
             )
             if world.meshes
             else None

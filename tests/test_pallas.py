@@ -142,6 +142,35 @@ def test_superchunk_gating_bitwise():
 
 
 @pytest.mark.slow
+def test_lane_gate_and_kd_partition_bitwise():
+    """The per-lane chunk mask (LANE_GATE) and the kd chunk partition are
+    both exact transforms: the mask is the conservative slab test the
+    gate already passed, and reordering spheres changes only equal-t
+    tie-breaking (absent in a random scene) — images and segment counts
+    must match the baseline bit-for-bit."""
+    from myraytracer_tpu.kernels.trace import KernelConfig
+
+    world = presets.final_scene(seed=0)  # 486 spheres, 15 gated chunks
+
+    def render(config=None, partition="morton"):
+        scene = compile_scene(world, spatial_sort=True, partition=partition)
+        r = make_pallas_renderer(
+            world.camera, W, H, 1, 4, tile_rows=8, interpret=True,
+            config=config,
+        )
+        img, segs = r(scene, KEY, 0)
+        return np.asarray(img), float(segs)
+
+    base_img, base_segs = render()
+    lane_img, lane_segs = render(KernelConfig(LANE_GATE=True))
+    assert np.array_equal(lane_img, base_img)
+    assert lane_segs == base_segs
+    kd_img, kd_segs = render(partition="kd")
+    assert np.array_equal(kd_img, base_img)
+    assert kd_segs == base_segs
+
+
+@pytest.mark.slow
 def test_sweep_width_and_fori_bitwise():
     """Tree-combine sweeps (SWEEP_WIDTH) are exact at every width, on the
     unrolled, gated-unrolled, and grouped-fori (>UNROLL_TOTAL_MAX

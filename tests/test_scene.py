@@ -163,3 +163,66 @@ def test_world_ambient_normalizes_to_float_tuple():
     assert w.ambient == (0.0, 0.0, 1.0)
     assert all(isinstance(c, float) for c in w.ambient)
     assert World(spheres=[], camera=Camera.reference()).ambient is None
+
+
+def test_kd_chunk_order_structure():
+    """kd_chunk_order returns a permutation whose consecutive chunk-size
+    groups have (weakly) tighter total AABB surface than the Morton
+    grouping it replaces, and only the final group may be partial."""
+    import numpy as np
+
+    from myraytracer_tpu.scene import presets
+    from myraytracer_tpu.scene.compile import kd_chunk_order, morton_order
+
+    world = presets.final_scene(seed=0)
+    # The kernel pipeline hoists the biggest spheres into the ungated
+    # LEADERS prologue before grouping — mirror that: kd-group only the
+    # small-sphere field (a giant outlier would otherwise legitimately
+    # dominate any equal-count split).
+    centers = np.asarray(
+        [s.center for s in world.spheres if abs(s.radius) < 0.5], np.float32
+    )
+    chunk = 32
+    perm = kd_chunk_order(centers, chunk)
+    assert sorted(perm.tolist()) == list(range(len(centers)))
+
+    def grouped_surface(order):
+        total = 0.0
+        for i in range(0, len(order), chunk):
+            c = centers[order[i:i + chunk]]
+            d = c.max(axis=0) - c.min(axis=0)
+            total += 2.0 * (d[0] * d[1] + d[1] * d[2] + d[0] * d[2])
+        return total
+
+    assert grouped_surface(perm) <= grouped_surface(morton_order(centers))
+
+
+def test_compile_scene_kd_partition_same_sphere_set():
+    """partition='kd' reorders spheres only — the compiled multiset of
+    (center, radius) rows is unchanged, and unknown names are rejected."""
+    import numpy as np
+    import pytest
+
+    from myraytracer_tpu.scene import presets
+    from myraytracer_tpu.scene.compile import compile_scene
+
+    world = presets.final_scene(seed=0)
+    a = compile_scene(world, spatial_sort=True, partition="morton")
+    b = compile_scene(world, spatial_sort=True, partition="kd")
+
+    def rows(sc):
+        m = np.stack([
+            np.asarray(sc.center.x), np.asarray(sc.center.y),
+            np.asarray(sc.center.z), np.asarray(sc.radius),
+        ], axis=-1)
+        return sorted(map(tuple, m.tolist()))
+
+    assert rows(a) == rows(b)
+    # Leaders keep the front slots: every sphere bigger than the 0.2
+    # field (the ground + the three unit spheres) sits in the first 8
+    # (real) slots under both partitions; pads beyond n are excluded.
+    n = len(world.spheres)
+    assert (np.abs(np.asarray(b.radius))[8:n] < 0.5).all()
+    assert (np.abs(np.asarray(b.radius))[:8] > 0.5).sum() == 4
+    with pytest.raises(ValueError):
+        compile_scene(world, spatial_sort=True, partition="sah")

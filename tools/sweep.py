@@ -93,6 +93,31 @@ VARIANTS = [
     ("s4", {"SUPER": 4}),
     ("mesh-tile8", {"DEFAULT_TILE_ROWS": 8}),
     ("mesh-tile8-tri32", {"DEFAULT_TILE_ROWS": 8, "TRI_CHUNK": 32}),
+    # --- Per-ray culling experiments (VERDICT r04 item 1) ---------------
+    # Per-lane chunk mask ANDed into `better` (exact; no control flow):
+    ("lane-gate", {"LANE_GATE": True}),
+    # Tighter chunk AABBs: balanced-kd equal-size groups instead of
+    # Morton-consecutive ones (scene-compile change, same kernel):
+    ("kd", {"_PARTITION": "kd"}),
+    ("kd-lane", {"_PARTITION": "kd", "LANE_GATE": True}),
+    # Finer chunks paired with the tighter partition (16 lost with Morton
+    # boxes; tighter boxes shift the gate-overhead/sweep-width balance):
+    ("kd-chunk16", {"_PARTITION": "kd", "CULL_CHUNK": 16}),
+    ("kd-chunk16-s8", {"_PARTITION": "kd", "CULL_CHUNK": 16,
+                       "SUPER": 8, "SUPER_MIN": 8}),
+    ("kd-chunk24", {"_PARTITION": "kd", "CULL_CHUNK": 24}),
+    ("kd-chunk48", {"_PARTITION": "kd", "CULL_CHUNK": 48}),
+    # Diagnostic (ulp-different, never production): sqrt -> disc*rsqrt,
+    # quantifying the sqrt share of the sweep's dependency latency:
+    ("rsqrt", {"SQRT_RSQRT": True}),
+    # Round 2: the kd win grows with chunk width (48 beat 32) — find the
+    # knee; morton-chunk48 is the control isolating partition from width.
+    ("chunk48-m", {"CULL_CHUNK": 48}),
+    ("kd-chunk64", {"_PARTITION": "kd", "CULL_CHUNK": 64}),
+    ("kd-chunk96", {"_PARTITION": "kd", "CULL_CHUNK": 96}),
+    ("kd-chunk128", {"_PARTITION": "kd", "CULL_CHUNK": 128}),
+    ("kd-chunk64-t24", {"_PARTITION": "kd", "CULL_CHUNK": 64,
+                        "DEFAULT_TILE_ROWS": 24}),
 ]
 
 
@@ -130,9 +155,13 @@ def main() -> int:
     base_img = None
     for name, overrides in variants:
         cfg_kw = {k: v for k, v in overrides.items()
-                  if not k.startswith("_NO_") and k != "DEFAULT_TILE_ROWS"}
+                  if not k.startswith("_") and k != "DEFAULT_TILE_ROWS"}
         config = trace.KernelConfig(**cfg_kw)
-        scene = compile_scene(world, spatial_sort=True)
+        scene = compile_scene(
+            world, spatial_sort=True,
+            partition=overrides.get("_PARTITION", "morton"),
+            partition_chunk=config.CULL_CHUNK,
+        )
         render = trace.make_renderer(
             world.camera, width, height, spp, depth,
             material_set=mats,
