@@ -21,10 +21,13 @@ jnp/pallas backends share — images agree statistically, never bitwise —
 so ``backend="cpu"`` is checkpoint provenance exactly like the
 jnp/pallas split (render/session.py refuses cross-backend resumes).
 
-Scope: sphere-only or mesh-only worlds, general (lookfrom/lookat)
-cameras, the default estimator (no NEE/QMC/RR — those streams live on
-the TPU paths), no textures, no sharding. Everything else raises loudly
-or, under ``backend=auto``, simply keeps the TPU path.
+Scope: sphere, mesh, and MIXED worlds (one shared material table — the
+"MRTMIX01" dump), checker/marble procedural textures (evaluated C-side
+with the same hash-noise formulas as core/noise.py), general
+(lookfrom/lookat) cameras, the default estimator (no NEE/QMC/RR — those
+streams live on the TPU paths), no image textures, no sharding.
+Everything else raises loudly or, under ``backend=auto``, simply keeps
+the TPU path.
 """
 
 from __future__ import annotations
@@ -111,12 +114,10 @@ def cpu_ineligibility(world: api.World, config) -> Optional[str]:
     (None = eligible). The reasons mirror the backend's scope contract
     (module docstring); ``--backend cpu`` raises them, ``auto`` treats
     any reason as "stay on the TPU path"."""
-    if world.spheres and world.meshes:
-        return "mixed sphere+mesh worlds (the scene dump is single-kind)"
     if not world.spheres and not world.meshes:
         return "empty world"
-    if world.texture_set:
-        return "textured materials (the CPU path shades base colors only)"
+    if api.TEXTURE_IMAGE in world.texture_set:
+        return "image textures (no C-side bitmap sampler; jnp serves them)"
     if world.camera.reference_mode:
         return "the fixed reference-mode camera (general cameras only)"
     if config.nee:
@@ -154,19 +155,17 @@ def _model(points, n: int) -> float:
     return float(math.exp(np.interp(math.log(max(n, 1)), xs, ys)))
 
 
-def auto_route(world: api.World, config, device_backend: str) -> Optional[str]:
-    """``backend=auto`` routing: "cpu" when the native CPU path is
-    predicted to out-render the TPU kernel on this host, else None.
+def route_prediction(world: api.World, config) -> Optional[tuple]:
+    """Model-predicted ``(cpu_total, tpu)`` throughput in Mrays/s for an
+    eligible world past the routing threshold, else None.
 
-    Prediction = host cores (``MYRT_CPU_THREADS`` override, else
-    ``os.cpu_count()``) × the measured per-core CPU-BVH model vs the
-    measured TPU-kernel model (BENCH.md). Only engages on TPU hosts for
-    eligible worlds past 1k primitives — below that the TPU wins at every
-    measured core count, and non-TPU sessions keep the documented
-    auto→jnp contract (tests force the CPU platform).
+    ``cpu_total`` = host cores (``MYRT_CPU_THREADS`` override, else
+    ``os.cpu_count()``) × the measured per-core CPU-BVH model; ``tpu``
+    the measured TPU-kernel model (BENCH.md anchors). Mixed worlds
+    combine the single-kind models harmonically — per-ray costs add
+    (each backend traverses both structures per segment):
+    ``1/tp = 1/tp_mesh(n_tris) + 1/tp_sph(n_sph)``.
     """
-    if device_backend != "tpu":
-        return None
     if cpu_ineligibility(world, config) is not None:
         return None
     n_tris = world.triangle_count
@@ -174,17 +173,42 @@ def auto_route(world: api.World, config, device_backend: str) -> Optional[str]:
     if max(n_tris, n_sph) < 1024:
         return None
     cores = cpu_threads() or (os.cpu_count() or 1)
-    if world.meshes:
+    if world.meshes and world.spheres:
+        cpu_tp = 1.0 / (
+            1.0 / _model(_CPU_MESH, n_tris) + 1.0 / _model(_CPU_SPH, n_sph)
+        )
+        tpu_tp = 1.0 / (
+            1.0 / _model(_TPU_MESH, n_tris) + 1.0 / _model(_TPU_SPH, n_sph)
+        )
+    elif world.meshes:
         cpu_tp, tpu_tp = _model(_CPU_MESH, n_tris), _model(_TPU_MESH, n_tris)
-        n = n_tris
     else:
         cpu_tp, tpu_tp = _model(_CPU_SPH, n_sph), _model(_TPU_SPH, n_sph)
-        n = n_sph
-    if cores * cpu_tp > tpu_tp:
+    return cores * cpu_tp, tpu_tp
+
+
+def auto_route(world: api.World, config, device_backend: str) -> Optional[str]:
+    """``backend=auto`` routing: "cpu" when the native CPU path is
+    predicted to out-render the TPU kernel on this host, else None.
+
+    Prediction: :func:`route_prediction`. Only engages on TPU hosts for
+    eligible worlds past 1k primitives — below that the TPU wins at every
+    measured core count, and non-TPU sessions keep the documented
+    auto→jnp contract (tests force the CPU platform).
+    """
+    if device_backend != "tpu":
+        return None
+    pred = route_prediction(world, config)
+    if pred is None:
+        return None
+    cpu_total, tpu_tp = pred
+    if cpu_total > tpu_tp:
+        cores = cpu_threads() or (os.cpu_count() or 1)
         log.info(
             "auto backend routes to cpu: %d prims, predicted %.1f Mrays/s "
             "on %d cores vs %.1f on the TPU kernel (BENCH.md models)",
-            n, cores * cpu_tp, cores, tpu_tp,
+            world.triangle_count + len(world.spheres), cpu_total, cores,
+            tpu_tp,
         )
         return "cpu"
     return None
@@ -205,10 +229,10 @@ class _CpuScene:
         fd, path = tempfile.mkstemp(suffix=".mrtscene")
         os.close(fd)
         try:
-            if world.meshes:
-                meshdump.dump_world(world, path)
-            else:
-                meshdump.dump_spheres(world, path)
+            # Universal "MRTMIX01" dump: spheres + meshes + checker/
+            # marble rows in one file (round 5 — mixed worlds were the
+            # routing hole the old single-kind formats forced).
+            meshdump.dump_scene(world, path)
             self._handle = lib.mrt_cpu_scene_load(path.encode())
         finally:
             os.unlink(path)
@@ -234,13 +258,13 @@ def make_cpu_factory(world: api.World):
     dumped at factory-build time, which is exactly the compile-time/
     operand split the TPU factories have.
     """
-    reason = None
-    if world.spheres and world.meshes:
-        reason = "mixed sphere+mesh worlds"
-    elif not world.spheres and not world.meshes:
-        reason = "empty world"
-    if reason:
-        raise ValueError(f"backend cpu does not support {reason}")
+    if not world.spheres and not world.meshes:
+        raise ValueError("backend cpu does not support empty worlds")
+    if api.TEXTURE_IMAGE in world.texture_set:
+        raise ValueError(
+            "backend cpu has no bitmap sampler; render image-textured "
+            "scenes on the jnp backend"
+        )
 
     def factory(
         cam,
@@ -258,12 +282,9 @@ def make_cpu_factory(world: api.World):
         texture_set=None,
         **unsupported,
     ):
-        del sample_batch, material_set, static_ior, sky  # TPU-path knobs
-        if texture_set:
-            raise ValueError(
-                "backend cpu shades base colors only; render textured "
-                "scenes on the jnp/pallas backends"
-            )
+        # TPU-path knobs; texture_set too — the dump carries the texture
+        # rows itself (checker/marble C-side; images rejected above).
+        del sample_batch, material_set, static_ior, sky, texture_set
         if unsupported:
             raise ValueError(
                 f"backend cpu does not support {sorted(unsupported)} "

@@ -73,13 +73,89 @@ Vec cross(const Vec& a, const Vec& b) {
 Vec norm(const Vec& a) { return a * (1.0f / std::sqrt(dot(a, a))); }
 
 enum MatTy { LAMB = 1, METAL = 2, DIEL = 3, LIGHT = 4 };
+enum TexTy { TEX_SOLID = 0, TEX_CHECKER = 1, TEX_MARBLE = 2 };
 
 struct Material {
   int ty = LAMB;
   Vec albedo{1, 1, 1};
   float fuzz = 0, ior = 1.5f;
   Vec emit{0, 0, 0};
+  // Texture extension (MRTMIX01 rows): albedo doubles as the checker
+  // EVEN / marble base color, albedo2 is the checker ODD color.
+  int tex_ty = TEX_SOLID;
+  Vec albedo2{0, 0, 0};
+  float tex_scale = 0;
 };
+
+// -- Procedural textures (checker / marble) ----------------------------------
+//
+// Same formulas as the TPU path (myraytracer_tpu/core/noise.py +
+// render/textures.py): tableless lowbias32 lattice hash noise, Hermite
+// interpolation, 7-octave turbulence, exact triangle-wave band — so the
+// CPU backend's texture values agree with the jnp/pallas renders up to
+// scalar-vs-vector float rounding (statistical parity, like the rest of
+// this backend's contract).
+
+uint32_t lowbias32(uint32_t h) {
+  h ^= h >> 16;
+  h *= 0x7FEB352Du;
+  h ^= h >> 15;
+  h *= 0x846CA68Bu;
+  h ^= h >> 16;
+  return h;
+}
+
+float noise_corner(int32_t ix, int32_t iy, int32_t iz) {
+  uint32_t h = uint32_t(ix) * 0x8DA6B343u ^ uint32_t(iy) * 0xD8163841u ^
+               uint32_t(iz) * 0xCB1AB31Fu;
+  return float(int32_t(lowbias32(h) >> 8)) * (1.0f / 16777216.0f);
+}
+
+float value_noise(const Vec& p) {
+  float fx = std::floor(p.x), fy = std::floor(p.y), fz = std::floor(p.z);
+  int32_t ix = int32_t(fx), iy = int32_t(fy), iz = int32_t(fz);
+  float tx = p.x - fx, ty = p.y - fy, tz = p.z - fz;
+  float ux = tx * tx * (3 - 2 * tx), uy = ty * ty * (3 - 2 * ty),
+        uz = tz * tz * (3 - 2 * tz);
+  float c000 = noise_corner(ix, iy, iz), c100 = noise_corner(ix + 1, iy, iz);
+  float c010 = noise_corner(ix, iy + 1, iz), c110 = noise_corner(ix + 1, iy + 1, iz);
+  float c001 = noise_corner(ix, iy, iz + 1), c101 = noise_corner(ix + 1, iy, iz + 1);
+  float c011 = noise_corner(ix, iy + 1, iz + 1), c111 = noise_corner(ix + 1, iy + 1, iz + 1);
+  float x00 = c000 + ux * (c100 - c000), x10 = c010 + ux * (c110 - c010);
+  float x01 = c001 + ux * (c101 - c001), x11 = c011 + ux * (c111 - c011);
+  float y0 = x00 + uy * (x10 - x00), y1 = x01 + uy * (x11 - x01);
+  return y0 + uz * (y1 - y0);
+}
+
+float turbulence(const Vec& p) {
+  float acc = 0, weight = 0.5f, freq = 1.0f;
+  for (int k = 0; k < 7; ++k) {
+    acc += (value_noise(p * freq) * 2.0f - 1.0f) * weight;
+    weight *= 0.5f;
+    freq *= 2.0f;
+  }
+  return std::fabs(acc);
+}
+
+float triangle_wave(float x) {
+  float u = x * 0.25f;
+  u -= std::floor(u);
+  return std::fabs(u * 4.0f - 2.0f) - 1.0f;
+}
+
+Vec tex_albedo(const Material& m, const Vec& p) {
+  if (m.tex_ty == TEX_CHECKER) {
+    int32_t sx = int32_t(std::floor(p.x * m.tex_scale));
+    int32_t sy = int32_t(std::floor(p.y * m.tex_scale));
+    int32_t sz = int32_t(std::floor(p.z * m.tex_scale));
+    return (((sx + sy + sz) & 1) == 0) ? m.albedo : m.albedo2;
+  }
+  if (m.tex_ty == TEX_MARBLE) {
+    float band = triangle_wave(m.tex_scale * p.z + 10.0f * turbulence(p));
+    return m.albedo * (0.5f * (1.0f + band));
+  }
+  return m.albedo;
+}
 
 struct Sphere {
   Vec c;
@@ -487,6 +563,206 @@ bool load_sphere_scene(const char* path, SphereScene* s) {
   return true;
 }
 
+// -- Mixed scene ("MRTMIX01", meshdump.dump_scene): spheres and triangles
+// over one shared (textured) material table — the universal production
+// format for `--backend cpu` since round 5 ------------------------------------
+
+struct SphereG {
+  Vec c;
+  float r;  // signed: negative = inward normals (hollow glass)
+  int mat;
+};
+
+struct MixScene {
+  MeshScene mesh;               // tris + mats + tri BVH + camera/ambient
+  std::vector<SphereG> spheres; // leaf-ordered when the BVH is built
+  FlatBVH sbvh;
+  bool sph_bvh = false;
+};
+
+bool load_mix_scene(const char* path, MixScene* s) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  char magic[8];
+  if (std::fread(magic, 1, 8, f) != 8 || std::memcmp(magic, "MRTMIX01", 8)) {
+    std::fclose(f);
+    return false;
+  }
+  int32_t n_mats = 0, n_tris = 0, n_sph = 0, has_amb = 0;
+  float cam[12], amb[3];
+  bool ok = std::fread(&n_mats, 4, 1, f) == 1 &&
+            std::fread(&n_tris, 4, 1, f) == 1 &&
+            std::fread(&n_sph, 4, 1, f) == 1 &&
+            std::fread(cam, 4, 12, f) == 12 &&
+            std::fread(&has_amb, 4, 1, f) == 1 &&
+            std::fread(amb, 4, 3, f) == 3 && n_mats > 0 &&
+            (n_tris > 0 || n_sph > 0);
+  if (!ok) {
+    std::fclose(f);
+    return false;
+  }
+  MeshScene& m = s->mesh;
+  m.lookfrom = {cam[0], cam[1], cam[2]};
+  m.lookat = {cam[3], cam[4], cam[5]};
+  m.vup = {cam[6], cam[7], cam[8]};
+  m.vfov_deg = cam[9];
+  m.aperture = cam[10];
+  m.focus = cam[11];
+  m.has_ambient = has_amb != 0;
+  m.ambient = {amb[0], amb[1], amb[2]};
+
+  m.mats.resize(n_mats);
+  for (auto& mt : m.mats) {
+    int32_t ty, tex_ty;
+    float v[8], t[4];
+    if (std::fread(&ty, 4, 1, f) != 1 || std::fread(v, 4, 8, f) != 8 ||
+        std::fread(&tex_ty, 4, 1, f) != 1 || std::fread(t, 4, 4, f) != 4) {
+      std::fclose(f);
+      return false;
+    }
+    mt.ty = ty;
+    mt.albedo = {v[0], v[1], v[2]};
+    mt.fuzz = v[3];
+    mt.ior = v[4];
+    mt.emit = {v[5], v[6], v[7]};
+    mt.tex_ty = tex_ty;
+    mt.albedo2 = {t[0], t[1], t[2]};
+    mt.tex_scale = t[3];
+  }
+
+  if (n_tris > 0) {
+    std::vector<Tri> raw(n_tris);
+    std::vector<float> pmin(3 * n_tris), pmax(3 * n_tris);
+    for (int i = 0; i < n_tris; ++i) {
+      float v[9];
+      int32_t mat;
+      if (std::fread(v, 4, 9, f) != 9 || std::fread(&mat, 4, 1, f) != 1) {
+        std::fclose(f);
+        return false;
+      }
+      Vec v0{v[0], v[1], v[2]}, v1{v[3], v[4], v[5]}, v2{v[6], v[7], v[8]};
+      raw[i] = {v0, v1 - v0, v2 - v0, mat};
+      for (int k = 0; k < 3; ++k) {
+        float a = (&v0.x)[k], b = (&v1.x)[k], c = (&v2.x)[k];
+        pmin[3 * i + k] = std::min(a, std::min(b, c));
+        pmax[3 * i + k] = std::max(a, std::max(b, c));
+      }
+    }
+    std::vector<int> order;
+    m.bvh = build_bvh(pmin, pmax, n_tris, /*max_leaf=*/4, &order);
+    m.tris.resize(n_tris);
+    for (int j = 0; j < n_tris; ++j) m.tris[j] = raw[order[j]];
+  }
+
+  s->spheres.resize(n_sph);
+  for (auto& sp : s->spheres) {
+    float g[4];
+    int32_t mat;
+    if (std::fread(g, 4, 4, f) != 4 || std::fread(&mat, 4, 1, f) != 1) {
+      std::fclose(f);
+      return false;
+    }
+    sp.c = {g[0], g[1], g[2]};
+    sp.r = g[3];
+    sp.mat = mat;
+  }
+  std::fclose(f);
+
+  // Material-id bounds: corrupt ids would index out of the table.
+  for (const auto& tr : m.tris)
+    if (tr.mat < 0 || tr.mat >= n_mats) return false;
+  for (const auto& sp : s->spheres)
+    if (sp.mat < 0 || sp.mat >= n_mats) return false;
+
+  s->sph_bvh = n_sph > 64;
+  if (s->sph_bvh) {
+    std::vector<float> pmin(3 * n_sph), pmax(3 * n_sph);
+    for (int i = 0; i < n_sph; ++i) {
+      const Vec& c = s->spheres[i].c;
+      float r = std::fabs(s->spheres[i].r);
+      pmin[3 * i] = c.x - r, pmin[3 * i + 1] = c.y - r, pmin[3 * i + 2] = c.z - r;
+      pmax[3 * i] = c.x + r, pmax[3 * i + 1] = c.y + r, pmax[3 * i + 2] = c.z + r;
+    }
+    std::vector<int> order;
+    s->sbvh = build_bvh(pmin, pmax, n_sph, /*max_leaf=*/2, &order);
+    std::vector<SphereG> re(n_sph);
+    for (int j = 0; j < n_sph; ++j) re[j] = s->spheres[order[j]];
+    s->spheres = std::move(re);
+  }
+  return true;
+}
+
+inline bool sphereg_cand(const SphereG& sp, const Vec& o, const Vec& d,
+                         float tmin, float best, float* t_out) {
+  Vec oc = o - sp.c;
+  float b = dot(oc, d);
+  float c = dot(oc, oc) - sp.r * sp.r;
+  float disc = b * b - c;
+  if (disc < 0) return false;
+  float sq = std::sqrt(disc);
+  float t = -b - sq;
+  if (t < tmin || t >= best) t = -b + sq;
+  if (t < tmin || t >= best) return false;
+  *t_out = t;
+  return true;
+}
+
+// Combined closest hit over both kinds. Winner: idx into tris when
+// *is_tri, else into spheres.
+bool mix_hit(const MixScene& s, const Vec& o, const Vec& d, float tmin,
+             float tmax, Hit* out, bool* is_tri) {
+  float best = tmax;
+  int bi = -1;
+  bool tri = false;
+  Hit h;
+  if (!s.mesh.tris.empty() && mesh_hit(s.mesh, o, d, tmin, best, &h)) {
+    best = h.t;
+    bi = h.idx;
+    tri = true;
+  }
+  if (s.sph_bvh) {
+    Vec invd{1.0f / d.x, 1.0f / d.y, 1.0f / d.z};
+    int i = 0;
+    const int m = s.sbvh.m;
+    while (i < m) {
+      if (aabb_hit(&s.sbvh.nmin[3 * i], &s.sbvh.nmax[3 * i], o, invd, tmin,
+                   best)) {
+        int cnt = s.sbvh.count[i];
+        if (cnt > 0) {
+          int first = s.sbvh.first[i];
+          for (int j = first; j < first + cnt; ++j) {
+            float t;
+            if (sphereg_cand(s.spheres[j], o, d, tmin, best, &t)) {
+              best = t;
+              bi = j;
+              tri = false;
+            }
+          }
+          i = s.sbvh.skip[i];
+        } else {
+          ++i;
+        }
+      } else {
+        i = s.sbvh.skip[i];
+      }
+    }
+  } else {
+    for (size_t j = 0; j < s.spheres.size(); ++j) {
+      float t;
+      if (sphereg_cand(s.spheres[j], o, d, tmin, best, &t)) {
+        best = t;
+        bi = int(j);
+        tri = false;
+      }
+    }
+  }
+  if (bi < 0) return false;
+  out->t = best;
+  out->idx = bi;
+  *is_tri = tri;
+  return true;
+}
+
 Vec sky(float y) {
   float t = 0.5f * y + 0.5f;
   return Vec{1, 1, 1} * (1 - t) + Vec{0.5f, 0.7f, 1.0f} * t;
@@ -583,6 +859,39 @@ Vec trace_mesh(const MeshScene& s, Vec o, Vec d, int depth, Rng& rng,
   return {0, 0, 0};
 }
 
+Vec trace_mix(const MixScene& s, Vec o, Vec d, int depth, Rng& rng,
+              uint64_t* segs, float tmin = 1e-3f, float tmax = 1e4f) {
+  Vec atten{1, 1, 1};
+  for (int i = 0; i < depth; ++i) {
+    ++*segs;
+    Hit h;
+    bool is_tri;
+    if (!mix_hit(s, o, d, tmin, tmax, &h, &is_tri))
+      return atten * (s.mesh.has_ambient ? s.mesh.ambient : sky(d.y));
+    Vec p = o + d * h.t;
+    Vec n;
+    int mid;
+    if (is_tri) {
+      const Tri& tr = s.mesh.tris[h.idx];
+      n = norm(cross(tr.e1, tr.e2));
+      mid = tr.mat;
+    } else {
+      const SphereG& sp = s.spheres[h.idx];
+      n = (p - sp.c) * (1.0f / sp.r);  // signed r: inward normals
+      mid = sp.mat;
+    }
+    bool front = dot(n, d) <= 0;
+    if (!front) n = n * -1.0f;
+    Material mt = s.mesh.mats[mid];
+    if (mt.tex_ty != TEX_SOLID) mt.albedo = tex_albedo(mt, p);
+    Vec nd, radiance;
+    if (!scatter(mt, d, n, front, rng, &atten, &nd, &radiance)) return radiance;
+    o = p;
+    d = norm(nd);
+  }
+  return {0, 0, 0};
+}
+
 struct CamBasis {
   Vec origin, llc, horiz, vert, cu, cv;
   float lens_r;
@@ -609,10 +918,11 @@ CamBasis make_camera(Vec lookfrom, Vec lookat, Vec vup, float vfov_deg,
 // -- Loaded scene + frame renderer (shared by main() and the C API) ----------
 
 struct CpuScene {
-  int kind = 0;  // 0 = spheres, 1 = mesh
+  int kind = 0;  // 0 = spheres, 1 = mesh, 2 = mixed ("MRTMIX01")
   MeshScene mesh;
   std::vector<Sphere> world;
   SphereBVH sbvh;
+  MixScene mix;
   bool use_bvh = false;
   bool has_ambient = false;
   Vec ambient{0, 0, 0};
@@ -671,7 +981,9 @@ uint64_t render_frame(const CpuScene& s, int W, int H, int spp, int depth,
               o = o + cam.cu * (cam.lens_r * dx) + cam.cv * (cam.lens_r * dy);
             }
             Vec d = norm(cam.llc + cam.horiz * sx + cam.vert * sy - o);
-            Vec c = s.kind == 1
+            Vec c = s.kind == 2
+                        ? trace_mix(s.mix, o, d, depth, rng, &segs, tmin, tmax)
+                    : s.kind == 1
                         ? trace_mesh(s.mesh, o, d, depth, rng, &segs, tmin, tmax)
                         : trace_spheres(s.world, s.use_bvh ? &s.sbvh : nullptr,
                                         o, d, depth, rng, &segs, s.has_ambient,
@@ -697,10 +1009,11 @@ uint64_t render_frame(const CpuScene& s, int W, int H, int spp, int depth,
 
 extern "C" {
 
-// Load a scene dump (sniffs the magic: "MRTMESH1" or "MRTSPH01",
-// meshdump.py formats). Sphere scenes always build the SAH BVH — this is
-// the production path, not the brute-force baseline mode. Returns NULL on
-// failure.
+// Load a scene dump (sniffs the magic: "MRTMIX01" — the universal
+// production format, spheres+meshes+textures — or the legacy single-kind
+// "MRTMESH1"/"MRTSPH01" bench formats; all meshdump.py). Sphere scenes
+// always build the SAH BVH — this is the production path, not the
+// brute-force baseline mode. Returns NULL on failure.
 void* mrt_cpu_scene_load(const char* path) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return nullptr;
@@ -721,6 +1034,19 @@ void* mrt_cpu_scene_load(const char* path) {
     s->vfov_deg = s->mesh.vfov_deg;
     s->aperture = s->mesh.aperture;
     s->focus = s->mesh.focus;
+  } else if (!std::memcmp(magic, "MRTMIX01", 8)) {
+    if (!load_mix_scene(path, &s->mix)) {
+      delete s;
+      return nullptr;
+    }
+    s->kind = 2;
+    const MeshScene& m = s->mix.mesh;
+    s->lookfrom = m.lookfrom;
+    s->lookat = m.lookat;
+    s->vup = m.vup;
+    s->vfov_deg = m.vfov_deg;
+    s->aperture = m.aperture;
+    s->focus = m.focus;
   } else if (!std::memcmp(magic, "MRTSPH01", 8)) {
     SphereScene ss;
     if (!load_sphere_scene(path, &ss)) {
@@ -748,12 +1074,14 @@ void* mrt_cpu_scene_load(const char* path) {
 
 void mrt_cpu_scene_free(void* h) { delete static_cast<CpuScene*>(h); }
 
-// kind: 0 = spheres, 1 = mesh; n_prims: primitive count.
+// kind: 0 = spheres, 1 = mesh, 2 = mixed; n_prims: primitive count.
 void mrt_cpu_scene_info(void* h, int* kind, int* n_prims) {
   auto* s = static_cast<CpuScene*>(h);
   *kind = s->kind;
-  *n_prims = static_cast<int>(s->kind == 1 ? s->mesh.tris.size()
-                                           : s->world.size());
+  *n_prims = static_cast<int>(
+      s->kind == 2 ? s->mix.mesh.tris.size() + s->mix.spheres.size()
+      : s->kind == 1 ? s->mesh.tris.size()
+                     : s->world.size());
 }
 
 // Render one frame. cam19 may be NULL (use the dump camera at aspect
