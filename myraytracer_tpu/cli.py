@@ -256,6 +256,38 @@ def _make_denoiser(denoise_arg, config, world, width, height):
     )
 
 
+def _check_routing_prediction(session, mrays: float) -> None:
+    """One-shot sanity check of the auto-router's throughput model.
+
+    ``backend=auto``'s CPU routing rests on one host's measured model
+    constants (native/cpu_backend.py ``_CPU_MESH``/``_TPU_MESH``): on a
+    different CPU generation the crossovers move and the router could
+    silently pick the slower path. Compare the first STEADY-state frame
+    (the very first sync includes scene build/warmup, so it only arms
+    the check) against the prediction and warn loudly on a >3x miss.
+    """
+    pred = getattr(session, "routing_prediction", None)
+    if not pred:
+        return
+    if not getattr(session, "_route_check_armed", False):
+        session._route_check_armed = True  # skip the warmup-polluted sync
+        return
+    session.routing_prediction = None  # check once
+    if mrays > 0 and (mrays < pred / 3.0 or mrays > pred * 3.0):
+        log.warning(
+            "auto-routing model mispredicted this host: measured %.1f "
+            "Mrays/s vs predicted %.1f on the routed backend — the "
+            "BENCH.md model anchors may not fit this hardware; consider "
+            "an explicit --backend (or MYRT_CPU_THREADS) and re-run",
+            mrays, pred,
+        )
+    else:
+        log.info(
+            "auto-routing prediction holds: measured %.1f Mrays/s vs "
+            "predicted %.1f", mrays, pred,
+        )
+
+
 _AOV_NAMES = ("albedo", "normal", "depth")
 
 
@@ -880,6 +912,7 @@ def main(argv=None) -> int:
                     session.frame_count, session.accumulated_spp, dt * 1e3,
                     frames_sync, "s" if frames_sync != 1 else "", mrays,
                 )
+                _check_routing_prediction(session, mrays)
                 t_sync = time.perf_counter()
                 segs_sync = session.segments_traced
                 frames_sync = 0

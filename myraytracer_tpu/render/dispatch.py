@@ -95,6 +95,18 @@ def make_session(world: api.World, config: RenderConfig) -> RenderSession:
             # Recorded in checkpoint provenance as backend="cpu" (a
             # different sample stream than the TPU paths).
             cfg = config.replace(backend="cpu")
+            session = RenderSession(
+                world, cfg, renderer_factory=renderer_factory(cfg, world=world)
+            )
+            # Routing used one host's measured model constants
+            # (_CPU_MESH etc.); the CLI compares the first steady-state
+            # frame against this prediction and warns on a >3x miss —
+            # the runtime guard against silent misrouting on other
+            # hardware (BENCH.md "Backend routing").
+            pred = cpu_backend.route_prediction(world, config)
+            if pred is not None:
+                session.routing_prediction = pred[0]
+            return session
     if resolve_backend(cfg) == "pallas" and cfg.backend == "auto":
         # Large primitive tables move to VMEM automatically (no practical
         # cap — kernels/trace.py TRI_VMEM/SPH_VMEM); only scenes whose
