@@ -194,8 +194,9 @@ def build_parser() -> argparse.ArgumentParser:
         "blocks re-rendered per round (default ~1/4 of the grid). "
         "Composes with --frame-batch, --checkpoint/--resume, --shard "
         "tiles (per-device block stripes), --serve (progress view; "
-        "no query rebuilds/orbit), and --multihost (with --shard "
-        "tiles); not with --shard samples/hybrid",
+        "no query rebuilds), --interactive (orbit restarts the "
+        "schedule), and --multihost (with --shard tiles); not with "
+        "--shard samples/hybrid",
     )
     p.add_argument(
         "--denoise", type=_denoise_value, nargs="?", const=0, default=None,
@@ -392,14 +393,25 @@ def _run_adaptive(args, config, world) -> int:
 
     viewer = None
     if args.serve is not None:
-        # Progress-only viewer: the adaptive state (per-block variance,
-        # cursors) is bound to one scene/size/camera for the session's
-        # lifetime, so URL-query session rebuilds and orbit moves are
-        # rejected rather than silently restarting the budget.
+        # Progress viewer: the adaptive state (per-block variance,
+        # cursors) is bound to one scene/size for the session's
+        # lifetime, so URL-query session rebuilds are rejected. Camera
+        # ORBITS compose since round 5: an orbit resets accumulation
+        # anyway, so the session restarts its bootstrap + budget on
+        # move (AdaptiveSession.set_camera — no recompile).
         from myraytracer_tpu.viewer import LiveViewer
 
         viewer = LiveViewer(
             args.serve, gamma=args.gamma, exposure=args.exposure
+        )
+    if args.interactive and (
+        viewer is None
+        or world.camera.reference_mode
+        or args.shard != "none"
+    ):
+        raise SystemExit(
+            "--interactive needs --serve, a general-mode (positionable) "
+            "camera scene, and --shard none"
         )
 
     if args.resume and config.frame_batch == 0:
@@ -497,6 +509,35 @@ def _run_adaptive(args, config, world) -> int:
                     if denoise else 0,
                     denoise_auto=bool(denoise and denoise.auto),
                 )
+                if args.interactive:
+                    req = viewer.pending_camera()
+                    if req is not None:
+                        from myraytracer_tpu.render.camera import (
+                            orbit_camera,
+                        )
+
+                        session.set_camera(orbit_camera(
+                            world.camera,
+                            req.get("yaw", 0.0), req.get("pitch", 0.0),
+                            req.get("dist", 1.0),
+                        ))
+                        log.info(
+                            "camera orbit yaw=%.2f pitch=%.2f dist=%.2f "
+                            "(adaptive schedule restarted, no recompile)",
+                            req.get("yaw", 0.0), req.get("pitch", 0.0),
+                            req.get("dist", 1.0),
+                        )
+                        if args.aov:
+                            # Feature AOVs follow the moved camera (the
+                            # packed scene.cam operand).
+                            dn = _aov_feature_pass(
+                                config, world, session.width,
+                                session.height, denoise,
+                            )
+                            viewer.set_aovs(_aov_images(
+                                dn, session.scene.cam,
+                                _parse_aov_names(args.aov),
+                            ))
                 sreq = viewer.pending_session()
                 if sreq is not None:
                     req_dn = sreq.pop("denoise", None)
@@ -688,7 +729,6 @@ def main(argv=None) -> int:
              "--multihost without --shard tiles"),
             (args.multihost is not None and args.serve is not None,
              "--serve under --multihost (the viewer is single-process)"),
-            (args.interactive, "--interactive (fixed-camera accumulation)"),
             (args.frames == 0, "--frames 0 (needs a bounded budget)"),
         ):
             if bad:

@@ -513,6 +513,38 @@ class AdaptiveSession:
 
     # -- internals ----------------------------------------------------------
 
+    def set_camera(self, cam: api.Camera) -> None:
+        """Move the runtime camera and restart the adaptive schedule.
+
+        The adaptive state (per-block variance moments, round counts,
+        accumulation) describes ONE view — an orbit invalidates all of
+        it, so the move zeroes the statistics and re-arms the bootstrap;
+        the caller's budget loop restarts (the CLI's interactive path
+        runs this under the viewer's bounded-rebuild guard). Like
+        RenderSession.set_camera this is a ~µs repack of the packed
+        [19]-f32 ``scene.cam`` operand — no recompile — and the sample
+        stream CONTINUES from the per-block cursors (kept), so no draws
+        are ever reused across views.
+        """
+        if cam.reference_mode or self.world.camera.reference_mode:
+            raise ValueError(
+                "the reference-mode camera is fixed by contract; "
+                "use a general (lookfrom/lookat) camera scene to move"
+            )
+        self.scene = self.scene._replace(
+            cam=jnp.asarray(
+                cam_mod.pack_camera(cam, self.width, self.height)
+            )
+        )
+        fbB, s1, s2, n_b, r_b, cursor = self._state
+        self._state = (
+            jnp.zeros_like(fbB), jnp.zeros_like(s1), jnp.zeros_like(s2),
+            jnp.zeros_like(n_b), jnp.zeros_like(r_b), cursor,
+        )
+        self.rounds = 0
+        self.samples_spent = 0
+        self._bootstrapped = False
+
     def _check_cursor_headroom(self, extra_calls: int = 1) -> None:
         # Worst case, one block absorbed every sub-round so far plus the
         # next call's F windows: its cursor is bounded by

@@ -265,6 +265,66 @@ def test_cli_interactive_orbit_with_denoise(tmp_path):
     assert read_png(out).shape == (16, 32, 3)
 
 
+def test_cli_adaptive_interactive_orbit(tmp_path):
+    """--adaptive --serve --interactive: a /set orbit mid-run restarts
+    the adaptive schedule under the moved camera (round-5 composition;
+    previously banned). The session's statistics reset, the bootstrap
+    re-arms, and the run still completes its (restarted) budget."""
+    import time
+    import urllib.request
+
+    from myraytracer_tpu import viewer as viewer_mod
+    from myraytracer_tpu.render.adaptive import AdaptiveSession
+
+    out = tmp_path / "adaptive_orbit.png"
+    captured = {}
+    real_init = viewer_mod.LiveViewer.__init__
+
+    def vinit(self, port, *a, **kw):
+        real_init(self, port, *a, **kw)
+        captured["viewer"] = self
+
+    real_step = AdaptiveSession.step
+    real_setcam = AdaptiveSession.set_camera
+    calls = {"step": 0, "setcam": 0}
+
+    def step(self):
+        calls["step"] += 1
+        if calls["step"] == 2:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{captured['viewer'].port}"
+                f"/set?yaw=0.4&pitch=0.1&dist=1.1"
+            ) as r:
+                r.read()
+        time.sleep(0.3)  # outlast the 0.25 s viewer sync cadence
+        return real_step(self)
+
+    def setcam(self, cam):
+        calls["setcam"] += 1
+        assert self.samples_spent > 0  # mid-run, not at startup
+        real_setcam(self, cam)
+        assert self.samples_spent == 0 and self.rounds == 0
+        assert not self.bootstrapped
+
+    viewer_mod.LiveViewer.__init__ = vinit
+    AdaptiveSession.step = step
+    AdaptiveSession.set_camera = setcam
+    try:
+        rc = cli.main([
+            "--width", "64", "--height", "32", "--samples-per-frame", "1",
+            "--ray-depth", "2", "--frames", "4", "--scene", "defocus",
+            "--backend", "jnp", "--adaptive", "--serve", "0",
+            "--interactive", "--out", str(out),
+        ])
+    finally:
+        AdaptiveSession.step = real_step
+        AdaptiveSession.set_camera = real_setcam
+        viewer_mod.LiveViewer.__init__ = real_init
+    assert rc == 0
+    assert calls["setcam"] == 1
+    assert read_png(out).shape == (32, 64, 3)
+
+
 def test_cli_adaptive_composition_bans(tmp_path):
     out = str(tmp_path / "x.png")
     for extra in (
