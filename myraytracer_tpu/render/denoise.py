@@ -40,6 +40,8 @@ import functools
 import math
 from typing import Optional, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -73,31 +75,93 @@ _G3 = (0.25, 0.5, 0.25)
 
 # Measured raw-vs-denoised crossover (tools/denoise_bench.py; BENCH.md
 # "Denoising"): past ~45-64 accumulated spp the raw estimator beats the
-# filter's bias floor, and at intermediate counts FEWER iterations win
-# (2 iters beat 5 at 16 spp). 64 anchors the auto schedule below.
+# filter's bias floor on the small calibration scene. 64 anchors the
+# spp FALLBACK schedule below; since round 5 the primary auto schedule
+# is noise-driven (noise_iterations) — the round-5 production-size
+# ladders showed the spp anchor is strongly scene-dependent (final
+# scene crossover ~16-32 spp with only 1 useful iteration; emissive
+# cornell > 128 spp with 5), while the measured optima line up on the
+# framebuffer's own display-space noise level across all scenes.
 AUTO_CROSSOVER_SPP = 64
+
+# Noise anchor for the auto schedule: iterations =
+# clamp(round(log2(noise / NOISE_ITERS_REF)), 0, 5), where `noise` is
+# estimate_noise(fb)'s own scale. Calibrated against the round-5
+# production-size (1200x800) ladders by rendering the same streams and
+# recording the ESTIMATOR's value at every ladder point (tools/
+# denoise_bench.py + the estimator probe — BENCH.md "Denoising at
+# production size"): at 0.005 the schedule stays within one step of the
+# measured per-spp display-RMSE optimum on final / three-sphere /
+# cornell simultaneously and NEVER picks a worse-than-raw setting at
+# any measured point — the property a default needs, which no
+# spp-anchored constant achieves (measured crossovers span 16 spp to
+# >128 across scenes).
+NOISE_ITERS_REF = 0.005
 
 
 def auto_iterations(spp: int, crossover: int = AUTO_CROSSOVER_SPP) -> int:
-    """spp-scheduled iteration count for ``--denoise auto``.
+    """spp-scheduled iteration count — the auto FALLBACK when no
+    framebuffer is at hand (UI previews before the first frame).
 
-    The measured ladder (BENCH.md "Denoising"): the filter is a low-spp
-    tool whose optimal support shrinks as the accumulation deepens —
-    5 iterations win at 4 spp (8.2x equal-RMSE efficiency), 2 beat 5 at
-    16 spp (1.52x vs ~1.0x), and past the ~45-64 spp crossover the raw
-    buffer wins. The schedule halves the filtered-out noise target per
-    accumulation doubling::
-
-        iters = clamp(ceil(log2(crossover / spp)), 0, DEFAULT_ITERATIONS)
-
-    i.e. 5 at <=2 spp, 4 at 4 spp, 3 at 8, 2 at 16 (the measured
-    optimum), 1 at 32, 0 (raw) at >= ``crossover``. At most
-    ``DEFAULT_ITERATIONS + 1`` distinct filter graphs ever compile.
+    ``iters = clamp(ceil(log2(crossover / spp)), 0, DEFAULT_ITERATIONS)``
+    i.e. 5 at <=2 spp, 4 at 4 spp, 3 at 8, 2 at 16, 1 at 32, 0 (raw) at
+    >= ``crossover``. The actual filtering path uses
+    :func:`noise_iterations` on the framebuffer itself.
     """
     spp = max(1, int(spp))
     if spp >= crossover:
         return 0
     return min(DEFAULT_ITERATIONS, max(1, math.ceil(math.log2(crossover / spp))))
+
+
+def noise_iterations(noise: float, ref: float = NOISE_ITERS_REF) -> int:
+    """Noise-driven iteration count for ``--denoise auto`` (round 5).
+
+    One support doubling per noise octave above the calibrated anchor
+    (see NOISE_ITERS_REF). NaN/zero-safe: a clean (or unrendered)
+    framebuffer passes through raw.
+    """
+    if not noise > ref * (2.0 ** -0.5):  # round() threshold, NaN-safe
+        return 0
+    return min(
+        DEFAULT_ITERATIONS,
+        max(0, int(round(math.log2(noise / ref)))),
+    )
+
+
+def estimate_noise(fb) -> float:
+    """Global noise scalar of a linear framebuffer: the MEDIAN local
+    (3x3 Gaussian) luminance sigma of its display-space encode.
+
+    Display space (clip + sRGB) because that is the space the
+    production-size ladders are judged in — linear RMSE over-weights
+    emissive pixels the display transform compresses (BENCH.md). The
+    median rejects true-edge pixels (a minority), so detail-dense
+    scenes do not masquerade as noisy. Numpy on purpose: one image
+    pass per viewer push, no compile.
+    """
+    a = np.clip(np.asarray(fb, np.float32), 0.0, 1.0)
+    a = np.where(
+        a <= 0.0031308,
+        a * np.float32(12.92),
+        1.055 * np.power(np.maximum(a, 1e-8), 1.0 / 2.4) - 0.055,
+    )
+    lum = (
+        np.float32(_LUM[0]) * a[..., 0]
+        + np.float32(_LUM[1]) * a[..., 1]
+        + np.float32(_LUM[2]) * a[..., 2]
+    )
+
+    def blur(x):
+        p = np.pad(x, ((1, 1), (0, 0)), mode="edge")
+        x = 0.25 * p[:-2] + 0.5 * p[1:-1] + 0.25 * p[2:]
+        p = np.pad(x, ((0, 0), (1, 1)), mode="edge")
+        return 0.25 * p[:, :-2] + 0.5 * p[:, 1:-1] + 0.25 * p[:, 2:]
+
+    mu = blur(lum)
+    m2 = blur(lum * lum)
+    sigma = np.sqrt(np.maximum(m2 - mu * mu, 0.0))
+    return float(np.median(sigma))
 
 
 def aux_buffers(
@@ -274,6 +338,7 @@ class Denoiser:
         self._aux_fns = {}
         self._filters = {}
         self._cam_repr = repr(world.camera)
+        self._last_auto = None  # last noise-driven auto count (__call__)
 
     def _aux_fn(self, packed: bool, example_args):
         """The feature-pass callable, export-cache backed (utils/cache.py)
@@ -341,11 +406,15 @@ class Denoiser:
         return self._features(cam)
 
     def effective_iterations(self, spp: Optional[int] = None) -> int:
-        """Iteration count this call would run: the spp schedule when
-        ``auto`` (0 = pass-through past the measured crossover), else
-        the fixed construction count."""
-        if self.auto and spp is not None:
-            return auto_iterations(spp)
+        """Iteration count for reporting/UI: in ``auto`` mode, the last
+        noise-driven count an actual __call__ computed (the source of
+        truth since round 5), else the spp fallback schedule; fixed
+        construction count otherwise."""
+        if self.auto:
+            if self._last_auto is not None:
+                return self._last_auto
+            if spp is not None:
+                return auto_iterations(spp)
         return self.iterations
 
     def __call__(self, fb, cam=None, spp: Optional[int] = None) -> jnp.ndarray:
@@ -353,10 +422,18 @@ class Denoiser:
 
         ``cam`` is the session's packed runtime-camera operand
         (``session.scene.cam``), or None for the construction camera.
-        ``spp`` is the accumulated samples-per-pixel driving the auto
-        schedule (ignored unless constructed with ``auto=True``).
+        In ``auto`` mode the iteration count is NOISE-driven (round 5):
+        ``noise_iterations(estimate_noise(fb))`` — the framebuffer's own
+        display-space noise level picks the support, which the
+        production-size ladders show no spp-anchored constant can do
+        across scenes (``spp`` is kept as the pre-first-frame fallback
+        path and for API compatibility).
         """
-        iters = self.effective_iterations(spp)
+        if self.auto:
+            iters = noise_iterations(estimate_noise(fb))
+            self._last_auto = iters
+        else:
+            iters = self.effective_iterations(spp)
         if iters <= 0:
             return jnp.asarray(fb, jnp.float32)
         albedo, normal, depth = self._features(cam)

@@ -310,53 +310,84 @@ def test_auto_iterations_matches_measured_ladder():
         prev = it
 
 
-def test_denoiser_auto_mode_schedules_and_passes_through():
+def test_denoiser_auto_mode_is_noise_driven():
+    """Round-5 auto contract: the iteration count follows the
+    framebuffer's own measured noise, not the accumulated spp — a clean
+    image passes through raw at ANY spp; a noisy one filters hard; the
+    reported effective count tracks what the last call actually did."""
+    from myraytracer_tpu.render.denoise import estimate_noise, noise_iterations
+
     world = presets.reference_scene()
     dn = Denoiser(world, W, H, auto=True)
     rng = np.random.default_rng(0)
-    fb = jnp.asarray(rng.random((H, W, 3)), jnp.float32)
-    # Past the crossover: exact pass-through (raw accumulation wins).
-    out_hi = dn(fb, spp=4096)
-    np.testing.assert_array_equal(np.asarray(out_hi), np.asarray(fb))
-    assert dn.effective_iterations(4096) == 0
-    # Low spp: the filter runs (output differs) with scheduled support.
-    assert dn.effective_iterations(4) == 4
-    out_lo = np.asarray(dn(fb, spp=4))
-    assert not np.array_equal(out_lo, np.asarray(fb))
-    # Fewer iterations at 32 spp than at 4 — verify via the fixed path
-    # equivalence: auto at spp=32 equals a fixed 1-iteration filter.
-    fixed1 = Denoiser(world, W, H, iterations=1)
-    np.testing.assert_array_equal(
-        np.asarray(dn(fb, spp=32)), np.asarray(fixed1(fb))
+
+    # Clean (smooth gradient) image: ~zero noise -> exact pass-through,
+    # even at a "low spp" hint.
+    ramp = jnp.asarray(
+        np.linspace(0.1, 0.6, H * W * 3).reshape(H, W, 3), jnp.float32
     )
+    out_clean = dn(ramp, spp=4)
+    np.testing.assert_array_equal(np.asarray(out_clean), np.asarray(ramp))
+    assert dn.effective_iterations() == 0
+
+    # Heavy noise: the filter runs with deep support, even at a high
+    # spp hint (an accumulation can still be noisy — emissive scenes).
+    noisy = jnp.asarray(rng.random((H, W, 3)), jnp.float32) * 0.8
+    out_noisy = np.asarray(dn(noisy, spp=4096))
+    assert not np.array_equal(out_noisy, np.asarray(noisy))
+    assert dn.effective_iterations() >= 3
+
+    # The scalar pieces: estimator orders by noise level; the schedule
+    # is monotone in it and clamped to [0, 5].
+    assert estimate_noise(ramp) < estimate_noise(noisy)
+    prev = 0
+    for n in (0.0, 0.002, 0.005, 0.01, 0.02, 0.05, 0.1, 0.3):
+        it = noise_iterations(n)
+        assert 0 <= it <= 5 and it >= prev
+        prev = it
+    assert noise_iterations(0.0) == 0 and noise_iterations(0.3) == 5
+
+    # Before any call, effective_iterations(spp) falls back to the spp
+    # ladder (UI previews).
+    fresh = Denoiser(world, W, H, auto=True)
+    assert fresh.effective_iterations(4) == 4
+    assert fresh.effective_iterations(4096) == 0
 
 
 def test_cli_denoise_auto_sharpens_to_raw(tmp_path):
-    """--denoise auto: a short low-spp run filters its output; a long
-    run past the crossover writes the RAW image (bitwise equal to the
-    no-denoise run) while a fixed --denoise 2 run still filters."""
+    """--denoise auto (noise-driven since round 5): a short noisy run
+    filters its output; a deeply-converged run writes the RAW image
+    (bitwise equal to the no-denoise run — the measured noise sits
+    under the schedule's anchor) while a fixed --denoise 2 run still
+    filters."""
     from myraytracer_tpu import cli
 
+    # 320x180: the smallest size where the noise estimator's aliased-
+    # detail floor sits below the schedule anchor (the documented
+    # small-image caveat, BENCH.md "Denoising at production size").
     common = [
-        "--width", "64", "--height", "32", "--samples-per-frame", "4",
-        "--ray-depth", "4", "--scene", "three-sphere", "--backend", "jnp",
+        "--width", "320", "--height", "180", "--ray-depth", "4",
+        "--scene", "three-sphere", "--backend", "jnp",
     ]
     raw, auto_lo, auto_hi, fixed = (
         tmp_path / n for n in ("raw.png", "lo.png", "hi.png", "fx.png")
     )
-    # 2 frames x 4 spp = 8 accumulated spp: auto filters (3 iters).
+    # 2 frames x 4 spp = 8 accumulated spp: noisy -> auto filters.
     assert cli.main(common + [
-        "--frames", "2", "--out", str(raw)]) == 0
+        "--samples-per-frame", "4", "--frames", "2",
+        "--out", str(raw)]) == 0
     assert cli.main(common + [
-        "--frames", "2", "--denoise", "auto", "--out", str(auto_lo)]) == 0
+        "--samples-per-frame", "4", "--frames", "2",
+        "--denoise", "auto", "--out", str(auto_lo)]) == 0
     assert raw.read_bytes() != auto_lo.read_bytes()
-    # 17 frames x 4 spp = 68 >= crossover: auto = raw, fixed still filters.
-    raw17 = tmp_path / "raw17.png"
-    assert cli.main(common + [
-        "--frames", "17", "--out", str(raw17)]) == 0
-    assert cli.main(common + [
-        "--frames", "17", "--denoise", "auto", "--out", str(auto_hi)]) == 0
-    assert cli.main(common + [
-        "--frames", "17", "--denoise", "2", "--out", str(fixed)]) == 0
-    assert auto_hi.read_bytes() == raw17.read_bytes()
-    assert fixed.read_bytes() != raw17.read_bytes()
+    # 16 frames x 16 spp = 256 accumulated spp: converged -> auto = raw,
+    # a fixed iteration count still filters.
+    deep = ["--samples-per-frame", "16", "--frames", "16"]
+    raw_deep = tmp_path / "raw_deep.png"
+    assert cli.main(common + deep + ["--out", str(raw_deep)]) == 0
+    assert cli.main(common + deep + [
+        "--denoise", "auto", "--out", str(auto_hi)]) == 0
+    assert cli.main(common + deep + [
+        "--denoise", "2", "--out", str(fixed)]) == 0
+    assert auto_hi.read_bytes() == raw_deep.read_bytes()
+    assert fixed.read_bytes() != raw_deep.read_bytes()

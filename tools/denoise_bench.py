@@ -45,6 +45,18 @@ def rmse(a, b):
     return float(np.sqrt(np.mean((np.asarray(a) - np.asarray(b)) ** 2)))
 
 
+def disp(a):
+    """Display-space encode (clip + sRGB EOTF) for the perceptual RMSE
+    column. Linear RMSE over-weights super-bright emissive pixels that
+    the display transform compresses anyway (a cornell light smear
+    dominates linear RMSE while being nearly invisible after tonemap),
+    so emissive-scene ladders are judged in the space users see."""
+    a = np.clip(np.asarray(a), 0.0, 1.0)
+    lo = a * 12.92
+    hi = 1.055 * np.power(np.maximum(a, 1e-8), 1.0 / 2.4) - 0.055
+    return np.where(a <= 0.0031308, lo, hi)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -84,10 +96,12 @@ def main():
     dn = Denoiser(world, W, H, iterations=max(ITERS_LIST))
     albedo, normal, depth = dn._features(session.scene.cam)
 
+    ref_d = disp(ref)
     rows = []
     for iters in ITERS_LIST:
         print(f"{'spp':>6} {'rmse raw':>10} {'rmse dn':>10} {'gain':>6} "
-              f"{'eff x':>6}   (iters={iters})", file=sys.stderr)
+              f"{'eff x':>6} {'disp raw':>9} {'disp dn':>9} {'deff':>6} "
+              f"  (iters={iters})", file=sys.stderr)
         for n in FRAMES:
             if n == REF_FRAMES:
                 continue
@@ -99,12 +113,16 @@ def main():
             ))
             dt = time.perf_counter() - t0
             r_raw, r_dn = rmse(raw, ref), rmse(out, ref)
+            d_raw, d_dn = rmse(disp(raw), ref_d), rmse(disp(out), ref_d)
             # Equal-RMSE sample efficiency from the 1/sqrt(n) law:
             # n_equiv / n = (r_raw / r_dn)^2.
             eff = (r_raw / r_dn) ** 2
-            rows.append((iters, n * SPP, r_raw, r_dn, eff, dt))
+            deff = (d_raw / d_dn) ** 2
+            rows.append((iters, n * SPP, r_raw, r_dn, eff, d_raw, d_dn,
+                         deff, dt))
             print(f"{n * SPP:>6} {r_raw:>10.5f} {r_dn:>10.5f} "
-                  f"{r_raw / r_dn:>6.2f} {eff:>6.2f}", file=sys.stderr)
+                  f"{r_raw / r_dn:>6.2f} {eff:>6.2f} {d_raw:>9.5f} "
+                  f"{d_dn:>9.5f} {deff:>6.2f}", file=sys.stderr)
 
     if SWEEP:
         raw = jnp.asarray(snaps[FRAMES[len(FRAMES) // 2]])
@@ -134,8 +152,9 @@ def main():
         "scene": SCENE, "size": [W, H],
         "rows": [
             {"iters": it, "spp": s, "rmse_raw": a, "rmse_dn": b,
-             "efficiency_x": e, "filter_s": round(dt, 4)}
-            for it, s, a, b, e, dt in rows
+             "efficiency_x": e, "rmse_raw_disp": da, "rmse_dn_disp": db,
+             "efficiency_disp_x": de, "filter_s": round(dt, 4)}
+            for it, s, a, b, e, da, db, de, dt in rows
         ],
     }))
 

@@ -93,8 +93,13 @@ VARIANTS = [
     ("s4", {"SUPER": 4}),
     ("mesh-tile8", {"DEFAULT_TILE_ROWS": 8}),
     ("mesh-tile8-tri32", {"DEFAULT_TILE_ROWS": 8, "TRI_CHUNK": 32}),
-    # --- Per-ray culling experiments (VERDICT r04 item 1) ---------------
-    # Per-lane chunk mask ANDed into `better` (exact; no control flow):
+    # --- Per-ray culling experiments (round 5; measured outcome now the
+    # production default: partition="kd", CULL_CHUNK=48 — BENCH.md
+    # "Per-ray culling". Builds below default to the kd partition; the
+    # "morton" control re-tests the old curve order.) ------------------
+    ("morton", {"_PARTITION": "morton"}),
+    # Per-lane chunk mask ANDed into `better` (exact; no control flow;
+    # measured reject +1.1%):
     ("lane-gate", {"LANE_GATE": True}),
     # Tighter chunk AABBs: balanced-kd equal-size groups instead of
     # Morton-consecutive ones (scene-compile change, same kernel):
@@ -159,7 +164,7 @@ def main() -> int:
         config = trace.KernelConfig(**cfg_kw)
         scene = compile_scene(
             world, spatial_sort=True,
-            partition=overrides.get("_PARTITION", "morton"),
+            partition=overrides.get("_PARTITION", "kd"),
             partition_chunk=config.CULL_CHUNK,
         )
         render = trace.make_renderer(
