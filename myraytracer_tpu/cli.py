@@ -101,6 +101,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="render an OBJ mesh (overrides --scene; native C++ loader)",
     )
     p.add_argument(
+        "--ground", action="store_true",
+        help="with --obj: giant ground SPHERE instead of the ground quad "
+        "— a mixed sphere+mesh world, which backend=auto can route to "
+        "the native CPU path where measured faster (round 5)",
+    )
+    p.add_argument(
         "--out", default="out.png",
         help=".png/.ppm (u8, --gamma transfer) or .pfm/.npy (raw linear "
         "float HDR) output path",
@@ -677,7 +683,10 @@ def main(argv=None) -> int:
         if args.obj:
             from myraytracer_tpu.scene.presets import obj_scene
 
-            world = obj_scene(args.obj)
+            world = obj_scene(args.obj, ground_sphere=args.ground)
+        elif args.ground:
+            raise SystemExit("--ground needs --obj (it swaps the OBJ "
+                             "scene's ground quad for a sphere)")
         else:
             try:
                 world = get_scene(scene_name, seed=config.seed)

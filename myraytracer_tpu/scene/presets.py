@@ -253,12 +253,16 @@ def cornell_scene() -> World:
     )
 
 
-def obj_scene(path, material=None) -> World:
-    """Render an OBJ file: mesh normalized to unit size over a ground quad.
+def obj_scene(path, material=None, ground_sphere: bool = False) -> World:
+    """Render an OBJ file: mesh normalized to unit size over a ground.
 
     Uses the native C++ OBJ loader (myraytracer_tpu/native; Python
     fallback). The mesh is recentered and scaled to fit a unit sphere at
     (0, 0.55, -1.2) so any model frames sensibly with the stock camera.
+    ``ground_sphere`` swaps the ground quad for the RTiOW giant sphere —
+    a MIXED sphere+mesh world (the most common real-scene shape), which
+    since round 5 the native CPU backend renders and ``backend=auto``
+    routes (native/cpu_backend.py, BENCH.md "Backend routing").
     """
     from myraytracer_tpu.native import load_obj
     from myraytracer_tpu.scene import meshgen
@@ -275,6 +279,22 @@ def obj_scene(path, material=None) -> World:
         [0.0, 0.55, -1.2], np.float32
     )
 
+    mesh = Mesh(vertices, triangles, material or Lambertian((0.4, 0.5, 0.8)))
+    if ground_sphere:
+        return World(
+            spheres=[
+                Sphere((0.0, -1000.0, 0.0), 1000.0,
+                       Lambertian((0.6, 0.6, 0.6))),
+            ],
+            meshes=[mesh],
+            camera=Camera(
+                lookfrom=(0.8, 1.1, 1.2),
+                lookat=(0.0, 0.5, -1.2),
+                vup=(0.0, 1.0, 0.0),
+                vfov_degrees=40.0,
+                aperture=0.0,
+            ),
+        )
     gv, gf = meshgen.quad(
         (-6.0, 0.0, 4.0), (6.0, 0.0, 4.0), (6.0, 0.0, -8.0), (-6.0, 0.0, -8.0)
     )
@@ -282,7 +302,7 @@ def obj_scene(path, material=None) -> World:
         spheres=[],
         meshes=[
             Mesh(gv, gf, Lambertian((0.6, 0.6, 0.6))),
-            Mesh(vertices, triangles, material or Lambertian((0.4, 0.5, 0.8))),
+            mesh,
         ],
         camera=Camera(
             lookfrom=(0.8, 1.1, 1.2),

@@ -298,3 +298,37 @@ def test_spheredump_rejects_mesh_and_reference_camera(tmp_path):
         dump_spheres(mesh_scene(1), tmp_path / "x.bin")
     with pytest.raises(ValueError, match="camera"):
         dump_spheres(reference_scene(), tmp_path / "x.bin")
+
+
+def test_obj_ground_sphere_cli(tmp_path):
+    """--obj --ground: the mixed sphere+mesh world renders through the
+    CLI (the round-5 routing-hole scene shape); --ground alone errors."""
+    from myraytracer_tpu import cli
+    from myraytracer_tpu.output.image import read_png
+    from myraytracer_tpu.scene import meshgen
+
+    v, f = meshgen.icosphere((0, 0, 0), 1.0, 1)
+    p = tmp_path / "ico.obj"
+    with open(p, "w") as fh:
+        for x, y, z in v:
+            fh.write(f"v {x} {y} {z}\n")
+        for a, b, c in f:
+            fh.write(f"f {a + 1} {b + 1} {c + 1}\n")
+
+    out = tmp_path / "mix.png"
+    rc = cli.main([
+        "--width", "48", "--height", "32", "--samples-per-frame", "2",
+        "--ray-depth", "4", "--frames", "1", "--backend", "jnp",
+        "--obj", str(p), "--ground", "--out", str(out),
+    ])
+    assert rc == 0
+    img = read_png(out)
+    assert img.shape == (32, 48, 3) and img.mean() > 10
+
+    from myraytracer_tpu.scene.presets import obj_scene
+
+    world = obj_scene(p, ground_sphere=True)
+    assert world.spheres and world.meshes  # genuinely mixed
+
+    with pytest.raises(SystemExit):
+        cli.main(["--ground", "--out", str(out)])
