@@ -1106,6 +1106,7 @@ int mrt_cpu_render(void* h, int width, int height, int spp, int depth,
 int main(int argc, char** argv) {
   const char* mesh_path = nullptr;
   const char* sph_path = nullptr;
+  const char* mix_path = nullptr;
   const char* ppm_path = nullptr;
   bool use_bvh = false;
   std::vector<const char*> pos;
@@ -1114,6 +1115,8 @@ int main(int argc, char** argv) {
       mesh_path = argv[++i];
     } else if (!std::strcmp(argv[i], "--spheres") && i + 1 < argc) {
       sph_path = argv[++i];  // sphere-scene dump (meshdump.dump_spheres)
+    } else if (!std::strcmp(argv[i], "--mix") && i + 1 < argc) {
+      mix_path = argv[++i];  // universal dump (meshdump.dump_scene)
     } else if (!std::strcmp(argv[i], "--ppm") && i + 1 < argc) {
       ppm_path = argv[++i];  // gamma-2 P6 dump (baseline correctness check)
     } else if (!std::strcmp(argv[i], "--bvh")) {
@@ -1132,7 +1135,22 @@ int main(int argc, char** argv) {
   CpuScene scene;
   size_t n_prims;
   const char* mode;
-  if (mesh_path) {
+  if (mix_path) {
+    if (!load_mix_scene(mix_path, &scene.mix)) {
+      std::fprintf(stderr, "failed to load mixed scene %s\n", mix_path);
+      return 2;
+    }
+    scene.kind = 2;
+    const MeshScene& m = scene.mix.mesh;
+    scene.lookfrom = m.lookfrom;
+    scene.lookat = m.lookat;
+    scene.vup = m.vup;
+    scene.vfov_deg = m.vfov_deg;
+    scene.aperture = m.aperture;
+    scene.focus = m.focus;
+    n_prims = scene.mix.mesh.tris.size() + scene.mix.spheres.size();
+    mode = "cpu-bvh-mixed";
+  } else if (mesh_path) {
     if (!load_mesh_scene(mesh_path, &scene.mesh)) {
       std::fprintf(stderr, "failed to load mesh scene %s\n", mesh_path);
       return 2;
