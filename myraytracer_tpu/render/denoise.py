@@ -339,6 +339,7 @@ class Denoiser:
         self._filters = {}
         self._cam_repr = repr(world.camera)
         self._last_auto = None  # last noise-driven auto count (__call__)
+        self._noise_at = None  # (spp, estimate) cache for the auto path
 
     def _aux_fn(self, packed: bool, example_args):
         """The feature-pass callable, export-cache backed (utils/cache.py)
@@ -430,7 +431,21 @@ class Denoiser:
         path and for API compatibility).
         """
         if self.auto:
-            iters = noise_iterations(estimate_noise(fb))
+            # The estimate costs ~50 ms at 1200x800 (numpy pass) and
+            # noise moves like 1/sqrt(spp): reuse it until the
+            # accumulation grows 25% (re-estimating immediately when spp
+            # moves backwards — an orbit/restart).
+            cached = self._noise_at
+            if (
+                spp is not None and cached is not None
+                and cached[0] is not None
+                and cached[0] <= spp < cached[0] * 1.25
+            ):
+                noise = cached[1]
+            else:
+                noise = estimate_noise(fb)
+                self._noise_at = (spp, noise)
+            iters = noise_iterations(noise)
             self._last_auto = iters
         else:
             iters = self.effective_iterations(spp)

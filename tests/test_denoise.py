@@ -391,3 +391,34 @@ def test_cli_denoise_auto_sharpens_to_raw(tmp_path):
         "--denoise", "2", "--out", str(fixed)]) == 0
     assert auto_hi.read_bytes() == raw_deep.read_bytes()
     assert fixed.read_bytes() != raw_deep.read_bytes()
+
+
+def test_auto_noise_estimate_cached_by_spp():
+    """The ~50 ms noise estimate is reused while spp grows < 25% and
+    re-measured when spp jumps or moves backwards (orbit restart)."""
+    from myraytracer_tpu.render import denoise as dn_mod
+
+    world = presets.reference_scene()
+    dn = Denoiser(world, W, H, auto=True)
+    rng = np.random.default_rng(1)
+    fb = jnp.asarray(rng.random((H, W, 3)), jnp.float32)
+
+    calls = []
+    real = dn_mod.estimate_noise
+
+    def counting(x):
+        calls.append(1)
+        return real(x)
+
+    dn_mod.estimate_noise = counting
+    try:
+        dn(fb, spp=100)
+        assert len(calls) == 1
+        dn(fb, spp=110)  # +10%: cached
+        assert len(calls) == 1
+        dn(fb, spp=130)  # +30%: re-estimated
+        assert len(calls) == 2
+        dn(fb, spp=4)  # backwards (restart): re-estimated
+        assert len(calls) == 3
+    finally:
+        dn_mod.estimate_noise = real
