@@ -450,11 +450,14 @@ def _run_adaptive(args, config, world) -> int:
         """Output transform: reads the CURRENT --denoise binding (the
         viewer's live toggle rebinds it); never applied to checkpoints.
         Auto mode schedules off the budget-average spp (adaptive spp is
-        per-pixel; the average is the right scale for a global filter)."""
+        per-pixel; the average is the right scale for a global filter).
+        The runtime camera operand rides along so the guide features
+        follow an --interactive orbit (None on reference-mode scenes —
+        the Denoiser's fixed path)."""
         if denoise is None:
             return fb
         spp = session.samples_spent // (session.width * session.height)
-        return np.asarray(denoise(fb, spp=spp))
+        return np.asarray(denoise(fb, session.scene.cam, spp=spp))
     if args.resume:
         session.load_checkpoint(args.resume)
         log.info(
@@ -492,82 +495,94 @@ def _run_adaptive(args, config, world) -> int:
     # uses: rounds pipeline device-side, the host syncs (and pushes the
     # current framebuffer to the browser) about once a second.
     sync_interval = 0.25 if viewer is not None else 1.0
-    while session.samples_spent + round_cost <= budget:
-        session.step()
-        now = time.perf_counter()
-        if now - t_sync >= sync_interval:
-            fb = fetch_array(session.framebuffer)  # force (honest timing)
-            segs = session.segments_traced
-            dt = time.perf_counter() - t_sync
-            log.info(
-                "rounds=%d spent=%.1f%% of budget Mrays/s=%.1f",
-                session.rounds, 100.0 * session.samples_spent / budget,
-                (segs - segs_sync) / dt / 1e6,
-            )
-            t_sync, segs_sync = time.perf_counter(), segs
-            if viewer is not None:
-                avg_spp = session.samples_spent // (
-                    session.width * session.height
+    try:
+        while session.samples_spent + round_cost <= budget:
+            session.step()
+            now = time.perf_counter()
+            if now - t_sync >= sync_interval:
+                fb = fetch_array(session.framebuffer)  # force (honest timing)
+                segs = session.segments_traced
+                dt = time.perf_counter() - t_sync
+                log.info(
+                    "rounds=%d spent=%.1f%% of budget Mrays/s=%.1f",
+                    session.rounds, 100.0 * session.samples_spent / budget,
+                    (segs - segs_sync) / dt / 1e6,
                 )
-                viewer.update(
-                    post(fb), session.rounds, avg_spp,
-                    denoise=denoise.effective_iterations(avg_spp)
-                    if denoise else 0,
-                    denoise_auto=bool(denoise and denoise.auto),
-                )
-                if args.interactive:
-                    req = viewer.pending_camera()
-                    if req is not None:
-                        from myraytracer_tpu.render.camera import (
-                            orbit_camera,
-                        )
-
-                        session.set_camera(orbit_camera(
-                            world.camera,
-                            req.get("yaw", 0.0), req.get("pitch", 0.0),
-                            req.get("dist", 1.0),
-                        ))
-                        log.info(
-                            "camera orbit yaw=%.2f pitch=%.2f dist=%.2f "
-                            "(adaptive schedule restarted, no recompile)",
-                            req.get("yaw", 0.0), req.get("pitch", 0.0),
-                            req.get("dist", 1.0),
-                        )
-                        if args.aov:
-                            # Feature AOVs follow the moved camera (the
-                            # packed scene.cam operand).
-                            dn = _aov_feature_pass(
-                                config, world, session.width,
-                                session.height, denoise,
+                t_sync, segs_sync = time.perf_counter(), segs
+                if viewer is not None:
+                    avg_spp = session.samples_spent // (
+                        session.width * session.height
+                    )
+                    viewer.update(
+                        post(fb), session.rounds, avg_spp,
+                        denoise=denoise.effective_iterations(avg_spp)
+                        if denoise else 0,
+                        denoise_auto=bool(denoise and denoise.auto),
+                    )
+                    if args.interactive:
+                        req = viewer.pending_camera()
+                        if req is not None:
+                            from myraytracer_tpu.render.camera import (
+                                orbit_camera,
                             )
-                            viewer.set_aovs(_aov_images(
-                                dn, session.scene.cam,
-                                _parse_aov_names(args.aov),
+
+                            session.set_camera(orbit_camera(
+                                world.camera,
+                                req.get("yaw", 0.0), req.get("pitch", 0.0),
+                                req.get("dist", 1.0),
                             ))
-                sreq = viewer.pending_session()
-                if sreq is not None:
-                    req_dn = sreq.pop("denoise", None)
-                    if sreq or req_dn is None:
-                        log.warning(
-                            "viewer session request ignored: adaptive "
-                            "state is bound to one scene/size for the "
-                            "session (restart with new flags instead)"
-                        )
-                    else:
-                        # ?denoise=N is a display transform: swap the
-                        # output filter; the schedule/accumulation
-                        # state is untouched (unlike scene/size, which
-                        # the adaptive state is bound to).
-                        denoise = _make_denoiser(
-                            req_dn if req_dn else None, config, world,
-                            session.width, session.height,
-                        )
-                        log.info(
-                            "denoise %s (live toggle, schedule kept)",
-                            ("on (auto)" if denoise.auto else
-                             f"on ({denoise.iterations} iters)")
-                            if denoise else "off",
-                        )
+                            log.info(
+                                "camera orbit yaw=%.2f pitch=%.2f dist=%.2f "
+                                "(adaptive schedule restarted, no recompile)",
+                                req.get("yaw", 0.0), req.get("pitch", 0.0),
+                                req.get("dist", 1.0),
+                            )
+                            if args.aov:
+                                # Feature AOVs follow the moved camera (the
+                                # packed scene.cam operand). Reuse the
+                                # startup feature pass (``dn``) — building a
+                                # Denoiser per orbit would re-jit its aux
+                                # pass on every mouse move.
+                                dn = _aov_feature_pass(
+                                    config, world, session.width,
+                                    session.height, denoise or dn,
+                                )
+                                viewer.set_aovs(_aov_images(
+                                    dn, session.scene.cam,
+                                    _parse_aov_names(args.aov),
+                                ))
+                    sreq = viewer.pending_session()
+                    if sreq is not None:
+                        req_dn = sreq.pop("denoise", None)
+                        if sreq or req_dn is None:
+                            log.warning(
+                                "viewer session request ignored: adaptive "
+                                "state is bound to one scene/size for the "
+                                "session (restart with new flags instead)"
+                            )
+                        else:
+                            # ?denoise=N is a display transform: swap the
+                            # output filter; the schedule/accumulation
+                            # state is untouched (unlike scene/size, which
+                            # the adaptive state is bound to).
+                            denoise = _make_denoiser(
+                                req_dn if req_dn else None, config, world,
+                                session.width, session.height,
+                            )
+                            log.info(
+                                "denoise %s (live toggle, schedule kept)",
+                                ("on (auto)" if denoise.auto else
+                                 f"on ({denoise.iterations} iters)")
+                                if denoise else "off",
+                            )
+    except KeyboardInterrupt:
+        # The uniform loop's graceful-interrupt contract, for the
+        # adaptive path too: Ctrl-C falls through to the checkpoint
+        # + final image write below with whatever accumulated.
+        log.info(
+            "interrupted at round %d (%d samples) — writing final "
+            "image", session.rounds, session.samples_spent,
+        )
     final = fetch_array(session.framebuffer)
     final = post(final)
     if viewer is not None:
@@ -597,9 +612,12 @@ def _run_adaptive(args, config, world) -> int:
                     exposure=args.exposure)
         log.info("wrote %s", args.out)
         if args.aov:
+            # cam: the features must follow the FINAL camera (an
+            # --interactive orbit may have moved it mid-run).
             _write_aovs(
                 args.aov, args.out, config, world,
-                session.width, session.height, denoiser=denoise,
+                session.width, session.height,
+                cam=session.scene.cam, denoiser=denoise,
             )
     return 0
 

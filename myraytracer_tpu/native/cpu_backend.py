@@ -173,18 +173,22 @@ def route_prediction(world: api.World, config) -> Optional[tuple]:
     if max(n_tris, n_sph) < 1024:
         return None
     cores = cpu_threads() or (os.cpu_count() or 1)
-    if world.meshes and world.spheres:
-        cpu_tp = 1.0 / (
-            1.0 / _model(_CPU_MESH, n_tris) + 1.0 / _model(_CPU_SPH, n_sph)
-        )
-        tpu_tp = 1.0 / (
-            1.0 / _model(_TPU_MESH, n_tris) + 1.0 / _model(_TPU_SPH, n_sph)
-        )
-    elif world.meshes:
-        cpu_tp, tpu_tp = _model(_CPU_MESH, n_tris), _model(_TPU_MESH, n_tris)
-    else:
-        cpu_tp, tpu_tp = _model(_CPU_SPH, n_sph), _model(_TPU_SPH, n_sph)
-    return cores * cpu_tp, tpu_tp
+    # A kind with only a handful of primitives adds negligible per-ray
+    # cost on either backend — charging it the models' smallest-anchor
+    # rate (the log-log interp clamps at 414 tris / 488 spheres) would
+    # bias a "big mesh + one ground sphere" world ~30% slow. Include a
+    # kind's term only past the sweep-relevance threshold.
+    FEW = 64
+    cpu_terms, tpu_terms = [], []
+    if world.meshes and n_tris >= FEW:
+        cpu_terms.append(1.0 / _model(_CPU_MESH, n_tris))
+        tpu_terms.append(1.0 / _model(_TPU_MESH, n_tris))
+    if world.spheres and n_sph >= FEW:
+        cpu_terms.append(1.0 / _model(_CPU_SPH, n_sph))
+        tpu_terms.append(1.0 / _model(_TPU_SPH, n_sph))
+    if not cpu_terms:  # unreachable past the >=1024 gate, but total
+        return None
+    return cores / sum(cpu_terms), 1.0 / sum(tpu_terms)
 
 
 def auto_route(world: api.World, config, device_backend: str) -> Optional[str]:

@@ -688,6 +688,13 @@ class AdaptiveSession:
             segments_traced=np.float64(self.segments_traced),
             meta=json.dumps(meta),
         )
+        if self.scene.cam is not None:
+            # The runtime camera operand: an --interactive orbit may have
+            # moved it (set_camera), and the accumulated state describes
+            # THAT view — resuming under the construction camera would
+            # silently blend two views (the RenderSession "camera"
+            # checkpoint contract, session.py).
+            arrays["camera"] = np.asarray(self.scene.cam)
         if path is not None:
             np.savez(pathlib.Path(path), **arrays)
 
@@ -755,6 +762,11 @@ class AdaptiveSession:
         self.samples_spent = int(data["samples_spent"])
         self._segs_total = float(data["segments_traced"])
         self._segs_pending = []
+        if "camera" in getattr(data, "files", ()):
+            # Resume under the checkpoint's (possibly orbited) camera.
+            self.scene = self.scene._replace(
+                cam=jnp.asarray(data["camera"])
+            )
         # Every block with r >= 2 has usable variance; resume skips the
         # bootstrap iff the saved run completed it. Read from the file,
         # not the (possibly process-spanning) device arrays.

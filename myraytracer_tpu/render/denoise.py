@@ -388,7 +388,11 @@ class Denoiser:
         return fn
 
     def _features(self, cam):
-        key = None if cam is None else id(cam)
+        # Key the cache by the packed VALUES (76 bytes), not id(cam):
+        # orbit loops free each replaced camera array and CPython can
+        # recycle the id, which would silently serve the previous
+        # view's features.
+        key = None if cam is None else np.asarray(cam).tobytes()
         if self._aux is None or key != self._aux_cam:
             if cam is None or self._reference_mode:
                 self._aux = self._aux_fn(False, (self._scene,))(self._scene)

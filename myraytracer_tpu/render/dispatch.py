@@ -87,26 +87,21 @@ def renderer_factory(config: RenderConfig, world: api.World = None):
 
 def make_session(world: api.World, config: RenderConfig) -> RenderSession:
     cfg = config
+    routed_pred = None
     if config.backend == "auto":
         from myraytracer_tpu.native import cpu_backend
 
         routed = cpu_backend.auto_route(world, config, _device_backend())
         if routed == "cpu":
             # Recorded in checkpoint provenance as backend="cpu" (a
-            # different sample stream than the TPU paths).
-            cfg = config.replace(backend="cpu")
-            session = RenderSession(
-                world, cfg, renderer_factory=renderer_factory(cfg, world=world)
-            )
-            # Routing used one host's measured model constants
-            # (_CPU_MESH etc.); the CLI compares the first steady-state
-            # frame against this prediction and warns on a >3x miss —
+            # different sample stream than the TPU paths). The model's
+            # prediction rides on the session (attached at the common
+            # construction below): the CLI compares the first
+            # steady-state frame against it and warns on a >3x miss —
             # the runtime guard against silent misrouting on other
             # hardware (BENCH.md "Backend routing").
-            pred = cpu_backend.route_prediction(world, config)
-            if pred is not None:
-                session.routing_prediction = pred[0]
-            return session
+            cfg = config.replace(backend="cpu")
+            routed_pred = cpu_backend.route_prediction(world, config)
     if resolve_backend(cfg) == "pallas" and cfg.backend == "auto":
         # Large primitive tables move to VMEM automatically (no practical
         # cap — kernels/trace.py TRI_VMEM/SPH_VMEM); only scenes whose
@@ -150,6 +145,9 @@ def make_session(world: api.World, config: RenderConfig) -> RenderSession:
                 "%s; auto backend falls back to jnp", downgrade
             )
             cfg = dataclasses.replace(cfg, backend="jnp")
-    return RenderSession(
+    session = RenderSession(
         world, cfg, renderer_factory=renderer_factory(cfg, world=world)
     )
+    if routed_pred is not None:
+        session.routing_prediction = routed_pred[0]
+    return session

@@ -595,8 +595,21 @@ bool load_mix_scene(const char* path, MixScene* s) {
             std::fread(&n_sph, 4, 1, f) == 1 &&
             std::fread(cam, 4, 12, f) == 12 &&
             std::fread(&has_amb, 4, 1, f) == 1 &&
-            std::fread(amb, 4, 3, f) == 3 && n_mats > 0 &&
-            (n_tris > 0 || n_sph > 0);
+            std::fread(amb, 4, 3, f) == 3 && n_mats > 0 && n_tris >= 0 &&
+            n_sph >= 0 && (n_tris > 0 || n_sph > 0);
+  if (ok) {
+    // Counts must match the file's actual size (record sizes: material
+    // 56 B, triangle 40 B, sphere 20 B): a corrupt/truncated header
+    // must fail cleanly here, not throw bad_alloc out of resize()
+    // through the extern "C" boundary.
+    long header_end = std::ftell(f);
+    std::fseek(f, 0, SEEK_END);
+    long file_size = std::ftell(f);
+    std::fseek(f, header_end, SEEK_SET);
+    int64_t expect = int64_t(n_mats) * 56 + int64_t(n_tris) * 40 +
+                     int64_t(n_sph) * 20;
+    ok = header_end >= 0 && file_size - header_end == expect;
+  }
   if (!ok) {
     std::fclose(f);
     return false;

@@ -300,3 +300,37 @@ def test_adaptive_checkpoint_provenance(tmp_path):
     u.save_checkpoint(upath)
     with pytest.raises(ValueError, match="adaptive"):
         s.load_checkpoint(upath)
+
+
+def test_adaptive_checkpoint_preserves_orbited_camera(tmp_path):
+    """A checkpoint saved after a set_camera orbit must resume under the
+    ORBITED camera (the state describes that view), not the construction
+    camera — the RenderSession 'camera' contract, extended to adaptive
+    sessions for the round-5 --interactive composition."""
+    import numpy as np
+
+    from myraytracer_tpu.render.adaptive import AdaptiveSession
+    from myraytracer_tpu.render.camera import orbit_camera
+    from myraytracer_tpu.scene import presets
+
+    world = presets.get_scene("defocus", seed=0)  # general camera
+    cfg = RenderConfig(
+        width=64, height=32, samples_per_frame=2, ray_depth=3,
+        backend="jnp",
+    )
+    s = AdaptiveSession(world, cfg, n_sel=1)
+    s.bootstrap()
+    s.set_camera(orbit_camera(world.camera, 0.7, 0.2, 1.1))
+    s.bootstrap()
+    moved_cam = np.asarray(s.scene.cam)
+    path = tmp_path / "orbit.npz"
+    s.save_checkpoint(path)
+
+    s2 = AdaptiveSession(world, cfg, n_sel=1)
+    construction_cam = np.asarray(s2.scene.cam)
+    assert not np.array_equal(construction_cam, moved_cam)
+    s2.load_checkpoint(path)
+    np.testing.assert_array_equal(np.asarray(s2.scene.cam), moved_cam)
+    # And the resumed state keeps accumulating under that camera.
+    s2.step()
+    assert s2.samples_spent > s.samples_spent - 1

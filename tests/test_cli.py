@@ -284,9 +284,17 @@ def test_cli_adaptive_interactive_orbit(tmp_path):
         real_init(self, port, *a, **kw)
         captured["viewer"] = self
 
+    from myraytracer_tpu.render.denoise import Denoiser
+
     real_step = AdaptiveSession.step
     real_setcam = AdaptiveSession.set_camera
+    real_call = Denoiser.__call__
     calls = {"step": 0, "setcam": 0}
+    dn_cams = []
+
+    def dcall(self, fb, cam=None, spp=None):
+        dn_cams.append(None if cam is None else np.asarray(cam).copy())
+        return real_call(self, fb, cam, spp=spp)
 
     def step(self):
         calls["step"] += 1
@@ -309,19 +317,26 @@ def test_cli_adaptive_interactive_orbit(tmp_path):
     viewer_mod.LiveViewer.__init__ = vinit
     AdaptiveSession.step = step
     AdaptiveSession.set_camera = setcam
+    Denoiser.__call__ = dcall
     try:
         rc = cli.main([
             "--width", "64", "--height", "32", "--samples-per-frame", "1",
             "--ray-depth", "2", "--frames", "4", "--scene", "defocus",
             "--backend", "jnp", "--adaptive", "--serve", "0",
-            "--interactive", "--out", str(out),
+            "--interactive", "--denoise", "1", "--out", str(out),
         ])
     finally:
         AdaptiveSession.step = real_step
         AdaptiveSession.set_camera = real_setcam
+        Denoiser.__call__ = real_call
         viewer_mod.LiveViewer.__init__ = real_init
     assert rc == 0
     assert calls["setcam"] == 1
+    # The denoiser's guide features must FOLLOW the orbit: every post()
+    # passes the session's runtime camera, and the final call's camera
+    # differs from the first (pre-orbit) one.
+    assert dn_cams and all(c is not None for c in dn_cams)
+    assert not np.array_equal(dn_cams[0], dn_cams[-1])
     assert read_png(out).shape == (32, 64, 3)
 
 
@@ -472,3 +487,31 @@ def test_cli_aov_rejects_unknown_channel(tmp_path):
             "--ray-depth", "2", "--frames", "1", "--backend", "jnp",
             "--out", str(tmp_path / "x.png"), "--aov", "beauty",
         ])
+
+
+def test_cli_adaptive_interrupt_writes_final_image(tmp_path):
+    """Ctrl-C mid-adaptive-run falls through to the final image write
+    (the uniform loop's graceful-interrupt contract, round 5)."""
+    from myraytracer_tpu.render.adaptive import AdaptiveSession
+
+    out = tmp_path / "int.png"
+    real_step = AdaptiveSession.step
+    calls = {"n": 0}
+
+    def step(self):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise KeyboardInterrupt
+        return real_step(self)
+
+    AdaptiveSession.step = step
+    try:
+        rc = cli.main(BASE + [
+            "--adaptive", "0", "--frames", "64", "--out", str(out),
+        ])
+    finally:
+        AdaptiveSession.step = real_step
+    assert rc == 0
+    from myraytracer_tpu.output.image import read_png
+
+    assert read_png(out).shape[2] == 3

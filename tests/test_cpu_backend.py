@@ -8,6 +8,8 @@ session contract (statistical oracle parity, determinism, thread
 invariance, provenance) and the measured-crossover routing decisions.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -296,3 +298,61 @@ def test_cpu_cli_render(tmp_path, caplog):
     assert any("frame=2" in r.message for r in caplog.records)
     img = read_png(out)
     assert img.shape == (24, 32, 3)
+
+
+def test_mixed_prediction_ignores_trivial_kind():
+    """A single ground sphere must not be charged the models' smallest-
+    anchor per-ray cost: the mixed prediction with 1 sphere equals the
+    pure-mesh prediction (the trivial kind's term is dropped)."""
+    from myraytracer_tpu.scene.api import Lambertian, Sphere, World
+
+    monkey_cores = os.environ.get("MYRT_CPU_THREADS")
+    os.environ["MYRT_CPU_THREADS"] = "32"
+    try:
+        cfg = RenderConfig()
+        mesh6 = presets.mesh_scene(subdivisions=6)
+        mixed = World(
+            spheres=[Sphere((0.0, -1000.0, 0.0), 1000.0,
+                            Lambertian((0.5, 0.5, 0.5)))],
+            meshes=mesh6.meshes,
+            camera=mesh6.camera,
+        )
+        pm = cpu_backend.route_prediction(mesh6, cfg)
+        px = cpu_backend.route_prediction(mixed, cfg)
+        assert pm is not None and px is not None
+        assert px == pm
+    finally:
+        if monkey_cores is None:
+            os.environ.pop("MYRT_CPU_THREADS", None)
+        else:
+            os.environ["MYRT_CPU_THREADS"] = monkey_cores
+
+
+def test_mix_loader_rejects_truncated_dump(tmp_path):
+    """A MRTMIX01 file whose counts disagree with its byte length must
+    fail cleanly (NULL handle), not abort out of a resize()."""
+    import ctypes
+    import struct
+
+    from myraytracer_tpu.native import _LIB_PATH
+
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.mrt_cpu_scene_load.restype = ctypes.c_void_p
+    lib.mrt_cpu_scene_load.argtypes = [ctypes.c_char_p]
+
+    bad = tmp_path / "bad.mrtscene"
+    # Header claims 5 tris + huge sphere count; no payload follows.
+    head = b"MRTMIX01" + struct.pack("<3i", 1, 5, 2**30)
+    head += struct.pack("<12f", *([0.0] * 12)) + struct.pack(
+        "<i3f", 0, 0.0, 0.0, 0.0
+    )
+    bad.write_bytes(head)
+    assert lib.mrt_cpu_scene_load(str(bad).encode()) is None
+
+    neg = tmp_path / "neg.mrtscene"
+    head = b"MRTMIX01" + struct.pack("<3i", 1, 5, -1)
+    head += struct.pack("<12f", *([0.0] * 12)) + struct.pack(
+        "<i3f", 0, 0.0, 0.0, 0.0
+    )
+    neg.write_bytes(head)
+    assert lib.mrt_cpu_scene_load(str(neg).encode()) is None

@@ -422,3 +422,22 @@ def test_auto_noise_estimate_cached_by_spp():
         assert len(calls) == 3
     finally:
         dn_mod.estimate_noise = real
+
+
+def test_feature_cache_keys_on_camera_values():
+    """The per-camera feature cache keys on the packed VALUES: a
+    value-equal copy (new object, new id) hits the cache, a moved
+    camera misses — id() recycling across orbit loops can never serve
+    a stale view's features."""
+    world = presets.get_scene("defocus", seed=0)
+    dn = Denoiser(world, W, H)
+    cam0 = jnp.asarray(cam_mod.pack_camera(world.camera, W, H))
+
+    f0 = dn._features(cam0)
+    cam_copy = jnp.asarray(np.array(np.asarray(cam0)))  # new object/id
+    assert cam_copy is not cam0
+    f1 = dn._features(cam_copy)
+    assert f1 is f0  # value-equal -> cache hit (same tuple object)
+    moved = cam_mod.orbit_camera(world.camera, 0.5, 0.1, 1.0)
+    f2 = dn._features(jnp.asarray(cam_mod.pack_camera(moved, W, H)))
+    assert f2 is not f0  # different values -> recomputed
