@@ -123,6 +123,9 @@ VARIANTS = [
     ("kd-chunk128", {"_PARTITION": "kd", "CULL_CHUNK": 128}),
     ("kd-chunk64-t24", {"_PARTITION": "kd", "CULL_CHUNK": 64,
                         "DEFAULT_TILE_ROWS": 24}),
+    # Round-5 fine bracket around the adopted kd/48 default:
+    ("chunk40", {"CULL_CHUNK": 40}),
+    ("chunk56", {"CULL_CHUNK": 56}),
 ]
 
 
