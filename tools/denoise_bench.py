@@ -124,6 +124,34 @@ def main():
                   f"{r_raw / r_dn:>6.2f} {eff:>6.2f} {d_raw:>9.5f} "
                   f"{d_dn:>9.5f} {deff:>6.2f}", file=sys.stderr)
 
+    # The production auto schedule, evaluated against the same reference:
+    # what noise_iterations(estimate_noise(raw)) would actually pick at
+    # each cut, and its display-space efficiency — the measured check of
+    # "within one step of the optimum, never worse than raw".
+    from myraytracer_tpu.render.denoise import (
+        estimate_noise, noise_iterations,
+    )
+
+    auto_rows = []
+    print("auto (noise-driven) picks:", file=sys.stderr)
+    for n in FRAMES:
+        if n == REF_FRAMES:
+            continue
+        raw = snaps[n]
+        noise = estimate_noise(raw)
+        k = noise_iterations(noise)
+        out = raw if k == 0 else np.asarray(atrous_denoise(
+            jnp.asarray(raw), albedo, normal, depth, k, *dn.sigmas,
+        ))
+        d_raw, d_dn = rmse(disp(raw), ref_d), rmse(disp(out), ref_d)
+        deff = 1.0 if k == 0 else (d_raw / d_dn) ** 2
+        auto_rows.append(
+            {"spp": n * SPP, "noise": round(noise, 5), "iters": k,
+             "efficiency_disp_x": deff}
+        )
+        print(f"  spp={n * SPP:>4} noise={noise:.5f} -> k={k} "
+              f"disp-eff={deff:.2f}", file=sys.stderr)
+
     if SWEEP:
         raw = jnp.asarray(snaps[FRAMES[len(FRAMES) // 2]])
         base = rmse(raw, ref)
@@ -150,6 +178,7 @@ def main():
 
     print(json.dumps({
         "scene": SCENE, "size": [W, H],
+        "auto_rows": auto_rows,
         "rows": [
             {"iters": it, "spp": s, "rmse_raw": a, "rmse_dn": b,
              "efficiency_x": e, "rmse_raw_disp": da, "rmse_dn_disp": db,
