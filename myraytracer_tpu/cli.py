@@ -518,6 +518,8 @@ def _run_adaptive(args, config, world) -> int:
                         denoise=denoise.effective_iterations(avg_spp)
                         if denoise else 0,
                         denoise_auto=bool(denoise and denoise.auto),
+                        denoise_noise=(denoise.last_noise
+                                       if denoise and denoise.auto else None),
                     )
                     if args.interactive:
                         req = viewer.pending_camera()
@@ -593,6 +595,8 @@ def _run_adaptive(args, config, world) -> int:
                 session.samples_spent // (session.width * session.height)
             ) if denoise else 0,
             denoise_auto=bool(denoise and denoise.auto),
+            denoise_noise=(denoise.last_noise
+                           if denoise and denoise.auto else None),
         )
     smap = session.spp_map
     log.info(
@@ -991,6 +995,8 @@ def main(argv=None) -> int:
                             session.accumulated_spp
                         ) if denoise else 0,
                         denoise_auto=bool(denoise and denoise.auto),
+                        denoise_noise=(denoise.last_noise
+                                       if denoise and denoise.auto else None),
                     )
                     # (Not on the last frame: a move would zero the
                     # accumulator with nothing left to refill it before

@@ -340,6 +340,7 @@ class Denoiser:
         self._cam_repr = repr(world.camera)
         self._last_auto = None  # last noise-driven auto count (__call__)
         self._noise_at = None  # (spp, estimate) cache for the auto path
+        self.last_noise = None  # last measured estimate (viewer stats)
 
     def _aux_fn(self, packed: bool, example_args):
         """The feature-pass callable, export-cache backed (utils/cache.py)
@@ -451,6 +452,7 @@ class Denoiser:
                 self._noise_at = (spp, noise)
             iters = noise_iterations(noise)
             self._last_auto = iters
+            self.last_noise = noise
         else:
             iters = self.effective_iterations(spp)
         if iters <= 0:

@@ -165,7 +165,9 @@ _PAGE = b"""<!doctype html>
                           `${s.spp} spp accumulated`;
       dnState = s.denoise | 0;
       dnAuto = !!s.denoise_auto;
-      dnBtn.textContent = dnAuto ? `denoise: auto (${dnState} iters)`
+      dnBtn.textContent = dnAuto
+        ? `denoise: auto (${dnState} iters` +
+          (s.denoise_noise != null ? `, noise ${s.denoise_noise}` : "") + `)`
         : (dnState ? `denoise: ${dnState} iters` : "denoise: off");
       // Published AOV guide buffers (--aov with --serve): link them.
       const aovSpan = document.getElementById("aovs");
@@ -344,7 +346,8 @@ class LiveViewer:
         log.info("live viewer at http://localhost:%d/", self.port)
 
     def update(self, framebuffer, frame: int, spp: int,
-               denoise: int = 0, denoise_auto: bool = False) -> None:
+               denoise: int = 0, denoise_auto: bool = False,
+               denoise_noise=None) -> None:
         """Publish a new accumulated frame (host float radiance array).
 
         ``denoise`` reports the active output-filter iteration count
@@ -366,6 +369,11 @@ class LiveViewer:
                 "denoise": int(denoise),
                 "denoise_auto": bool(denoise_auto),
             }
+            if denoise_noise is not None:
+                # The auto schedule's measured display-space noise level
+                # (render/denoise.py:estimate_noise) — the page shows it
+                # so the noise-driven iteration count is explainable.
+                self._stats["denoise_noise"] = round(float(denoise_noise), 5)
             if self._aov_names:
                 self._stats["aovs"] = self._aov_names
 
