@@ -375,3 +375,24 @@ def test_cli_adaptive_serve_publishes_aovs(tmp_path):
         viewer_mod.LiveViewer.__init__ = real_init
     assert rc == 0
     assert codes == {"depth": 200, "albedo": 404}
+
+
+def test_viewer_stats_report_auto_noise():
+    """The auto-denoise path's measured noise level rides stats.json
+    (denoise_noise) when supplied, and is absent otherwise — the page
+    renders 'auto (k iters, noise s)' from it."""
+    import json
+
+    viewer = LiveViewer(0)
+    try:
+        fb = np.zeros((4, 6, 3), np.float32)
+        viewer.update(fb, frame=1, spp=2, denoise=3, denoise_auto=True,
+                      denoise_noise=0.012345)
+        s = json.loads(_get(viewer.port, "/stats.json")[0])
+        assert s["denoise_auto"] is True and s["denoise"] == 3
+        assert abs(s["denoise_noise"] - 0.012345) < 1e-5  # ~5 places
+        viewer.update(fb, frame=2, spp=4)
+        s = json.loads(_get(viewer.port, "/stats.json")[0])
+        assert "denoise_noise" not in s
+    finally:
+        viewer.close()
